@@ -1,0 +1,52 @@
+"""Fixture catalog: the driver-generated parquet tables (TESTDATA.md).
+
+The reference's only "catalog" is a directory listing (SURVEY §2A A1,
+reference manager/__main__.py:371-374); ours is schema-on-read parquet via
+Spark's built-in FileScan, which brings column pruning + predicate pushdown
+for free. At 100 TB these tables would be partitioned/bucketed directories;
+the loader is a single seam where that layout knowledge would live.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; have {TABLES}")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects outright; read it as raw nanos (legacy conf) and
+        # floor-convert to microseconds — exactly what DuckDB's TIMESTAMP
+        # (µs) does, so oracle comparisons agree.
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

@@ -1,0 +1,66 @@
+"""Deterministic numeric aggregation policy.
+
+Cross-engine float determinism rules (learned the hard way against the
+DuckDB oracle; see tests/helpers.py):
+
+1. **Never round() a double whose true decimal expansion has a '5' at the
+   cut position.** Spark rounds the value's shortest decimal string
+   (BigDecimal.valueOf), DuckDB rounds the binary value scaled by 10^k —
+   they disagree on exactly those values, and 2-decimal money data hits
+   them constantly (x.5 at the 3rd decimal after sums/avgs).
+2. **Never sum doubles when the result must hash-match another engine.**
+   Partial-aggregation order differs; the last ulp differs.
+
+Policy: the fixture's money-like columns are exactly 2-decimal, so cast to
+DECIMAL before aggregating — sums become EXACT — and cast the final result
+back to double (exact → nearest-double is deterministic and identical on
+both engines). No rounding anywhere. Per-row arithmetic on identical
+doubles is already bit-identical across engines as long as the expression
+shape (associativity) matches.
+
+At 100 TB this is also the *correct* accounting choice: decimal partial
+aggregation is exact and overflow-checked at any scale, while double sums
+silently drift with partition count.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+MONEY = "decimal(12,2)"  # fits ±10^10 with 2-decimal money values, exactly
+RATE = "decimal(3,2)"  # discount/tax rates in [0,1), 2-decimal
+
+
+def money(c: Column | str) -> Column:
+    """Exact decimal view of a 2-decimal money double."""
+    return (F.col(c) if isinstance(c, str) else c).cast(MONEY)
+
+
+def rate(c: Column | str) -> Column:
+    return (F.col(c) if isinstance(c, str) else c).cast(RATE)
+
+
+def dsum(c: Column | str) -> Column:
+    """Exact sum of a 2-decimal money column, returned as double."""
+    return F.sum(money(c)).cast("double")
+
+
+def dsum_expr(expr: Column) -> Column:
+    """Exact sum of an already-decimal expression, returned as double."""
+    return F.sum(expr).cast("double")
+
+
+def davg(c: Column | str) -> Column:
+    """Deterministic average: exact decimal sum, then one double division
+    (identical operands ⇒ identical quotient on every IEEE-754 engine)."""
+    return F.sum(money(c)).cast("double") / F.count(F.col(c) if isinstance(c, str) else c)
+
+
+# Oracle-side (DuckDB SQL) fragments implementing the same policy.
+def sql_dsum(col: str) -> str:
+    return f"CAST(sum(CAST({col} AS DECIMAL(12,2))) AS DOUBLE)"
+
+
+def sql_davg(col: str) -> str:
+    return f"(CAST(sum(CAST({col} AS DECIMAL(12,2))) AS DOUBLE) / count({col}))"

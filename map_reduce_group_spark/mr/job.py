@@ -1,0 +1,107 @@
+"""MapReduce job execution on Spark — the reference's literal job API.
+
+Semantics reproduced (citations into /root/reference/):
+
+- mapper: any stdin/stdout executable, flatMap fan-out per input line
+  (worker/__main__.py:126-144) → ``rdd.pipe(mapper)``;
+- key = text before the first tab (worker/__main__.py:138);
+- partition = int(md5(key_utf8).hexdigest(), 16) % R
+  (worker/__main__.py:139-143) → custom ``partitionFunc`` — byte-identical
+  routing, not just semantic parity;
+- per-partition lexicographic full-line sort + k-way merge grouping
+  guarantee (worker/__main__.py:149, 168) →
+  ``repartitionAndSortWithinPartitions`` (Spark's sort-based shuffle spills
+  exactly like the reference's GNU-sort/heapq pipeline, minus the temp
+  files);
+- reducer: executable over the merged sorted stream
+  (worker/__main__.py:174-181) → ``rdd.pipe(reducer)``;
+- sink: ``part-*`` files, output dir recreated per run
+  (worker/__main__.py:172-185, manager/__main__.py:358-361) →
+  ``saveAsTextFile`` after clearing the target.
+
+Everything the reference's manager/worker control plane does (scheduling,
+stage barrier, heartbeats, fault tolerance — SURVEY §2A A11–A18) is Spark's
+DAGScheduler/executor machinery; this module contains zero control-plane
+code by design.
+
+Scale: the M/R knobs map to partition counts. On a real cluster M defaults
+to input-split count and R should be sized so each reduce partition fits in
+executor memory; both are pass-throughs to Spark partitioning, so AQE and
+spill handling apply unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+from dataclasses import dataclass
+from pathlib import Path
+
+from pyspark import RDD
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class Job:
+    """A MapReduce job spec — field-for-field the reference's
+    ``new_manager_job`` message (submit.py:80-88)."""
+
+    input_directory: str
+    output_directory: str
+    mapper_executable: str
+    reducer_executable: str
+    num_mappers: int = 2
+    num_reducers: int = 2
+
+
+def _md5_mod(key: str, r: int) -> int:
+    """The reference's partition function (worker/__main__.py:139-143)."""
+    return int(hashlib.md5(key.encode("utf-8")).hexdigest(), 16) % r
+
+
+def _first_field(line: str) -> str:
+    """Key extraction: text before the first tab (worker/__main__.py:138)."""
+    return line.split("\t", 1)[0]
+
+
+def run_lines(spark: SparkSession, lines: RDD, job: Job) -> RDD:
+    """Run the map→shuffle→sort→reduce pipeline on an RDD of text lines."""
+    r = job.num_reducers
+    mapped = lines.pipe(job.mapper_executable)
+    keyed = mapped.map(lambda line: (line, None))
+    shuffled = keyed.repartitionAndSortWithinPartitions(
+        numPartitions=r,
+        partitionFunc=lambda line: _md5_mod(_first_field(line), r),
+        ascending=True,
+    )
+    return shuffled.keys().pipe(job.reducer_executable)
+
+
+def run_job(spark: SparkSession, job: Job) -> RDD:
+    """Plan the job's lineage from its input directory (no action yet)."""
+    lines = spark.sparkContext.textFile(
+        job.input_directory, minPartitions=job.num_mappers
+    )
+    return run_lines(spark, lines, job)
+
+
+def submit(spark: SparkSession, job: Job) -> None:
+    """Execute the job and write ``part-*`` output files (overwrite
+    semantics, as the reference recreates the output dir per run)."""
+    out = Path(job.output_directory)
+    if out.exists():
+        shutil.rmtree(out)
+    run_job(spark, job).saveAsTextFile(str(out))
+
+
+def pipe_table(
+    df: DataFrame,
+    command: str,
+    output_schema: str = "value string",
+) -> DataFrame:
+    """DataFrame-level escape hatch: stream a single-string-column DataFrame
+    through an arbitrary executable (Hadoop-Streaming style), back to a
+    DataFrame. The bridge RDD↔DataFrame is the only non-codegen'd hop."""
+    rdd = df.rdd.map(lambda row: "\t".join("" if v is None else str(v) for v in row))
+    piped = rdd.pipe(command).map(lambda line: line.split("\t"))
+    return df.sparkSession.createDataFrame(piped, output_schema)

@@ -1,0 +1,260 @@
+"""Deduplication operators (north-star, BASELINE.json): exact, n-gram
+Jaccard, MinHash+LSH, SimHash.
+
+Design for 100 TB:
+
+- **exact**: group by a 16-byte fingerprint (md5), never by the raw text —
+  shuffle volume is keys+ids only.
+- **n-gram Jaccard**: inverted-index self-join on shingles (only documents
+  sharing ≥1 shingle ever meet — exact, no O(n²)); at extreme scale add
+  prefix filtering / df-cap on hot shingles (noted inline).
+- **MinHash+LSH**: fixed-size signatures (k hashes) → banding → bucket
+  join; candidate verification by exact Jaccard over the shingle postings.
+- **SimHash**: 64-bit signature via per-bit weighted sums — one explode +
+  one groupBy.
+
+Performance note (measured, sf0.1): everything here deliberately avoids
+Spark's higher-order array functions (transform/aggregate lambdas are
+*interpreted* per element — a nested-transform MinHash measured ~60 ms/doc).
+Shingles are built with posexplode + window ``lead`` and signatures with
+flat ``min(xxhash64(...))`` aggregates, all inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.functions import col
+
+from map_reduce_group_spark.operators.text import fingerprint, tokens
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-duplicate groups by normalized-text fingerprint.
+
+    Returns (fingerprint, rep_id = min id, n_copies). Canonical
+    representative selection is min(id) — deterministic.
+    """
+    return (
+        df.select(col(id_col).alias("id"), fingerprint(text_col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("id").alias("rep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingle_postings(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word-n-gram postings: (id, shingle, set_size).
+
+    posexplode tokens → window ``lead`` to assemble each n-gram → distinct.
+    One shuffle (by id, for the lead window); the distinct and the set-size
+    window reuse that same hash partitioning, so Catalyst plans no further
+    exchange. Documents with fewer than ``n`` tokens yield no postings.
+    """
+    t = df.select(col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "tok"))
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    postings = (
+        t.select(
+            "id",
+            F.concat_ws(" ", *parts).alias("shingle"),
+            F.lead("tok", n - 1).over(w).alias("_last"),
+        )
+        .filter(col("_last").isNotNull())  # incomplete tail n-grams
+        .select("id", "shingle")
+        .distinct()
+    )
+    return postings.withColumn("set_size", F.count(F.lit(1)).over(Window.partitionBy("id")))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """EXACT n-gram-Jaccard similar pairs via inverted-index self-join.
+
+    Pipeline: doc → distinct shingle postings → self-join on shingle
+    (id_a < id_b) → count shared shingles per pair → Jaccard =
+    |∩| / (|A|+|B|-|∩|) → threshold.
+
+    Exact because any pair with Jaccard > 0 shares ≥1 shingle and is
+    therefore generated. Scale levers (100 TB): cap posting-list length for
+    stop-shingles (a shingle in >f docs contributes candidates quadratically
+    — with threshold t a pair sharing only ultra-common shingles can't pass
+    anyway), and a length-ratio prefilter size_a/size_b ≥ t.
+
+    The threshold is applied to the RAW quotient (matches the oracle);
+    rounding is presentation only.
+    """
+    postings = shingle_postings(df, id_col, text_col, n)
+    a = postings.select(col("id").alias("id_a"), col("set_size").alias("size_a"), "shingle")
+    b = postings.select(col("id").alias("id_b"), col("set_size").alias("size_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .withColumn(
+            "jaccard_raw", col("n_common") / (col("size_a") + col("size_b") - col("n_common"))
+        )
+        .filter(col("jaccard_raw") >= threshold)
+        .select("id_a", "id_b", "n_common", F.round("jaccard_raw", 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signatures: sig[i] = min over shingles of xxhash64(shingle, i).
+
+    Flat codegen shape: one row per (doc, shingle), ``num_hashes``
+    min-aggregates with the integer hash index as the xxhash64 seed
+    argument. Partial mins combine map-side, so the shuffle carries one
+    row per doc regardless of document length.
+    """
+    postings = shingle_postings(df, id_col, text_col, n)
+    aggs = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    flat = postings.groupBy("id", "set_size").agg(*aggs)
+    return flat.select(
+        "id",
+        "set_size",
+        F.array(*[col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact-Jaccard verification.
+
+    LSH generates candidates (any pair agreeing on a full band bucket);
+    candidates are then verified with exact Jaccard via the shingle
+    postings, so precision is exact and only recall depends on (bands,
+    rows). With 32 hashes / 8 bands of 4 rows, P(candidate | J=t) =
+    1-(1-t^4)^8 ≈ 0.98 at t=0.8.
+
+    Scale: signatures are fixed 32×8 bytes/doc regardless of doc length;
+    band buckets are the shuffle key. Hot buckets (boilerplate docs) are the
+    skew risk — AQE skew join plus an optional bucket-size cap handle it.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_cols = [
+        F.xxhash64(
+            *[col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), band_cols[b].alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", col("bb.band").alias("band"), col("bb.bucket").alias("bucket"))
+
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), ["band", "bucket"])
+        .filter(col("x.id") < col("y.id"))
+        .select(col("x.id").alias("id_a"), col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+    postings = shingle_postings(df, id_col, text_col, n)
+    pa = postings.select(col("id").alias("id_a"), col("set_size").alias("size_a"), "shingle")
+    pb = postings.select(col("id").alias("id_b"), col("set_size").alias("size_b"), "shingle")
+    return (
+        cand.join(pa, "id_a")
+        .join(pb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .withColumn(
+            "jaccard_raw", col("n_common") / (col("size_a") + col("size_b") - col("n_common"))
+        )
+        .filter(col("jaccard_raw") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard_raw", 6).alias("jaccard"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document from word tokens.
+
+    simhash bit b = sign of Σ_tokens (±1 depending on bit b of
+    xxhash64(token)); near-duplicates differ in few bits (compare with
+    hamming distance via bit_count(xor)).
+
+    One explode + one groupBy(id) with 64 conditional-sum expressions — all
+    codegen'd; no Python.
+    """
+    tok = (
+        df.select(col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = tok.groupBy("id").agg(*bit_sums)
+    sim = None
+    for b in range(64):
+        term = F.when(
+            col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim.bitwiseOR(term)
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks.
+
+    Pigeonhole: two signatures within hamming distance 3 of each other agree
+    exactly on ≥1 of 4 16-bit chunks — block on each chunk, compare within
+    blocks only. (For max_hamming ≥ 4 this is a recall-bounded heuristic.)
+    """
+    sigs = simhash(df, id_col, text_col)
+    chunks = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_id"),
+                        F.shiftright(col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "simhash", col("c.chunk_id").alias("chunk_id"), col("c.chunk").alias("chunk"))
+    x, y = chunks.alias("x"), chunks.alias("y")
+    return (
+        x.join(y, ["chunk_id", "chunk"])
+        .filter(col("x.id") < col("y.id"))
+        .select(
+            col("x.id").alias("id_a"),
+            col("y.id").alias("id_b"),
+            F.bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(col("hamming") <= max_hamming)
+    )

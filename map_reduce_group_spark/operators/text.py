@@ -1,0 +1,80 @@
+"""Text-analysis expression library (north-star: language-ID, quality
+scoring, token counting, fingerprinting — BASELINE.json).
+
+Everything here is a *column expression builder* — pure JVM-side built-ins
+(split/filter/regexp/md5), no Python UDFs — so the hot path stays inside
+whole-stage codegen at 100 TB. The tokenizer is deliberately the exact regex
+used by the DuckDB oracles so both engines tokenize identically.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# Tokenizer contract shared with every oracle: lowercase, split on runs of
+# non-letters, drop empties.
+TOKEN_SPLIT_RE = "[^a-z]+"
+
+# Language marker stopwords for the n-gram-heuristic language ID.
+LANG_MARKERS: dict[str, str] = {
+    "en": " the ",
+    "fr": " le ",
+    "es": " el ",
+    "de": " der ",
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """array<string> of lowercase word tokens."""
+    c = F.lower(F.col(text) if isinstance(text, str) else text)
+    return F.filter(F.split(c, TOKEN_SPLIT_RE), lambda x: x != "")
+
+
+def token_count(text: Column | str) -> Column:
+    """Number of word tokens (whitespace/punct-delimited)."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-style token estimate: letter runs + digit runs + each symbol
+    counts as one token (a common pre-tokenizer regex)."""
+    c = F.lower(F.col(text) if isinstance(text, str) else text)
+    return F.regexp_count(c, F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+
+
+def occurrences(text: Column, marker: str) -> Column:
+    """Count non-overlapping occurrences of ``marker`` in ``' '||text||' '``.
+
+    length-difference trick so the identical formula runs in the oracle SQL.
+    """
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(marker), F.lit(""))))
+        / len(marker)
+    ).cast("long")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: occurrences(text, marker) for lang, marker in LANG_MARKERS.items()}
+
+
+def predicted_lang(text: Column) -> Column:
+    """Argmax over marker-stopword counts with fixed precedence en>fr>es>de;
+    'und' (undetermined) when no marker occurs."""
+    s = lang_scores(text)
+    best = F.greatest(*s.values())
+    expr = F.lit("und")
+    # build the CASE in reverse precedence so earlier langs win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((s[lang] > 0) & (s[lang] == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized lowercase text.
+    Content-addressed, so fingerprint-equality == exact-duplicate (after
+    normalization) — the basis of exact dedup at scale (group by fingerprint,
+    not by the full text, so shuffle keys stay 32 bytes)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), "\\s+", " "))

@@ -1,0 +1,13 @@
+"""Query plans — importing this package populates the registry."""
+
+from map_reduce_group_spark.plans import (  # noqa: F401
+    events,
+    llm,
+    mrplans,
+    relational,
+    tpch,
+    windows,
+)
+from map_reduce_group_spark.plans.registry import REGISTRY, oracles, queries
+
+__all__ = ["REGISTRY", "oracles", "queries"]

@@ -1,0 +1,206 @@
+"""Time-series / event-stream analytics over the ``events`` fixture —
+batch time-window operators (SURVEY §2B "Streaming" scope: tumbling +
+sliding + session windows, as-of join, JSON functions).
+
+The reference has no time semantics at all (batch only, typeless); these are
+the north-star extensions. Each is a single-shuffle declarative plan; the
+Structured Streaming variants of the window aggregations live in
+:mod:`map_reduce_group_spark.streaming`.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import col
+
+from map_reduce_group_spark.catalog import load_table
+from map_reduce_group_spark.functions.numeric import davg, dsum
+from map_reduce_group_spark.operators.asof import asof_join
+from map_reduce_group_spark.plans.registry import register
+
+
+@register(
+    "events_json_extract",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 AS k_mod
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the ``props`` column (get_json_object =
+    JSONPath, JVM-side; no Python UDF)."""
+    e = load_table(spark, sf_dir, "events").filter(col("event_type") == "purchase")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select("event_id", "user_id", k.alias("k"), (k % 7).alias("k_mod"))
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation via the native ``window()``
+    operator (epoch-aligned, so window.start == date_trunc('hour'))."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_windows",
+    oracle="""
+    SELECT w_start, count(*) AS n_events,
+           (CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(value)) AS avg_value
+    FROM (
+        SELECT unnest([
+            time_bucket(INTERVAL 30 MINUTES, ts),
+            time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES
+        ]) AS w_start, value
+        FROM events
+    )
+    GROUP BY w_start
+    """,
+)
+def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window: 1-hour windows every 30 minutes. Spark's ``window``
+    replicates each row into size/slide windows; the oracle unnests the same
+    two bucket starts explicitly."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), davg("value").alias("avg_value"))
+        .select(col("w.start").alias("w_start"), "n_events", "avg_value")
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTES
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), sessioned AS (
+        SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq,
+           min(ts) AS session_start,
+           max(ts) AS session_end,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+    FROM sessioned
+    GROUP BY user_id, session_seq
+    """,
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-minute inactivity gap) via gaps-and-islands window
+    functions — one shuffle by user, one in-partition sort, then a grouped
+    aggregate. The Structured Streaming ``session_window`` variant lives in
+    streaming/ (same semantics, incremental state)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull() | (col("ts").cast("long") - prev_ts.cast("long") > 1800), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .withColumn("session_seq", F.sum("new_session").over(wrun))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("session_value"),
+        )
+    )
+
+
+@register(
+    "events_asof_join",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+        SELECT user_id, ts, max(event_id) AS click_event_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           c.click_event_id AS click_event_id_asof,
+           c.ts             AS click_ts_asof
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the latest preceding click of the same
+    user (operators/asof.py — union + last(ignoreNulls) window; one shuffle)."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        e.filter(col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+        .withColumn("click_ts", col("ts"))
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["click_event_id", "click_ts"],
+    )
+    return joined.select("event_id", "user_id", "ts", "click_event_id_asof", "click_ts_asof")
+
+
+@register(
+    "events_type_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS n_click,
+           count(*) FILTER (event_type = 'view')     AS n_view,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type = 'signup')   AS n_signup,
+           count(*) FILTER (event_type = 'error')    AS n_error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot / conditional aggregation — one shuffle, map-side partials."""
+    e = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.count(F.when(col("event_type") == t, 1)).alias(f"n_{t}")
+        for t in ("click", "view", "purchase", "signup", "error")
+    ]
+    return e.groupBy("user_id").agg(*aggs)

@@ -1,0 +1,263 @@
+"""North-star LLM-data-pipeline queries (BASELINE.json): text analysis,
+dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity search
+(brute-force + IVF), over the ``documents`` and ``embeddings`` fixtures.
+
+Oracle policy: everything whose semantics are ANSI-SQL-expressible carries
+a DuckDB oracle built from the SAME formulas (identical tokenizer regex,
+identical rounding); xxhash64-based operators (MinHash/SimHash) have no SQL
+equivalent and are registered rows-only.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col
+
+from map_reduce_group_spark.catalog import load_table
+from map_reduce_group_spark.operators import dedup, similarity
+from map_reduce_group_spark.operators.text import (
+    LANG_MARKERS,
+    bpe_ish_token_count,
+    fingerprint,
+    lang_scores,
+    predicted_lang,
+    token_count,
+    tokens,
+)
+from map_reduce_group_spark.plans.registry import register
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')"
+
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS_SQL})                 AS n_tokens,
+           len(list_distinct({_TOKS_SQL}))  AS n_unique,
+           round(CASE WHEN len({_TOKS_SQL}) = 0 THEN 0.0
+                 ELSE list_sum(list_transform({_TOKS_SQL}, x -> CAST(length(x) AS DOUBLE)))
+                      / len({_TOKS_SQL}) END, 4) AS avg_token_len,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_ish
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex) — all JVM built-ins."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    avg_len = F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+        F.aggregate(toks, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double"))
+        / F.size(toks)
+    )
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.round(avg_len, 4).alias("avg_token_len"),
+        bpe_ish_token_count("text").alias("n_bpe_ish"),
+    )
+
+
+def _occ_sql(marker: str) -> str:
+    pad = "concat(' ', lower(text), ' ')"
+    return (
+        f"CAST((length({pad}) - length(replace({pad}, '{marker}', ''))) / {len(marker)} AS BIGINT)"
+    )
+
+
+@register(
+    "doc_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_occ_sql(' the ')} AS c_en,
+               {_occ_sql(' le ')}  AS c_fr,
+               {_occ_sql(' el ')}  AS c_es,
+               {_occ_sql(' der ')} AS c_de
+        FROM documents
+    )
+    SELECT doc_id, lang, c_en, c_fr, c_es, c_de,
+           CASE
+             WHEN c_en > 0 AND c_en = greatest(c_en, c_fr, c_es, c_de) THEN 'en'
+             WHEN c_fr > 0 AND c_fr = greatest(c_en, c_fr, c_es, c_de) THEN 'fr'
+             WHEN c_es > 0 AND c_es = greatest(c_en, c_fr, c_es, c_de) THEN 'es'
+             WHEN c_de > 0 AND c_de = greatest(c_en, c_fr, c_es, c_de) THEN 'de'
+             ELSE 'und'
+           END AS pred_lang
+    FROM scored
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by marker-stopword counting (n-gram heuristic; fixed
+    precedence on ties). Pure string built-ins — codegen'd."""
+    d = load_table(spark, sf_dir, "documents")
+    scores = lang_scores(col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        *[scores[lang].alias(f"c_{lang}") for lang in LANG_MARKERS],
+        predicted_lang(col("text")).alias("pred_lang"),
+    )
+
+
+@register(
+    "doc_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               len({_TOKS_SQL}) AS n_words,
+               {_occ_sql(' the ')} AS c_the
+        FROM documents
+    )
+    SELECT doc_id, n_chars, n_words,
+           round(c_the / greatest(n_words, 1), 6)                        AS stopword_ratio,
+           round(least(1.0, n_words / 50.0)
+                 * (1.0 - least(1.0, c_the / greatest(n_words, 1))), 6)  AS quality_score
+    FROM t
+    """,
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring from length + stopword-density signals (the classic
+    pretraining-corpus heuristics, all SQL-expressible)."""
+    from map_reduce_group_spark.operators.text import occurrences
+
+    d = load_table(spark, sf_dir, "documents")
+    n_words = token_count("text")
+    c_the = occurrences(col("text"), " the ")
+    ratio = c_the / F.greatest(n_words, F.lit(1))
+    score = F.least(F.lit(1.0), n_words / F.lit(50.0)) * (
+        F.lit(1.0) - F.least(F.lit(1.0), ratio)
+    )
+    return d.select(
+        "doc_id",
+        "n_chars",
+        n_words.alias("n_words"),
+        F.round(ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+@register(
+    "dedup_exact_fingerprint",
+    oracle="""
+    SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           min(doc_id) AS rep_id,
+           count(*)    AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content fingerprint (md5 of normalized text): group
+    by 16-byte digest, keep min(doc_id) as representative. At 100 TB the
+    shuffle carries (digest, id) only — never the documents."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(d, "doc_id", "text").select(
+        "fingerprint", "rep_id", "n_copies"
+    )
+
+
+_SHINGLES_SQL = f"""
+        list_distinct(list_transform(
+            range(1, greatest(len({_TOKS_SQL}) - 1, 1)),
+            i -> array_to_string(list_slice({_TOKS_SQL}, i, i + 2), ' ')))
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sets AS (
+        SELECT doc_id AS id, {_SHINGLES_SQL} AS shingles
+        FROM documents
+        WHERE len({_TOKS_SQL}) >= 3
+    ), postings AS (
+        SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle
+        FROM sets WHERE len(shingles) > 0
+    ), pair_counts AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               a.set_size AS size_a, b.set_size AS size_b,
+               count(*) AS n_common
+        FROM postings a JOIN postings b USING (shingle)
+        WHERE a.id < b.id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, n_common,
+           round(CAST(n_common AS DOUBLE) / (size_a + size_b - n_common), 6) AS jaccard
+    FROM pair_counts
+    WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-3-gram Jaccard near-dup pairs via inverted-index self-join
+    (operators/dedup.py — no O(n²); only docs sharing a shingle meet)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.05)
+
+
+@register("dedup_minhash_lsh")  # xxhash64-based — not SQL-expressible; rows-only check
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8 bands) candidates verified by exact Jaccard
+    (operators/dedup.py:minhash_lsh_pairs). Deterministic (xxhash64)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        d, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.3
+    )
+
+
+@register("dedup_simhash")  # xxhash64-based — rows-only check
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-dup pairs blocked on 16-bit chunks
+    (operators/dedup.py:simhash_near_pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(d, "doc_id", "text", max_hamming=12)
+
+
+@register(
+    "embed_cosine_topk",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id % 50 = 0
+    ), c AS (
+        SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+    ), pairs AS (
+        SELECT q_id, c_id,
+               round(list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                     5) AS cos
+        FROM q CROSS JOIN c
+        WHERE q_id <> c_id
+    ), ranked AS (
+        SELECT q_id, c_id, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rank
+        FROM pairs
+    )
+    SELECT q_id, c_id, cos, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for a deterministic query subset
+    (vec_id % 50 = 0) — the ANN baseline (operators/similarity.py)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(col("vec_id") % 50 == 0)
+    return similarity.cosine_topk(q, e, k=5)
+
+
+@register("embed_ann_ivf")  # bucketing not SQL-worthwhile — rows-only check
+def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF/LSH-bucketed approximate top-k: probe only the query's hyperplane
+    bucket (operators/similarity.py:ivf_topk) — the 100 TB scale path."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(col("vec_id") % 50 == 0)
+    return similarity.ivf_topk(q, e, k=5)
+
+
+@register("embed_cosine_neardup")  # rows-only check
+def embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cos ≥ 0.93) via LSH buckets with
+    exact verification (operators/similarity.py:cosine_neardup_pairs)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(e, threshold=0.93)

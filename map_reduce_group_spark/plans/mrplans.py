@@ -1,0 +1,104 @@
+"""Reference-parity and multimodal queries for the registry.
+
+``mr_wordcount_pipe`` runs the reference's literal execution model (arbitrary
+mapper/reducer executables + md5-partitioned sorted shuffle, mr/job.py) over
+the documents fixture; ``wordcount_native`` is the same query Spark-first.
+Both share one oracle — word count IS the reference's canonical example
+(its CLI defaults, reference submit.py:41-51).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col
+
+from map_reduce_group_spark.catalog import load_table
+from map_reduce_group_spark.mr.job import Job, run_lines
+from map_reduce_group_spark.operators import multimodal
+from map_reduce_group_spark.operators.text import tokens
+from map_reduce_group_spark.plans.registry import register
+
+_EXEC_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "mr", "exec")
+
+_WC_ORACLE = """
+    SELECT word, count(*) AS n
+    FROM (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                  x -> x <> '')) AS word
+        FROM documents
+    )
+    GROUP BY word
+"""
+
+
+@register("wordcount_native", oracle=_WC_ORACLE)
+def wordcount_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count, Spark-first: explode tokens → groupBy → count. One
+    shuffle with map-side partial aggregation (the combiner the reference
+    never had — SURVEY §2B aggregations)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register("mr_wordcount_pipe", oracle=_WC_ORACLE)
+def mr_wordcount_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count through the reference-parity engine: text lines piped
+    through the wc_map executable, md5-mod-R sorted shuffle, wc_reduce
+    executable (mr/job.py — the reference's whole job API, submit.py:80-88).
+    RDD-based by necessity: the executables are opaque, exactly as in the
+    reference; the surrounding engine is still Spark's shuffle machinery."""
+    d = load_table(spark, sf_dir, "documents")
+    lines = d.select("text").rdd.map(lambda r: r[0])
+    job = Job(
+        input_directory="<inline>",
+        output_directory="<inline>",
+        mapper_executable=os.path.join(_EXEC_DIR, "wc_map.py"),
+        reducer_executable=os.path.join(_EXEC_DIR, "wc_reduce.py"),
+        num_mappers=8,
+        num_reducers=8,
+    )
+    out = run_lines(spark, lines, job).map(lambda line: line.split("\t", 1))
+    return spark.createDataFrame(out, "word string, n_str string").select(
+        "word", col("n_str").cast("bigint").alias("n")
+    )
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id AS id,
+           'text/plain'       AS media_type,
+           strlen(text)       AS n_bytes,
+           md5(text)          AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: wrap payload bytes + typed metadata
+    struct (operators/multimodal.py). Oracle checks the metadata the engine
+    computes (byte length, content md5) — the payload itself stays opaque."""
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.to_media_column(d, "doc_id", "text", "text/plain")
+    return media.select(
+        "id",
+        col("media.meta.media_type").alias("media_type"),
+        col("media.meta.n_bytes").alias("n_bytes"),
+        col("media.meta.content_md5").alias("content_md5"),
+    )
+
+
+@register("multimodal_fake_features")  # mapInPandas plumbing — rows-only check
+def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas featurization over binary payloads with a
+    deterministic decode-free featurizer (real codecs stubbed — see
+    operators/multimodal.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.to_media_column(d, "doc_id", "text", "text/plain")
+    return multimodal.fake_features(media)

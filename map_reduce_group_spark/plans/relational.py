@@ -1,0 +1,426 @@
+"""Joins, aggregation variants, set ops, sorts — SURVEY §2B row by row.
+
+Each query is one row of the capability matrix (SURVEY §2B tables "Joins",
+"Aggregations", "Sorts / limits / top-k", "Set operations", "Scalar
+functions"), implemented declaratively so Catalyst chooses the physical
+strategy (broadcast vs sort-merge, partial aggregation, TakeOrdered).
+
+In the reference all of these are mapper/reducer executable pairs over the
+dataflow primitives (SURVEY §2A); e.g. a join is "tag records by source in
+the mapper, pair within key group in the reducer" (reference
+worker/__main__.py:137-144, 174-181).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import broadcast, col
+
+from map_reduce_group_spark.catalog import load_table
+from map_reduce_group_spark.functions.numeric import davg, dsum, money
+from map_reduce_group_spark.plans.registry import register
+
+
+# ---------------------------------------------------------------- joins ----
+
+
+@register(
+    "join_left_outer_counts",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           count(o_orderkey)  AS order_count,
+           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def join_left_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders (MR: reducer
+    emits unmatched with nulls). count(col) skips nulls on both engines."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.coalesce(F.sum(money("o_totalprice")), F.lit(0).cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "join_anti_inactive_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (MR: reducer emits left rows iff right group empty)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_full_outer_nation_activity",
+    oracle="""
+    SELECT
+        coalesce(c.nk, s.nk) AS nationkey,
+        coalesce(c.n_cust, 0) AS n_cust,
+        coalesce(s.n_supp, 0) AS n_supp
+    FROM      (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) c
+    FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1) s
+      ON c.nk = s.nk
+    """,
+)
+def join_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides. Aggregating BEFORE the
+    join (partial-agg pushdown by hand) is the 100 TB-friendly shape: the
+    join inputs shrink from row counts to key counts."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, c.c_nk == s.s_nk, "full").select(
+        F.coalesce(col("c_nk"), col("s_nk")).alias("nationkey"),
+        F.coalesce(col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(col("n_supp"), F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "join_cross_region_nation",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (MR: map everything to one key). Only sane for small dims;
+    Spark plans BroadcastNestedLoopJoin."""
+    return load_table(spark, sf_dir, "region").select("r_name").crossJoin(
+        load_table(spark, sf_dir, "nation").select("n_name")
+    )
+
+
+@register(
+    "join_range_price_bands",
+    oracle="""
+    SELECT b.band_name, count(*) AS n_parts
+    FROM part p
+    JOIN (
+        SELECT 'budget' AS band_name, 0.0 AS lo, 500.0 AS hi UNION ALL
+        SELECT 'mid', 500.0, 1200.0 UNION ALL
+        SELECT 'premium', 1200.0, 100000.0
+    ) b ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band_name
+    """,
+)
+def join_range_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/range join against a tiny banding table → broadcast nested loop.
+    (MR realization: cartesian via single reducer — SURVEY §2B.)"""
+    part = load_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("budget", 0.0, 500.0), ("mid", 500.0, 1200.0), ("premium", 1200.0, 100000.0)],
+        "band_name string, lo double, hi double",
+    )
+    return (
+        part.join(
+            broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band_name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+# ----------------------------------------------------------- aggregations ----
+
+
+@register(
+    "agg_distinct_counts",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey)  AS n_supp,
+           count(DISTINCT l_partkey)  AS n_part,
+           count(*)                   AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count(DISTINCT) — expands to two-phase aggregate; the reference's
+    'key = value, emit once per group' reducer pattern."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_rollup_order_status",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (MR: mapper replicates record per grouping set)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice").alias("total"))
+    )
+
+
+@register(
+    "agg_cube_returns",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dims."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity").alias("sum_qty"))
+    )
+
+
+@register(
+    "agg_having_big_orders",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders,
+           (CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(o_totalprice)) AS avg_price
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 12 AND avg(o_totalprice) > 20000
+    """,
+)
+def agg_having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING — post-aggregation filter."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), davg("o_totalprice").alias("avg_price"))
+        .filter((col("n_orders") >= 12) & (F.col("avg_price") > 20000))
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (the DataFrame rollup/cube cover
+    the hierarchical cases; SQL covers arbitrary sets)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n_rows
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+# ----------------------------------------------------- sorts / limit / topk ----
+
+
+@register(
+    "topk_expensive_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def topk_expensive_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition local
+    top-k then a k-way driver merge; no global sort, no full shuffle.
+    (MR realization: mapper emits local top-k, single reducer merges.)"""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .orderBy(col("o_totalprice").desc(), col("o_orderkey"))
+        .limit(25)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
+
+
+# ------------------------------------------------------------------ set ops ----
+
+
+@register(
+    "setop_union_all_nations",
+    oracle="""
+    SELECT nationkey, count(*) AS n
+    FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT s_nationkey FROM supplier
+    ) GROUP BY nationkey
+    """,
+)
+def setop_union_all_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag union) then count — reference: list both dirs as input."""
+    c = load_table(spark, sf_dir, "customer").select(col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(col("s_nationkey").alias("nationkey"))
+    return c.unionByName(s).groupBy("nationkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "setop_intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics on both engines)."""
+    c = load_table(spark, sf_dir, "customer").select(col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "setop_except_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT — nations with customers but no suppliers (distinct semantics:
+    ``subtract`` == EXCEPT DISTINCT on both engines)."""
+    c = load_table(spark, sf_dir, "customer").select(col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@register(
+    "setop_distinct_pairs",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def setop_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT / dropDuplicates (MR: key=record, emit-once reducer)."""
+    return load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# -------------------------------------------------------- scalar functions ----
+
+
+@register(
+    "scalar_string_date_math",
+    oracle="""
+    SELECT
+        o_orderkey,
+        upper(o_orderstatus)                            AS status_uc,
+        substr(o_orderpriority, 1, 1)                   AS prio_digit,
+        concat(o_orderstatus, '_', o_orderpriority)     AS status_prio,
+        length(o_orderpriority)                         AS prio_len,
+        year(o_orderdate)                               AS order_year,
+        month(o_orderdate)                              AS order_month,
+        CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(0.001 AS DECIMAL(4,3)) AS DOUBLE) AS price_k,
+        CAST(abs(CAST(o_totalprice AS DECIMAL(12,2)) - 20000) AS DOUBLE)                    AS dist_from_20k
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    """,
+)
+def scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar library (SURVEY §2B scalar functions) — in the
+    reference all of this lives inside opaque user executables; here it is
+    typed, codegen'd, and pushdown-friendly."""
+    o = load_table(spark, sf_dir, "orders").filter(col("o_orderkey") % 97 == 0)
+    return o.select(
+        "o_orderkey",
+        F.upper("o_orderstatus").alias("status_uc"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_digit"),
+        F.concat_ws("_", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        (money("o_totalprice") * F.lit("0.001").cast("decimal(4,3)"))
+        .cast("double")
+        .alias("price_k"),
+        F.abs(money("o_totalprice") - F.lit(20000)).cast("double").alias("dist_from_20k"),
+    )
+
+
+@register(
+    "scalar_regexp_extract",
+    oracle="""
+    SELECT p_partkey,
+           CAST(regexp_extract(p_brand, 'Brand#([0-9]+)', 1) AS INTEGER) AS brand_num,
+           lower(p_type) AS type_lc
+    FROM part
+    WHERE p_size >= 40
+    """,
+)
+def scalar_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction + case-folding on part."""
+    p = load_table(spark, sf_dir, "part").filter(col("p_size") >= 40)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", "Brand#([0-9]+)", 1).cast("int").alias("brand_num"),
+        F.lower("p_type").alias("type_lc"),
+    )
+
+
+@register(
+    "scalar_array_ops",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                          AS dim,
+           round(embedding[1], 4)                  AS first_val,
+           round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 4) AS l2_norm
+    FROM embeddings
+    WHERE vec_id % 10 = 0
+    """,
+)
+def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ArrayType functions over embeddings (size / index / fold). The L2 norm
+    is a JVM-side higher-order ``aggregate`` — no Python in the loop.
+    Note DuckDB lists are 1-based; Spark arrays 0-based."""
+    e = load_table(spark, sf_dir, "embeddings").filter(col("vec_id") % 10 == 0)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(col("embedding")[0], 4).alias("first_val"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    "embedding",
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double") * x.cast("double"),
+                )
+            ),
+            4,
+        ).alias("l2_norm"),
+    )

@@ -1,0 +1,267 @@
+"""Core relational queries (TPC-H-shaped) over the fixture star schema.
+
+These exercise the heart of SURVEY §2B: scan → filter → project → join →
+groupBy/agg → orderBy/limit. In the reference every one of these shapes is a
+mapper/reducer executable pair over the seven dataflow primitives (SURVEY §2A
+A3/A4/A5/A7/A8, reference worker/__main__.py:113-192); here each is a single
+declarative DataFrame plan so Catalyst applies pushdown/pruning/join
+selection and AQE handles skew at scale.
+
+Scale notes (100 TB): lineitem/orders are the big fact tables — every query
+below joins facts on their natural keys (shuffle on join key, map-side
+partial aggregation automatic) and dimensions (region/nation/customer/
+supplier/part) stay broadcast-able. Money aggregates follow the exact-decimal
+policy of functions/numeric.py (no double summation, no rounding) so results
+are bit-deterministic at any partition count.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import broadcast, col
+
+from map_reduce_group_spark.catalog import load_table
+from map_reduce_group_spark.functions.numeric import (
+    davg,
+    dsum,
+    dsum_expr,
+    money,
+    rate,
+    sql_davg,
+    sql_dsum,
+)
+from map_reduce_group_spark.plans.registry import register
+
+# exact decimal revenue term: price × (1 − discount), optionally × (1 + tax)
+_DISC_PRICE_SQL = "CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(3,2)))"
+_CHARGE_SQL = f"{_DISC_PRICE_SQL} * (1 + CAST(l_tax AS DECIMAL(3,2)))"
+
+
+def _disc_price() -> F.Column:
+    return money("l_extendedprice") * (F.lit(1) - rate("l_discount"))
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        {sql_dsum('l_quantity')}                          AS sum_qty,
+        {sql_dsum('l_extendedprice')}                     AS sum_base_price,
+        CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE)            AS sum_disc_price,
+        CAST(sum({_CHARGE_SQL}) AS DOUBLE)                AS sum_charge,
+        {sql_davg('l_quantity')}                          AS avg_qty,
+        {sql_davg('l_extendedprice')}                     AS avg_price,
+        (CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*)) AS avg_disc,
+        count(*)                                          AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan→filter→groupBy→multi-agg (flagship query).
+
+    The canonical reduce pattern of the reference (worker/__main__.py:174-181)
+    — Spark runs it as partial+final hash aggregate, no sort needed.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    charge = _disc_price() * (F.lit(1) + rate("l_tax"))
+    return (
+        li.filter(col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum_expr(_disc_price()).alias("sum_disc_price"),
+            dsum_expr(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            (F.sum(rate("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT
+        l_orderkey,
+        CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+        o_orderdate,
+        o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-k.
+
+    Joins are the canonical two-input MR pattern (SURVEY §2B joins table);
+    here: broadcast the filtered customer dimension, shuffle-join the two
+    facts on orderkey, TakeOrderedAndProject for the limit (no global sort).
+    """
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), col("o_custkey") == col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum_expr(_disc_price()).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc(), col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS ⇒ left-semi join, then count by group.
+
+    The MR realization is "reducer emits left rows iff right group non-empty"
+    (SURVEY §2B); Spark's left_semi join does it without materializing the
+    right side's payload.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (col("l_orderkey") == col("o_orderkey")) & (col("l_shipdate") > col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey  = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join (2 facts + 4 broadcast dims) + agg."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(col("r_name") == "ASIA")
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), col("l_orderkey") == col("o_orderkey"))
+        .join(broadcast(cust.select("c_custkey", "c_nationkey")), col("o_custkey") == col("c_custkey"))
+        .join(
+            broadcast(supp.select("s_suppkey", "s_nationkey")),
+            (col("l_suppkey") == col("s_suppkey")) & (col("c_nationkey") == col("s_nationkey")),
+        )
+        .join(broadcast(nation), col("s_nationkey") == col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") == col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum_expr(_disc_price()).alias("revenue"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter+agg; all predicates push to the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (col("l_discount") >= 0.04)
+        & (col("l_discount") <= 0.06)
+        & (col("l_quantity") < 24)
+    ).agg(dsum_expr(money("l_extendedprice") * rate("l_discount")).alias("revenue"))
+
+
+@register(
+    "project_filter_compute",
+    oracle=f"""
+    SELECT
+        l_orderkey,
+        l_linenumber,
+        CAST({_CHARGE_SQL} AS DOUBLE)                           AS charge,
+        CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'small' END AS qty_class
+    FROM lineitem
+    WHERE l_returnflag = 'R' AND l_quantity > 45
+    """,
+)
+def project_filter_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only job shape (SURVEY §2B projections/filters): select + computed
+    columns + predicate, zero shuffles — the whole plan is one codegen stage.
+    The computed charge is exact decimal arithmetic cast to double (per-row
+    round() on doubles is engine-divergent — functions/numeric.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    charge = _disc_price() * (F.lit(1) + rate("l_tax"))
+    return li.filter((col("l_returnflag") == "R") & (col("l_quantity") > 45)).select(
+        "l_orderkey",
+        "l_linenumber",
+        charge.cast("double").alias("charge"),
+        F.when(col("l_quantity") >= 25, "bulk").otherwise("small").alias("qty_class"),
+    )

@@ -1,0 +1,186 @@
+"""Window functions: ranking, analytic (lag/lead), frame aggregates,
+top-k-per-group, secondary sort (SURVEY §2B "Window functions" +
+"secondary sort").
+
+MR realization in the reference: composite key + the external sort /
+k-way merge guarantee (SURVEY §1.4 rule 2, reference worker/__main__.py:149,
+168) — the value-ordered key group IS a window partition. Here each query is
+``Window.partitionBy(...).orderBy(...)``: one shuffle on the partition key,
+sort within partitions, then a single pass.
+
+Determinism: every ORDER BY carries a unique tie-break column so row
+numbering matches the oracle exactly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.functions import col
+
+from map_reduce_group_spark.catalog import load_table
+from map_reduce_group_spark.functions.numeric import money
+from map_reduce_group_spark.plans.registry import register
+
+
+@register(
+    "window_rank_customers",
+    oracle="""
+    SELECT * FROM (
+        SELECT
+            c_mktsegment,
+            c_custkey,
+            c_acctbal AS acctbal,
+            row_number() OVER w AS rn,
+            rank()       OVER w AS rnk,
+            dense_rank() OVER w AS drnk
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    ) WHERE rn <= 5
+    """,
+)
+def window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank; top-5 per segment via rn filter."""
+    w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc(), col("c_custkey"))
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            col("c_acctbal").alias("acctbal"),
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .filter(col("rn") <= 5)
+    )
+
+
+@register(
+    "window_lag_lead_events",
+    oracle="""
+    SELECT event_id, user_id,
+           value - lag(value)  OVER w AS delta_prev,
+           lead(value) OVER w - value AS delta_next
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over per-user event streams ordered by time."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        "user_id",
+        (col("value") - F.lag("value").over(w)).alias("delta_prev"),
+        (F.lead("value").over(w) - col("value")).alias("delta_next"),
+    )
+
+
+@register(
+    "window_running_totals",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+           count(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)     AS order_seq
+    FROM orders
+    """,
+)
+def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregates over an explicit ROWS frame: per-customer running spend."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(money("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        F.count(F.lit(1)).over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "window_ntile_quartiles",
+    oracle="""
+    SELECT quartile, count(*) AS n_cust, min(c_acctbal) AS min_bal,
+           max(c_acctbal) AS max_bal
+    FROM (
+        SELECT c_acctbal, ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+        FROM customer
+    ) GROUP BY quartile
+    """,
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile bucketing then per-bucket stats. Note: a global ORDER BY window
+    is single-partition — fine for dimension tables, never for facts (at
+    100 TB use range partitioning / approx quantiles instead)."""
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
+
+
+@register(
+    "topk_per_group_parts",
+    oracle="""
+    SELECT * FROM (
+        SELECT p_type, p_partkey, p_retailprice AS price,
+               row_number() OVER (PARTITION BY p_type
+                                  ORDER BY p_retailprice DESC, p_partkey) AS rn
+        FROM part
+    ) WHERE rn <= 3
+    """,
+)
+def topk_per_group_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group — the window idiom (one shuffle; at scale prefer this
+    over self-join-max by a wide margin)."""
+    w = Window.partitionBy("p_type").orderBy(col("p_retailprice").desc(), col("p_partkey"))
+    return (
+        load_table(spark, sf_dir, "part")
+        .select(
+            "p_type",
+            "p_partkey",
+            col("p_retailprice").alias("price"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(col("rn") <= 3)
+    )
+
+
+@register(
+    "secondary_sort_line_numbers",
+    oracle="""
+    SELECT l_orderkey,
+           string_agg(l_linenumber, ',' ORDER BY l_linenumber) AS line_seq,
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_orderkey % 101 = 0
+    GROUP BY l_orderkey
+    """,
+)
+def secondary_sort_line_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary sort: value-ordered groups (the reference's sorted-merge
+    grouping guarantee, SURVEY §1.4) via sort_array(collect_list(...)) —
+    grouping without requiring a sorted shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(col("l_orderkey") % 101 == 0)
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list("l_linenumber")), lambda x: x.cast("string")),
+            ",",
+        ).alias("line_seq"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

@@ -1,0 +1,61 @@
+"""DuckDB-oracle comparison harness (SURVEY §5.2).
+
+Mirrors the driver's check: run the Spark query and the oracle SQL on the
+same parquet, canonicalize (sort columns by name, stringify values with
+fixed float formatting, sort rows), compare. Canonicalization lives HERE,
+not in the engine (SURVEY §7 risk register item 2).
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import os
+
+import duckdb
+import pandas as pd
+
+from map_reduce_group_spark.catalog import TABLES
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        return con.execute(sql).fetchdf()
+    finally:
+        con.close()
+
+
+def _canon_value(v) -> str:
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "∅"
+        r = round(v, 6)
+        return "0" if r == 0 else f"{r:.6f}".rstrip("0").rstrip(".")
+    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+        return pd.Timestamp(v).isoformat()
+    if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
+        seq = v.tolist() if hasattr(v, "tolist") else v
+        return "[" + ",".join(_canon_value(x) for x in seq) + "]"
+    return str(v)
+
+
+def canonicalize(df: pd.DataFrame) -> list[tuple[str, ...]]:
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False, name=None):
+        out.append(tuple(_canon_value(v) for v in row))
+    return sorted(out)
+
+
+def assert_matches_oracle(spark_df, sql: str, sf_dir: str, name: str = "") -> None:
+    got = canonicalize(spark_df.toPandas())
+    want = canonicalize(run_oracle(sql, sf_dir))
+    assert len(got) == len(want), f"{name}: row count {len(got)} != oracle {len(want)}"
+    mismatches = [(g, w) for g, w in zip(got, want) if g != w]
+    assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[:3]}"

@@ -1,0 +1,36 @@
+"""One test per registered query: oracle-checked queries hash-match DuckDB;
+rows-only queries must run, have a stable schema, and be deterministic."""
+
+from __future__ import annotations
+
+import pytest
+
+from map_reduce_group_spark.plans import REGISTRY
+from tests.helpers import assert_matches_oracle
+
+ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
+ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_query_matches_oracle(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    df = spec.builder(spark, sf_dir)
+    assert_matches_oracle(df, spec.oracle, sf_dir, name=name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
+def test_rows_only_query_runs(spark, sf_dir, name):
+    spec = REGISTRY[name]
+    df = spec.builder(spark, sf_dir)
+    n = df.count()
+    assert n >= 0
+    assert df.columns == spec.builder(spark, sf_dir).columns
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())
