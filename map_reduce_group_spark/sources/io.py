@@ -1,0 +1,73 @@
+"""Sources & sinks beyond parquet (SURVEY §2B "Scans / sources / sinks").
+
+The reference reads newline-text directories and writes ``part-*`` text
+files (A1/A9, reference manager/__main__.py:371-374, worker/__main__.py:
+172-185). We keep that surface (text in/out, including exact ``part-*``
+naming via the MR layer) and add the typed formats a real pipeline needs:
+CSV/JSON with explicit schemas, partitioned parquet layouts, and bucketed
+tables for shuffle-free co-located joins.
+
+Scale notes:
+- ``write_partitioned``: directory partitioning on low-cardinality columns
+  is the 100 TB table layout — partition pruning turns predicates on the
+  partition column into directory listings.
+- ``write_bucketed``: pre-shuffling both sides of a recurring join into the
+  same bucket count × key removes the per-query exchange entirely (verified
+  by a plan assertion in tests/test_plan_shapes.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_text_dir(spark: SparkSession, path: str) -> DataFrame:
+    """Reference-parity text scan: one string column ``value``/line."""
+    return spark.read.text(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str, header: bool = True) -> DataFrame:
+    """CSV with an explicit schema — never inferSchema at scale (it's an
+    extra full pass over the data)."""
+    return spark.read.schema(schema).option("header", header).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+def write_text(df: DataFrame, path: str, num_files: int | None = None) -> None:
+    """Overwrite-semantics text sink (the reference's A9)."""
+    out = df if num_files is None else df.repartition(num_files)
+    out.write.mode("overwrite").text(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    df.write.mode("overwrite").option("header", header).csv(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Directory-partitioned parquet: the standard big-table layout.
+    Predicates on ``partition_cols`` prune at planning time (no file I/O)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed managed table: co-locates rows by hash(bucket_cols) %
+    num_buckets at WRITE time, so joins/aggregations on those keys plan
+    without an Exchange. Both sides of a co-located join must share bucket
+    count and keys."""
+    w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.format("parquet").saveAsTable(table)

@@ -1,0 +1,141 @@
+"""Structured Streaming layer over event streams (SURVEY §2B "Streaming";
+§7 phase 6 stretch — nothing in the reference is streaming, its jobs run
+serially to completion, reference manager/__main__.py:247-262).
+
+Design: every streaming operator here is the incremental twin of a batch
+query in plans/events.py — same grouping keys, same aggregates — so the
+batch oracle doubles as the streaming correctness check (run the stream
+with an ``availableNow`` trigger over the same files and compare).
+
+Scale: these are the shapes that survive unbounded input — watermarks bound
+state, window/session aggregations keep one state row per (key, window),
+and ``applyInPandasWithState`` holds an O(1) struct per key. State-store
+partitioning follows ``spark.sql.shuffle.partitions``, so the same
+skew/sizing levers as batch shuffles apply.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from map_reduce_group_spark.functions.numeric import dsum
+
+# events schema with ts as raw nanos (parquet TIMESTAMP(NANOS) — see
+# catalog.load_table) — converted to a proper timestamp on read.
+EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over events parquet (directory or glob).
+
+    In production this would be Kafka/Kinesis; the file source has the same
+    semantics (exactly-once, checkpointable) and is what the fixtures give
+    us. maxFilesPerTrigger would bound micro-batch size at scale.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, size: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of plans/events.events_tumbling_hourly: tumbling
+    window counts + exact-decimal value totals, late data bounded by the
+    watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            col("w.start").alias("hour_start"), "event_type", "n_events", "total_value"
+        )
+    )
+
+
+def session_aggregate(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming sessionization via the native ``session_window`` operator
+    (incremental merge of overlapping session state; the batch
+    gaps-and-islands twin is plans/events.events_sessionization)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("session_value"))
+        .select(
+            "user_id",
+            col("w.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    the streaming face of the dedup operator family (state = one key per
+    event_id seen, GC'd by watermark)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+
+
+_STATE_SCHEMA = "n bigint, total double"
+_OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
+
+
+def _track_user_totals(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, total = state.get
+    else:
+        n, total = 0, 0.0
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, round(total, 2)))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]})
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, total value), emitted on every update — the arbitrary-
+    stateful escape hatch the built-in window aggs can't express (e.g.
+    decaying counters, ML feature state). State is one row per user."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _track_user_totals,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+    """Execute a streaming query over all currently-available input
+    (availableNow trigger) into an in-memory table; returns the result as a
+    batch DataFrame. This is the harness used by tests to prove
+    batch/stream equivalence."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

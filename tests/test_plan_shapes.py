@@ -1,0 +1,82 @@
+"""Physical-plan regression tests: the *shape* of the plan is part of the
+contract at 100 TB (SURVEY §4.2 — pushdown, pruning, broadcast, partial
+aggregation, TakeOrdered). A query that silently loses its pushdown or its
+broadcast join still passes value checks at sf0.01 and falls over at scale,
+so we pin the plan properties here."""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from map_reduce_group_spark.plans import REGISTRY
+
+
+def explain_str(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def plan(spark, sf_dir, name: str) -> str:
+    return explain_str(REGISTRY[name].builder(spark, sf_dir))
+
+
+def test_q6_filters_pushed_to_scan(spark, sf_dir):
+    p = plan(spark, sf_dir, "q6_forecast_revenue")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m and "l_shipdate" in m.group(1) and "l_discount" in m.group(1), p
+
+
+def test_q6_column_pruning(spark, sf_dir):
+    p = plan(spark, sf_dir, "q6_forecast_revenue")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m, p
+    cols = m.group(1)
+    # only the 4 referenced columns are read, not all 11
+    assert "l_orderkey" not in cols and "l_returnflag" not in cols, cols
+    assert "l_extendedprice" in cols and "l_discount" in cols, cols
+
+
+def test_q3_broadcasts_customer_dim(spark, sf_dir):
+    p = plan(spark, sf_dir, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_q1_partial_aggregation(spark, sf_dir):
+    p = plan(spark, sf_dir, "q1_pricing_summary")
+    # partial + final hash aggregate = the map-side combiner the reference
+    # never had (SURVEY §2B aggregations)
+    assert len(re.findall(r"HashAggregate", p)) >= 2, p
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    p = plan(spark, sf_dir, "topk_expensive_orders")
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_project_filter_is_single_stage(spark, sf_dir):
+    p = plan(spark, sf_dir, "project_filter_compute")
+    assert "Exchange" not in p, p  # map-only: zero shuffles
+
+
+def test_semi_join_for_exists(spark, sf_dir):
+    p = plan(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in p, p
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    # union + window asof: exactly one Exchange (by user_id) feeding the
+    # window sort — not a join explosion
+    p = plan(spark, sf_dir, "events_asof_join")
+    # formatted explain lists each operator twice (tree + details); count
+    # the numbered detail headers only
+    exchanges = len(re.findall(r"\(\d+\) Exchange", p))
+    assert exchanges <= 2, f"{exchanges} exchanges:\n{p}"
+
+
+def test_wordcount_partial_agg(spark, sf_dir):
+    p = plan(spark, sf_dir, "wordcount_native")
+    assert len(re.findall(r"HashAggregate", p)) >= 2, p

@@ -1,0 +1,82 @@
+"""Round-trip and layout tests for sources/sinks, including the bucketed
+no-shuffle join and partition pruning."""
+
+from __future__ import annotations
+
+import io
+import os
+from contextlib import redirect_stdout
+
+import pyspark.sql.functions as F
+
+from map_reduce_group_spark.catalog import load_table
+from map_reduce_group_spark.sources import io as sio
+
+
+def explain_str(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_csv_json_text_roundtrip(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    base = str(tmp_path)
+
+    sio.write_csv(nation, f"{base}/nation_csv")
+    back_csv = sio.read_csv(
+        spark, f"{base}/nation_csv", "n_nationkey int, n_name string, n_regionkey int"
+    )
+    assert sorted(back_csv.collect()) == sorted(nation.collect())
+
+    sio.write_json(nation, f"{base}/nation_json")
+    back_json = sio.read_json(
+        spark, f"{base}/nation_json", "n_nationkey int, n_name string, n_regionkey int"
+    ).select("n_nationkey", "n_name", "n_regionkey")
+    assert sorted(back_json.collect()) == sorted(nation.collect())
+
+    sio.write_text(nation.select(F.concat_ws("\t", "n_nationkey", "n_name").alias("value")),
+                   f"{base}/nation_text", num_files=2)
+    back_text = sio.read_text_dir(spark, f"{base}/nation_text")
+    assert back_text.count() == nation.count()
+    parts = [f for f in os.listdir(f"{base}/nation_text") if f.startswith("part-")]
+    assert len(parts) == 2  # reference-style one file per partition
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    path = f"{tmp_path}/orders_by_status"
+    sio.write_partitioned(orders, path, ["o_orderstatus"])
+    assert set(os.listdir(path)) >= {"o_orderstatus=F", "o_orderstatus=O", "o_orderstatus=P"}
+
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    assert back.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+    plan = explain_str(back)
+    # partition pruning: the F predicate must land in PartitionFilters
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PushedFilters")[0]
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    sio.write_bucketed(orders, "b_orders", ["o_custkey"], num_buckets=8)
+    sio.write_bucketed(cust, "b_customer", ["c_custkey"], num_buckets=8)
+
+    # disable broadcast + AQE so the join strategy is decided by bucketing
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        j = spark.table("b_orders").join(
+            spark.table("b_customer"), F.col("o_custkey") == F.col("c_custkey")
+        )
+        plan = explain_str(j)
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert j.count() == orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")

@@ -1,0 +1,72 @@
+"""Batch/stream equivalence: every streaming operator must produce the same
+answer as its batch twin when run over the same files with availableNow."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from map_reduce_group_spark.plans import REGISTRY
+from map_reduce_group_spark.streaming import events_stream as es
+from tests.helpers import canonicalize
+
+
+@pytest.fixture(scope="module")
+def events_path(sf_dir, tmp_path_factory) -> str:
+    # the file stream source requires a DIRECTORY; expose the single events
+    # parquet file through a symlinked dir (testdata itself is read-only)
+    d = tmp_path_factory.mktemp("events_stream_src")
+    (d / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
+    return str(d)
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir, events_path):
+    stream = es.read_events_stream(spark, events_path)
+    got = es.run_to_memory(es.tumbling_counts(stream), "t_tumbling")
+    want = REGISTRY["events_tumbling_hourly"].builder(spark, sf_dir)
+    assert canonicalize(got.toPandas()) == canonicalize(want.toPandas())
+
+
+def test_stream_sessions_equal_batch(spark, sf_dir, events_path):
+    stream = es.read_events_stream(spark, events_path)
+    got = es.run_to_memory(es.session_aggregate(stream), "t_sessions")
+    want = (
+        REGISTRY["events_sessionization"].builder(spark, sf_dir)
+        .select("user_id", "session_start", "n_events", "session_value")
+    )
+    assert canonicalize(got.toPandas()) == canonicalize(want.toPandas())
+
+
+def test_stream_dedup_passthrough(spark, sf_dir, events_path):
+    # event_ids are unique in the fixture: dedup must be a passthrough
+    stream = es.read_events_stream(spark, events_path)
+    got = es.run_to_memory(es.stream_dedup(stream), "t_dedup", output_mode="append")
+    from map_reduce_group_spark.catalog import load_table
+
+    assert got.count() == load_table(spark, sf_dir, "events").count()
+
+
+def test_stateful_user_totals_equal_batch(spark, sf_dir, events_path):
+    stream = es.read_events_stream(spark, events_path)
+    got = es.run_to_memory(
+        es.user_running_totals(stream), "t_state", output_mode="update"
+    )
+    # update mode may emit one row per micro-batch per user; keep the final state
+    final = got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value")
+    )
+    from map_reduce_group_spark.catalog import load_table
+
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    got_c = canonicalize(final.toPandas())
+    want_c = canonicalize(want.toPandas())
+    # totals are float sums in pandas vs spark — compare counts exactly and
+    # totals to 2 decimals (canonicalize handles via fixed formatting)
+    assert [r[:2] for r in got_c] == [r[:2] for r in want_c]
