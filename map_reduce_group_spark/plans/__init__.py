@@ -1,6 +1,7 @@
 """Query plans — importing this package populates the registry."""
 
 from map_reduce_group_spark.plans import (  # noqa: F401
+    advanced,
     events,
     llm,
     mrplans,

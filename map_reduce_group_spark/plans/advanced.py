@@ -1,0 +1,342 @@
+"""Advanced aggregates, SQL subqueries, the Python-UDF surface, and
+skew-handling patterns (SURVEY §2B "UDF/UDAF/UDTF surface", "Aggregations";
+§4 scale levers).
+
+UDF policy: every Python hop is Arrow-batched (pandas_udf / applyInPandas /
+cogroup.applyInPandas) — never row-at-a-time ``udf`` in a hot path. The UDF
+queries here use exact integer arithmetic so they remain oracle-checkable;
+statistical aggregates are computed from exact decimal power sums (see
+functions/numeric.py for why).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col, pandas_udf
+
+from map_reduce_group_spark.catalog import load_table
+from map_reduce_group_spark.functions.numeric import money
+from map_reduce_group_spark.plans.registry import register
+
+
+@register(
+    "agg_stats_exact",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)       AS sx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)  AS sy,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)     AS sxx,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           (sx / n) AS mean_qty,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+           ((n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)))
+               AS corr_qty_price
+    FROM s
+    """,
+)
+def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (mean/stddev/corr) computed from EXACT decimal
+    power sums, finished in double arithmetic with the identical formula on
+    both engines — bit-deterministic, unlike the built-in streaming-moment
+    stddev/corr whose result depends on partition merge order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = money("l_quantity"), money("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).cast("double").alias("sx"),
+        F.sum(p).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("sxx"),
+        F.sum(p * p).cast("double").alias("syy"),
+        F.sum(q * p).cast("double").alias("sxy"),
+    )
+    n, sx, sy = col("n"), col("sx"), col("sy")
+    sxx, syy, sxy = col("sxx"), col("syy"), col("sxy")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (sx / n).alias("mean_qty"),
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("stddev_qty"),
+        ((n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))).alias(
+            "corr_qty_price"
+        ),
+    )
+
+
+@register(
+    "agg_max_by_order",
+    oracle="""
+    SELECT o_orderstatus,
+           max(struct_pack(p := o_totalprice, k := o_orderkey)).k AS biggest_order,
+           max(o_totalprice) AS biggest_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_max_by_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax per group via max(struct(value, tiebreak-key)) — deterministic
+    under value ties, unlike bare max_by on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.max(F.struct(col("o_totalprice").alias("p"), col("o_orderkey").alias("k")))["k"].alias(
+            "biggest_order"
+        ),
+        F.max("o_totalprice").alias("biggest_price"),
+    )
+
+
+@register(
+    "agg_quantiles_qty",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.25) AS q25,
+           quantile_cont(l_quantity, 0.50) AS q50,
+           quantile_cont(l_quantity, 0.75) AS q75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_quantiles_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quantiles (R-7, the definition both engines
+    share). Quantity is small-integer-valued so the interpolation arithmetic
+    is exact in double on both engines. For 100 TB use approx_percentile —
+    registered separately rows-only (sketches are engine-specific)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("q25"),
+        F.percentile("l_quantity", F.lit(0.50)).alias("q50"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("q75"),
+    )
+
+
+@register("agg_approx_sketches")  # sketch internals are engine-specific — rows-only
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates for 100 TB interactive use: HLL++ distinct
+    counts and quantile sketches — fixed memory regardless of cardinality."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx_median"),
+    )
+
+
+@register(
+    "sql_correlated_subqueries",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+      AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 40000)
+      AND EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+)
+def sql_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL entry point with scalar, IN, and correlated-EXISTS subqueries —
+    Catalyst decorrelates all three into joins (scalar → broadcast agg; IN /
+    EXISTS → semi joins); the identical ANSI text runs on both engines.
+
+    avg() in the scalar subquery is only a FILTER threshold (not output), so
+    engine fp drift could matter only if a customer's balance sat within
+    1e-12 of the average — not possible for 2-decimal data vs a long-decimal
+    average.
+    """
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+          AND c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 40000)
+          AND EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        """
+    )
+
+
+# ------------------------------------------------------------ UDF surface ----
+
+
+def _doc_signature_fn(n_chars: pd.Series) -> pd.Series:
+    # deterministic integer arithmetic → oracle-checkable Python hop
+    return (n_chars * 31 + 7) % 1000003
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="SELECT doc_id, (n_chars * 31 + 7) % 1000003 AS sig FROM documents",
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched scalar pandas_udf (the ONLY acceptable Python-UDF shape
+    in a hot path — row-at-a-time ``udf`` pays per-row pickling). Exact
+    integer arithmetic keeps it oracle-checkable."""
+    sig = pandas_udf(_doc_signature_fn, "bigint")
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", sig("n_chars").alias("sig"))
+
+
+def _total_chars_fn(n_chars: pd.Series) -> int:
+    return int(n_chars.sum())
+
+
+def _doc_count_fn(n_chars: pd.Series) -> int:
+    return int(len(n_chars))
+
+
+@register(
+    "udf_pandas_grouped_agg",
+    oracle="SELECT lang, sum(n_chars) AS total_chars, count(*) AS n_docs FROM documents GROUP BY lang",
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas_udf — the reference's 'reducer executable' as a
+    typed vectorized aggregate (SURVEY §2B UDAF row)."""
+    # grouped-agg pandas UDFs cannot mix with JVM aggregates in one agg();
+    # use a second pandas aggregate for the count
+    total_chars = pandas_udf(_total_chars_fn, "bigint", functionType=F.PandasUDFType.GROUPED_AGG)
+    n_docs = pandas_udf(_doc_count_fn, "bigint", functionType=F.PandasUDFType.GROUPED_AGG)
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        total_chars("n_chars").alias("total_chars"), n_docs("n_chars").alias("n_docs")
+    )
+
+
+def _source_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "source": [pdf["source"].iloc[0]],
+            "n_docs": [len(pdf)],
+            "max_chars": [int(pdf["n_chars"].max())],
+            "first_doc": [int(pdf["doc_id"].min())],
+        }
+    )
+
+
+@register(
+    "udf_apply_in_pandas",
+    oracle="""
+    SELECT source, count(*) AS n_docs, max(n_chars) AS max_chars,
+           min(doc_id) AS first_doc
+    FROM documents GROUP BY source
+    """,
+)
+def udf_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas: arbitrary per-group logic — the exact generalization of
+    the reference's reducer contract (whole key group in one call,
+    worker/__main__.py:174-181), Arrow-batched. One shuffle by group key;
+    each group must fit in one Python worker's memory — at 100 TB keep
+    groups bounded (salt or pre-aggregate if a group can exceed ~100MB)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").applyInPandas(
+        _source_stats, "source string, n_docs bigint, max_chars bigint, first_doc bigint"
+    )
+
+
+def _purchase_click_ratio(key, purchases: pd.DataFrame, clicks: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_purchase": [len(purchases)],
+            "n_click": [len(clicks)],
+        }
+    )
+
+
+@register(
+    "udf_cogroup_in_pandas",
+    oracle="""
+    WITH p AS (SELECT user_id, count(*) AS n_purchase FROM events
+               WHERE event_type = 'purchase' GROUP BY user_id),
+         c AS (SELECT user_id, count(*) AS n_click FROM events
+               WHERE event_type = 'click' GROUP BY user_id)
+    SELECT coalesce(p.user_id, c.user_id) AS user_id,
+           coalesce(n_purchase, 0) AS n_purchase,
+           coalesce(n_click, 0)    AS n_click
+    FROM p FULL JOIN c ON p.user_id = c.user_id
+    """,
+)
+def udf_cogroup_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup().applyInPandas — the two-input reducer (reduce-side join,
+    the canonical MR join pattern, SURVEY §2B joins) with arbitrary Python
+    pairing logic."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(col("event_type") == "purchase").select("user_id", "event_id")
+    clicks = e.filter(col("event_type") == "click").select("user_id", "event_id")
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            _purchase_click_ratio, "user_id bigint, n_purchase bigint, n_click bigint"
+        )
+    )
+
+
+# ---------------------------------------------------------- skew handling ----
+
+
+@register(
+    "skew_salted_type_counts",
+    oracle="""
+    SELECT event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation: stage 1 groups by (key, salt) spreading
+    a hot key over 16 partitions; stage 2 merges the partials. Result is
+    identical to the direct groupBy (the oracle) — this registers the SKEW
+    PATTERN itself as a checked query. event_type has only 5 values, i.e.
+    maximum skew for a 32-way shuffle: exactly the shape that needs salt.
+
+    (For built-in mitigation AQE skew-join handles joins; salting is the
+    lever for aggregations and for deterministic partition sizing.)"""
+    e = load_table(spark, sf_dir, "events")
+    salted = e.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"), F.sum(money("value")).alias("pt")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"), F.sum("pt").cast("double").alias("total")
+    )
+
+
+@register(
+    "events_funnel_signup_purchase",
+    oracle="""
+    SELECT user_id,
+           min(ts) FILTER (event_type = 'signup')   AS first_signup,
+           min(ts) FILTER (event_type = 'purchase') AS first_purchase
+    FROM events
+    GROUP BY user_id
+    HAVING min(ts) FILTER (event_type = 'signup') IS NOT NULL
+       AND min(ts) FILTER (event_type = 'purchase') IS NOT NULL
+       AND min(ts) FILTER (event_type = 'signup')
+         < min(ts) FILTER (event_type = 'purchase')
+    """,
+)
+def events_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel step detection (signup before first purchase) via conditional
+    min aggregates — one shuffle, no self-join."""
+    e = load_table(spark, sf_dir, "events")
+    first_signup = F.min(F.when(col("event_type") == "signup", col("ts")))
+    first_purchase = F.min(F.when(col("event_type") == "purchase", col("ts")))
+    return (
+        e.groupBy("user_id")
+        .agg(first_signup.alias("first_signup"), first_purchase.alias("first_purchase"))
+        .filter(
+            col("first_signup").isNotNull()
+            & col("first_purchase").isNotNull()
+            & (col("first_signup") < col("first_purchase"))
+        )
+    )
