@@ -340,3 +340,18 @@ def events_funnel_signup_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
             & (col("first_signup") < col("first_purchase"))
         )
     )
+
+
+@register("sample_seeded")  # sampling algorithms are engine-specific — rows-only
+def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sample + stratified sampleBy — deterministic within
+    Spark (fixed seed + stable partitioning), not across engines. At 100 TB
+    sampling is the first step of profiling/quantile estimation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+    strat = (
+        load_table(spark, sf_dir, "orders")
+        .sampleBy("o_orderstatus", {"O": 0.2, "F": 0.05, "P": 1.0}, seed=42)
+        .select(col("o_orderkey").alias("l_orderkey"), F.lit(-1).alias("l_linenumber"))
+    )
+    return plain.unionByName(strat)

@@ -424,3 +424,59 @@ def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("l2_norm"),
     )
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics — keeps min multiplicity per value)."""
+    c = load_table(spark, sf_dir, "customer").select(col("c_nationkey").alias("nationkey"))
+    s = load_table(spark, sf_dir, "supplier").select(col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+@register(
+    "setop_except_all",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT ALL
+    SELECT c_custkey FROM customer
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (bag difference — each right occurrence cancels one left
+    occurrence; here: one order per customer cancelled)."""
+    o = load_table(spark, sf_dir, "orders").select(col("o_custkey").alias("custkey"))
+    c = load_table(spark, sf_dir, "customer").select(col("c_custkey").alias("custkey"))
+    return o.exceptAll(c)
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) FILTER (o_orderpriority = '1-URGENT')        AS "1-URGENT",
+           count(*) FILTER (o_orderpriority = '2-HIGH')          AS "2-HIGH",
+           count(*) FILTER (o_orderpriority = '3-MEDIUM')        AS "3-MEDIUM",
+           count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS "4-NOT SPECIFIED",
+           count(*) FILTER (o_orderpriority = '5-LOW')           AS "5-LOW"
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native DataFrame pivot with an explicit value list (always pass the
+    list at scale — otherwise Spark runs an extra distinct-values job)."""
+    o = load_table(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", prios)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
