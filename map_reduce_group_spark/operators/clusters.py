@@ -1,0 +1,63 @@
+"""Connected components over similarity edges — the final step of
+large-scale dedup (near-dup PAIRS → duplicate CLUSTERS, keep one canonical
+doc per cluster).
+
+Algorithm: iterative min-label propagation (hash-to-min) — every vertex
+repeatedly takes the minimum label among itself and its neighbors until
+fixpoint. The cluster id is therefore min(doc_id) over the component:
+canonical and algorithm-independent, which is what makes the recursive-CTE
+oracle comparable.
+
+Scale: each iteration is one join + one aggregation on the edge list
+(shuffle by vertex); iterations ≈ graph diameter (near-dup graphs are
+shallow — boilerplate families form stars). ``localCheckpoint`` cuts the
+lineage each round so the plan doesn't grow unboundedly. For adversarial
+long-chain graphs, switch to large-star/small-star (same join shapes,
+O(log d) rounds).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import col
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """(id, cluster_id) for every vertex appearing in ``pairs``;
+    cluster_id = min vertex id of the component."""
+    edges = (
+        pairs.select(col(src).alias("src"), col(dst).alias("dst"))
+        .unionByName(pairs.select(col(dst).alias("src"), col(src).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(col("src").alias("id")).distinct().withColumn("label", col("id"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
+            .select(
+                "id",
+                F.least(col("label"), F.coalesce(col("nmin"), col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(col("n.label") != col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", col("label").alias("cluster_id"))

@@ -6,6 +6,7 @@ from map_reduce_group_spark.plans import (  # noqa: F401
     llm,
     mrplans,
     relational,
+    streamplans,
     tpch,
     windows,
 )

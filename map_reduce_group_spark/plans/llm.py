@@ -261,3 +261,49 @@ def embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact verification (operators/similarity.py:cosine_neardup_pairs)."""
     e = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_neardup_pairs(e, threshold=0.93)
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE sets AS (
+        SELECT doc_id AS id, {_SHINGLES_SQL} AS shingles
+        FROM documents
+        WHERE len({_TOKS_SQL}) >= 3
+    ), postings AS (
+        SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle
+        FROM sets WHERE len(shingles) > 0
+    ), sim_pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   a.set_size AS size_a, b.set_size AS size_b,
+                   count(*) AS n_common
+            FROM postings a JOIN postings b USING (shingle)
+            WHERE a.id < b.id
+            GROUP BY 1, 2, 3, 4
+        ) WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= 0.05
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM sim_pairs
+        UNION
+        SELECT id_b, id_a FROM sim_pairs
+    ), reach(src, dst) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the exact n-gram-Jaccard
+    similarity graph (threshold 0.05) via iterative min-label propagation
+    (operators/clusters.py). cluster_id = min(doc_id) of the component —
+    canonical, so the recursive-CTE transitive-closure oracle agrees
+    regardless of algorithm. This is the final step of corpus dedup: keep
+    docs where doc_id == cluster_id, drop the rest."""
+    from map_reduce_group_spark.operators.clusters import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.05)
+    return connected_components(pairs).select(col("id").alias("doc_id"), "cluster_id")

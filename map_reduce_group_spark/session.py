@@ -23,6 +23,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # sized to local parallelism, not Spark's legacy 200 — matters most for
+    # streaming state-store partitioning, where AQE cannot coalesce
+    "spark.sql.shuffle.partitions": "32",
 }
 
 
