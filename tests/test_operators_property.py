@@ -1,0 +1,90 @@
+"""Property tests for custom operators against brute-force Python models."""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+
+from map_reduce_group_spark.operators.asof import asof_join
+from map_reduce_group_spark.operators.clusters import connected_components
+
+
+def test_asof_join_matches_bruteforce(spark):
+    """Random keyed event streams: engine as-of join == per-row brute force,
+    including ties (right.ts == left.ts matches) and no-match → null."""
+    rng = random.Random(42)
+    left = [(i, rng.randrange(5), rng.randrange(1000)) for i in range(300)]
+    right = [(1000 + i, rng.randrange(5), rng.randrange(1000)) for i in range(200)]
+    # dedupe right per (key, ts): keep max id (the operator's precondition)
+    best = {}
+    for rid, k, ts in right:
+        if (k, ts) not in best or rid > best[(k, ts)]:
+            best[(k, ts)] = rid
+    right = [(rid, k, ts) for (k, ts), rid in best.items()]
+
+    ldf = spark.createDataFrame(left, "lid long, k int, ts long")
+    rdf = spark.createDataFrame(right, "rid long, k int, ts long")
+    got = {
+        r["lid"]: r["rid_asof"]
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="ts", right_payload=["rid"]
+        ).collect()
+    }
+
+    for lid, k, lts in left:
+        cands = [(ts, rid) for rid, rk, ts in right if rk == k and ts <= lts]
+        want = max(cands)[1] if cands else None
+        assert got[lid] == want, (lid, k, lts, got[lid], want)
+
+
+def test_connected_components_matches_union_find(spark):
+    rng = random.Random(7)
+    edges = sorted({tuple(sorted(rng.sample(range(60), 2))) for _ in range(80)})
+    pdf = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["id"]: r["cluster_id"] for r in connected_components(pdf).collect()}
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for a, b in edges:
+        for v in (a, b):
+            comp.setdefault(v, set())
+    for v in comp:
+        comp[v] = find(v)
+    # canonical label = min member of component
+    members: dict[int, list[int]] = {}
+    for v, r in comp.items():
+        members.setdefault(r, []).append(v)
+    want = {v: min(members[r]) for v, r in comp.items()}
+    assert got == want
+
+
+def test_minhash_finds_planted_near_dups(spark, sf_dir):
+    """Plant near-duplicates (one word changed) and require MinHash-LSH to
+    recover every planted pair at threshold 0.5 with exact jaccard."""
+    from map_reduce_group_spark.catalog import load_table
+    from map_reduce_group_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    clones = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzzz")).alias("text"),
+    )
+    both = d.select("doc_id", "text").unionByName(clones)
+    pairs = minhash_lsh_pairs(both, "doc_id", "text", threshold=0.5).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    planted = {(i, i + 100000) for i in range(20)}
+    missing = planted - found
+    assert not missing, f"planted near-dups missed: {missing}"
