@@ -480,3 +480,46 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0)
     )
+
+
+@register(
+    "join_right_outer_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, c_mktsegment
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey % 13 = 0
+    """,
+)
+def join_right_outer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (kept explicit for SURVEY §2B parity even though it
+    is the mirrored left join — Catalyst normalizes it to one)."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").filter(col("c_custkey") % 13 == 0)
+    return o.join(c, o.o_custkey == c.c_custkey, "right").select(
+        "o_orderkey", "o_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "scalar_map_functions",
+    oracle="""
+    SELECT event_id,
+           element_at(MAP(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)]), 'type')[1]
+               AS type_from_map,
+           CAST(cardinality(MAP(['type', 'uid'], [event_type, CAST(user_id AS VARCHAR)])) AS INTEGER)
+               AS map_size
+    FROM events WHERE event_id % 101 = 0
+    """,
+)
+def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType construction + element access (SURVEY §2B scalar functions,
+    map family; events.props parsing exercises from_json elsewhere)."""
+    e = load_table(spark, sf_dir, "events").filter(col("event_id") % 101 == 0)
+    m = F.create_map(
+        F.lit("type"), col("event_type"), F.lit("uid"), col("user_id").cast("string")
+    )
+    return e.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_from_map"),
+        F.size(m).alias("map_size"),
+    )

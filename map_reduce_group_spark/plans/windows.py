@@ -184,3 +184,25 @@ def secondary_sort_line_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("line_seq"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING) AS n_similar_price
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based bounds, vs the ROWS frames elsewhere): how
+    many of the customer's orders fall within ±1000 of each order's price."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.count(F.lit(1)).over(w).alias("n_similar_price")
+    )
