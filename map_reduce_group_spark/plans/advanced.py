@@ -355,3 +355,34 @@ def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(col("o_orderkey").alias("l_orderkey"), F.lit(-1).alias("l_linenumber"))
     )
     return plain.unionByName(strat)
+
+
+@register(
+    "udtf_explode_tokens",
+    oracle="""
+    SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                      x -> x <> '')) AS tok
+    FROM documents WHERE doc_id % 97 = 0
+    """,
+)
+def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (one row in → n rows out) — the typed, vectorizable
+    analog of the reference's fan-out mapper executable (SURVEY §2B
+    "row UDF / UDTF"). The lateralJoin form keeps the expansion declarative."""
+    from pyspark.sql.functions import udtf
+
+    import re as _re
+
+    @udtf(returnType="tok: string")
+    class TokenizeUDTF:
+        def eval(self, text: str):
+            for t in _re.split(r"[^a-z]+", (text or "").lower()):
+                if t:
+                    yield (t,)
+
+    spark.udtf.register("tokenize_udtf", TokenizeUDTF)
+    d = load_table(spark, sf_dir, "documents").filter(col("doc_id") % 97 == 0)
+    d.createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        "SELECT doc_id, t.tok FROM docs_for_udtf, LATERAL tokenize_udtf(text) t"
+    )
