@@ -37,6 +37,7 @@ def connected_components(
     labels = (
         edges.select(col("src").alias("id")).distinct().withColumn("label", col("id"))
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
@@ -59,5 +60,12 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(component diameter exceeds the cap); raise max_iter or switch "
+            "to large-star/small-star"
+        )
     return labels.select("id", col("label").alias("cluster_id"))

@@ -104,6 +104,16 @@ def ngram_jaccard_pairs(
     )
 
 
+def _minhash_from_postings(postings: DataFrame, num_hashes: int) -> DataFrame:
+    aggs = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+    flat = postings.groupBy("id", "set_size").agg(*aggs)
+    return flat.select(
+        "id",
+        "set_size",
+        F.array(*[col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32
 ) -> DataFrame:
@@ -114,14 +124,7 @@ def minhash_signatures(
     argument. Partial mins combine map-side, so the shuffle carries one
     row per doc regardless of document length.
     """
-    postings = shingle_postings(df, id_col, text_col, n)
-    aggs = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
-    flat = postings.groupBy("id", "set_size").agg(*aggs)
-    return flat.select(
-        "id",
-        "set_size",
-        F.array(*[col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
-    )
+    return _minhash_from_postings(shingle_postings(df, id_col, text_col, n), num_hashes)
 
 
 def minhash_lsh_pairs(
@@ -146,7 +149,16 @@ def minhash_lsh_pairs(
     skew risk — AQE skew join plus an optional bucket-size cap handle it.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # postings feed BOTH the signatures and the verification join; persist
+    # so the tokenize→explode→window→distinct pipeline (the expensive
+    # stage) runs once, not twice. MEMORY_AND_DISK: postings are (id,
+    # shingle) pairs — larger than the docs but spillable.
+    from pyspark import StorageLevel
+
+    postings = shingle_postings(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = _minhash_from_postings(postings, num_hashes)
     band_cols = [
         F.xxhash64(
             *[col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
@@ -173,7 +185,6 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    postings = shingle_postings(df, id_col, text_col, n)
     pa = postings.select(col("id").alias("id_a"), col("set_size").alias("size_a"), "shingle")
     pb = postings.select(col("id").alias("id_b"), col("set_size").alias("size_b"), "shingle")
     return (

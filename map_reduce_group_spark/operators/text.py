@@ -36,11 +36,14 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+BPE_ISH_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"  # shared verbatim with the oracle SQL
+
+
 def bpe_ish_token_count(text: Column | str) -> Column:
     """BPE-style token estimate: letter runs + digit runs + each symbol
     counts as one token (a common pre-tokenizer regex)."""
     c = F.lower(F.col(text) if isinstance(text, str) else text)
-    return F.regexp_count(c, F.lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"))
+    return F.regexp_count(c, F.lit(BPE_ISH_RE))
 
 
 def occurrences(text: Column, marker: str) -> Column:

@@ -125,9 +125,11 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev_ts = F.lag("ts").over(w)
-    new_session = F.when(
-        prev_ts.isNull() | (col("ts").cast("long") - prev_ts.cast("long") > 1800), 1
-    ).otherwise(0)
+    # microsecond-precision gap, matching the oracle's full-precision
+    # interval comparison (cast('long') would truncate to whole seconds and
+    # misclassify gaps in (1800, 1801))
+    gap_us = F.unix_micros(col("ts")) - F.unix_micros(prev_ts)
+    new_session = F.when(prev_ts.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
     return (
         e.withColumn("new_session", new_session)
         .withColumn("session_seq", F.sum("new_session").over(wrun))

@@ -39,7 +39,7 @@ _TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '
            round(CASE WHEN len({_TOKS_SQL}) = 0 THEN 0.0
                  ELSE list_sum(list_transform({_TOKS_SQL}, x -> CAST(length(x) AS DOUBLE)))
                       / len({_TOKS_SQL}) END, 4) AS avg_token_len,
-           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_ish
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_ish
     FROM documents
     """,
 )

@@ -214,7 +214,8 @@ def agg_cube_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
            (CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(o_totalprice)) AS avg_price
     FROM orders
     GROUP BY o_custkey
-    HAVING count(*) >= 12 AND avg(o_totalprice) > 20000
+    HAVING count(*) >= 12
+       AND (CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(o_totalprice)) > 20000
     """,
 )
 def agg_having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -19,14 +19,18 @@ from map_reduce_group_spark.plans.registry import register
 from map_reduce_group_spark.streaming import events_stream as es
 
 _COUNTER = itertools.count()
+_STREAM_DIRS: dict[str, str] = {}
 
 
 def _events_stream_dir(sf_dir: str) -> str:
     """File stream sources need a directory; expose the single events
-    parquet file via a symlinked temp dir (testdata is read-only)."""
-    d = tempfile.mkdtemp(prefix="mrg_stream_src_")
-    os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet"))
-    return d
+    parquet file via a symlinked temp dir (testdata is read-only).
+    Cached per sf_dir so repeated builder invocations don't leak dirs."""
+    if sf_dir not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="mrg_stream_src_")
+        os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet"))
+        _STREAM_DIRS[sf_dir] = d
+    return _STREAM_DIRS[sf_dir]
 
 
 @register(

@@ -15,6 +15,10 @@ import os
 
 from pyspark.sql import SparkSession
 
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
 # Runtime-settable confs we also (re)apply to externally-created sessions so
 # query results are deterministic regardless of who built the session.
 RUNTIME_CONFS: dict[str, str] = {
@@ -25,12 +29,8 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # sized to local parallelism, not Spark's legacy 200 — matters most for
     # streaming state-store partitioning, where AQE cannot coalesce
-    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.shuffle.partitions": str(max(default_parallelism(), 8)),
 }
-
-
-def default_parallelism() -> int:
-    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
 def get_session(app_name: str = "map-reduce-group-spark") -> SparkSession:
@@ -44,7 +44,6 @@ def get_session(app_name: str = "map-reduce-group-spark") -> SparkSession:
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -68,7 +68,12 @@ def session_aggregate(
 ) -> DataFrame:
     """Streaming sessionization via the native ``session_window`` operator
     (incremental merge of overlapping session state; the batch
-    gaps-and-islands twin is plans/events.events_sessionization)."""
+    gaps-and-islands twin is plans/events.events_sessionization).
+
+    Boundary semantics (verified empirically): an event exactly ``gap``
+    after its predecessor MERGES into the same session — identical to the
+    batch twin's strict ``gap > threshold`` new-session test, so the two
+    stay row-for-row equivalent even on boundary input."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")

@@ -88,3 +88,39 @@ def test_minhash_finds_planted_near_dups(spark, sf_dir):
     planted = {(i, i + 100000) for i in range(20)}
     missing = planted - found
     assert not missing, f"planted near-dups missed: {missing}"
+
+
+def test_sessionization_boundary_semantics(spark):
+    """Exactly-gap-distance events merge (both batch formula and
+    session_window); one microsecond beyond splits. Guards the
+    µs-precision gap computation in events_sessionization."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00.000000"), (1, "2024-01-01 00:30:00.000000"),
+         (2, "2024-01-01 00:00:00.000000"), (2, "2024-01-01 00:30:00.000001")],
+        "user_id int, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp"))
+
+    # batch gaps-and-islands formula (as in events_sessionization)
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(F.lag("ts").over(w).isNull() | (gap_us > 1_800_000_000), 1).otherwise(0)
+    batch = (
+        df.withColumn("ns", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("ns").alias("n_sessions"))
+    )
+    got_batch = {r["user_id"]: r["n_sessions"] for r in batch.collect()}
+    assert got_batch == {1: 1, 2: 2}
+
+    # native session_window must agree
+    sw = (
+        df.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+    )
+    got_sw = {r["user_id"]: r["n_sessions"] for r in sw.collect()}
+    assert got_sw == got_batch
