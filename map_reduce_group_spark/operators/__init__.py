@@ -1,0 +1,36 @@
+"""Reusable operator library (the engine's public operator API).
+
+Each module is independently importable; the registered queries in
+``map_reduce_group_spark.plans`` are thin bindings of these operators to
+the fixture tables.
+"""
+
+from map_reduce_group_spark.operators.asof import asof_join
+from map_reduce_group_spark.operators.clusters import connected_components
+from map_reduce_group_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from map_reduce_group_spark.operators.similarity import (
+    cosine_neardup_pairs,
+    cosine_topk,
+    ivf_topk,
+)
+
+__all__ = [
+    "asof_join",
+    "connected_components",
+    "cosine_neardup_pairs",
+    "cosine_topk",
+    "exact_dedup_groups",
+    "ivf_topk",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "simhash_near_pairs",
+]

@@ -72,6 +72,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.2,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """EXACT n-gram-Jaccard similar pairs via inverted-index self-join.
 
@@ -87,8 +88,24 @@ def ngram_jaccard_pairs(
 
     The threshold is applied to the RAW quotient (matches the oracle);
     rounding is presentation only.
+
+    ``max_doc_freq`` is the 100 TB lever: drop stop-shingles appearing in
+    more than that many documents BEFORE the self-join (a shingle in f docs
+    contributes O(f²) candidate rows). Set sizes keep counting dropped
+    shingles, so the measured overlap only shrinks: measured ≤ true
+    Jaccard, and every returned pair therefore meets the threshold on the
+    TRUE metric too (exact precision; recall loss limited to pairs whose
+    overlap is mostly boilerplate shingles). Default None = fully exact
+    (oracle mode).
     """
     postings = shingle_postings(df, id_col, text_col, n)
+    if max_doc_freq is not None:
+        w_df = Window.partitionBy("shingle")
+        postings = (
+            postings.withColumn("df", F.count(F.lit(1)).over(w_df))
+            .filter(col("df") <= max_doc_freq)
+            .drop("df")
+        )
     a = postings.select(col("id").alias("id_a"), col("set_size").alias("size_a"), "shingle")
     b = postings.select(col("id").alias("id_b"), col("set_size").alias("size_b"), "shingle")
     return (

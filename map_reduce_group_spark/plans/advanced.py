@@ -11,8 +11,6 @@ functions/numeric.py for why).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession

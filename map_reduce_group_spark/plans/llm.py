@@ -19,7 +19,6 @@ from map_reduce_group_spark.operators import dedup, similarity
 from map_reduce_group_spark.operators.text import (
     LANG_MARKERS,
     bpe_ish_token_count,
-    fingerprint,
     lang_scores,
     predicted_lang,
     token_count,

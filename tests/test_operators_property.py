@@ -124,3 +124,27 @@ def test_sessionization_boundary_semantics(spark):
     )
     got_sw = {r["user_id"]: r["n_sessions"] for r in sw.collect()}
     assert got_sw == got_batch
+
+
+def test_jaccard_df_cap_precision(spark, sf_dir):
+    """With a doc-frequency cap, every returned pair must also appear in the
+    exact result (precision preserved); planted exact dups survive."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_group_spark.catalog import load_table
+    from map_reduce_group_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    clones = d.select((F.col("doc_id") + 500000).alias("doc_id"), "text")
+    both = d.select("doc_id", "text").unionByName(clones)
+
+    exact = {
+        (r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(both, "doc_id", "text", threshold=0.5).collect()
+    }
+    capped_rows = ngram_jaccard_pairs(
+        both, "doc_id", "text", threshold=0.5, max_doc_freq=8
+    ).collect()
+    capped = {(r["id_a"], r["id_b"]) for r in capped_rows}
+    assert capped <= exact, f"cap broke precision: {capped - exact}"
+    planted = {(i, i + 500000) for i in range(50)}
+    assert planted <= capped, f"planted exact dups lost: {planted - capped}"
