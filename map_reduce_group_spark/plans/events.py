@@ -206,3 +206,29 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         for t in ("click", "view", "purchase", "signup", "error")
     ]
     return e.groupBy("user_id").agg(*aggs)
+
+
+@register(
+    "events_from_json_typed",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER)     AS k_typed,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k_doubled
+    FROM events
+    WHERE event_type = 'signup' AND event_id % 7 = 0
+    """,
+)
+def events_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-applied JSON parsing (``from_json`` into a typed struct —
+    vs the JSONPath extraction in events_json_extract). At scale prefer
+    from_json once into a struct over repeated get_json_object calls:
+    one parse per row instead of one per field."""
+    e = load_table(spark, sf_dir, "events").filter(
+        (col("event_type") == "signup") & (col("event_id") % 7 == 0)
+    )
+    parsed = F.from_json("props", "k int")
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k_typed"),
+        (parsed.getField("k") * 2).alias("k_doubled"),
+    )

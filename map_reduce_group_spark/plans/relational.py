@@ -524,3 +524,32 @@ def scalar_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "type").alias("type_from_map"),
         F.size(m).alias("map_size"),
     )
+
+
+@register(
+    "scalar_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 30 DAYS                          AS due_date,
+           date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch_95,
+           quarter(o_orderdate)                                    AS order_quarter,
+           isodow(o_orderdate) - 1                                 AS weekday_mon0,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)  AS month_end
+    FROM orders WHERE o_orderkey % 251 = 0
+    """,
+)
+def scalar_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval arithmetic family: interval add, day diff, quarter,
+    weekday (normalized to Monday=0 — engines disagree on week start),
+    end-of-month."""
+    o = load_table(spark, sf_dir, "orders").filter(col("o_orderkey") % 251 == 0)
+    return o.select(
+        "o_orderkey",
+        (col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+        F.datediff(col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_95"
+        ),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.weekday("o_orderdate").alias("weekday_mon0"),
+        F.last_day(col("o_orderdate").cast("date")).cast("timestamp").alias("month_end"),
+    )
