@@ -37,6 +37,10 @@ def connected_components(
     labels = (
         edges.select(col("src").alias("id")).distinct().withColumn("label", col("id"))
     )
+    # labels are monotonically non-increasing under min-propagation, so the
+    # label SUM is a strictly-decreasing-until-fixpoint potential function:
+    # convergence detection is one cheap aggregate, not a self-join diff.
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     converged = False
     for _ in range(max_iter):
         neighbor_min = (
@@ -44,7 +48,7 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
             .select(
                 "id",
@@ -52,16 +56,11 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(col("n.label") != col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "
