@@ -81,3 +81,38 @@ def fingerprint(text: Column | str) -> Column:
     not by the full text, so shuffle keys stay 32 bytes)."""
     c = F.col(text) if isinstance(text, str) else text
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), "\\s+", " "))
+
+
+def chunk_documents(
+    df, id_col: str, text_col: str, chunk_size: int = 32, overlap: int = 8
+):
+    """Split documents into overlapping token-window chunks — the standard
+    LLM-pipeline prep step (context-sized pieces with overlap so no span is
+    lost at a boundary).
+
+    Pure codegen shape: one ``explode(sequence(...))`` per document for the
+    chunk index grid, then a plain ``slice`` (a regular function, not an
+    interpreted lambda) per chunk. Shuffle-free — a map-only plan whose
+    output rows ≈ tokens/stride per doc.
+
+    Returns (id, chunk_id, chunk_text, n_chunk_tokens).
+    """
+    stride = chunk_size - overlap
+    if stride <= 0:
+        raise ValueError("chunk_size must exceed overlap")
+    toks = tokens(text_col)
+    n_chunks = F.greatest(
+        F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(stride)), F.lit(1)
+    ).cast("int")
+    d = df.select(
+        F.col(id_col).alias("id"), toks.alias("toks"), n_chunks.alias("nc")
+    ).select(
+        "id", "toks", F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_id")
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_id") * stride + 1, chunk_size)
+    return d.select(
+        "id",
+        "chunk_id",
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_chunk_tokens"),
+    )

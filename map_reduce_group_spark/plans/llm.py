@@ -306,3 +306,91 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.05)
     return connected_components(pairs).select(col("id").alias("doc_id"), "cluster_id")
+
+
+@register(
+    "doc_chunking",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks,
+               CAST(greatest(ceil((len({_TOKS_SQL}) - 8) / 24.0), 1) AS INTEGER) AS nc
+        FROM documents
+    ), flat AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, nc), i -> struct_pack(
+                   cid := i,
+                   txt := array_to_string(list_slice(toks, i*24 + 1, i*24 + 32), ' '),
+                   n   := len(list_slice(toks, i*24 + 1, i*24 + 32))
+               ))) AS u
+        FROM t
+    )
+    SELECT doc_id AS id, u.cid AS chunk_id, u.txt AS chunk_text,
+           CAST(u.n AS INTEGER) AS n_chunk_tokens
+    FROM flat
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (size 32, overlap 8) over documents
+    (operators/text.py:chunk_documents) — map-only, shuffle-free."""
+    from map_reduce_group_spark.operators.text import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", chunk_size=32, overlap=8)
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf_count FROM toks GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1
+    ), df AS (
+        SELECT term, count(DISTINCT doc_id) AS doc_freq FROM toks GROUP BY 1
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term,
+               (CAST(tf_count AS DOUBLE) / doc_len)
+                 * ln((n_docs + 1.0) / (doc_freq + 1.0)) AS tfidf
+        FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rank
+        FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document — the classic multi-stage MR text
+    pipeline (term counts → doc lengths → document frequencies → join →
+    rank) as declarative joins + one window. Scale: term df is a broadcast
+    dim (vocabulary-sized); the big explode shuffles once by (doc, term)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf_count"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doc_len"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (col("tf_count").cast("double") / col("doc_len"))
+                * F.log((col("n_docs") + F.lit(1.0)) / (col("doc_freq") + F.lit(1.0)))
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc(), col("term"))
+    return scored.select(
+        "doc_id", "term", "tfidf", F.row_number().over(w).alias("rank")
+    ).filter(col("rank") <= 3)
