@@ -37,7 +37,9 @@ def _canon_value(v) -> str:
             return "∅"
         r = round(v, 6)
         return "0" if r == 0 else f"{r:.6f}".rstrip("0").rstrip(".")
-    if isinstance(v, (pd.Timestamp, datetime.datetime)):
+    if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
+        # datetime.date too: Spark DATE collects as date, DuckDB as
+        # datetime64 — normalize both to the same midnight timestamp
         return pd.Timestamp(v).isoformat()
     if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
         seq = v.tolist() if hasattr(v, "tolist") else v

@@ -55,3 +55,16 @@ def test_input_file_name_observable(spark, tmp_path):
     )
     rows = {(r["value"], r["src"]) for r in df.collect()}
     assert rows == {(f"line-from-{i}", f"f{i}") for i in range(3)}
+
+
+def test_negative_paths(spark):
+    import pytest as _pytest
+
+    from map_reduce_group_spark.catalog import load_table
+    from map_reduce_group_spark.operators.text import chunk_documents
+
+    with _pytest.raises(KeyError):
+        load_table(spark, "/root/testdata/sf0.001", "nope")
+    with _pytest.raises(ValueError):
+        d = load_table(spark, "/root/testdata/sf0.001", "documents")
+        chunk_documents(d, "doc_id", "text", chunk_size=8, overlap=8)

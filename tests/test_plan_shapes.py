@@ -80,3 +80,20 @@ def test_asof_join_single_shuffle(spark, sf_dir):
 def test_wordcount_partial_agg(spark, sf_dir):
     p = plan(spark, sf_dir, "wordcount_native")
     assert len(re.findall(r"HashAggregate", p)) >= 2, p
+
+
+def test_join_degrades_to_sort_merge_without_broadcast(spark, sf_dir):
+    """With broadcast disabled the fact-dim join must fall back to
+    SortMergeJoin (the strategy that survives any table size), never a
+    nested loop."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        from map_reduce_group_spark.catalog import load_table
+
+        o = load_table(spark, sf_dir, "orders")
+        c = load_table(spark, sf_dir, "customer")
+        p = explain_str(o.join(c, o.o_custkey == c.c_custkey))
+        assert "SortMergeJoin" in p, p
+        assert "NestedLoop" not in p, p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

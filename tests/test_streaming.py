@@ -70,3 +70,30 @@ def test_stateful_user_totals_equal_batch(spark, sf_dir, events_path):
     # totals are float sums in pandas vs spark — compare counts exactly and
     # totals to 2 decimals (canonicalize handles via fixed formatting)
     assert [r[:2] for r in got_c] == [r[:2] for r in want_c]
+
+
+def test_foreach_batch_partitioned_sink(spark, events_path, tmp_path):
+    """foreachBatch custom sink: stream micro-batches written as
+    partitioned parquet (the arbitrary-sink escape hatch)."""
+    from map_reduce_group_spark.streaming import events_stream as es
+
+    out = str(tmp_path / "by_type")
+    stream = es.read_events_stream(spark, events_path)
+
+    def write_batch(batch_df, batch_id):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").partitionBy(
+            "event_type"
+        ).parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    import os
+
+    back = spark.read.parquet(out)
+    assert back.count() == spark.read.parquet(events_path).count()
+    assert any(d.startswith("event_type=") for d in os.listdir(out))
