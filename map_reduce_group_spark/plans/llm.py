@@ -394,3 +394,104 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "doc_id", "term", "tfidf", F.row_number().over(w).alias("rank")
     ).filter(col("rank") <= 3)
+
+
+@register(
+    "pipeline_corpus_prep",
+    oracle=f"""
+    WITH RECURSIVE fp AS (
+        SELECT doc_id, text,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+        FROM documents
+    ), keep1 AS (
+        SELECT doc_id, text FROM fp
+        QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
+    ), sets AS (
+        SELECT doc_id AS id, {_SHINGLES_SQL} AS shingles
+        FROM keep1
+        WHERE len({_TOKS_SQL}) >= 3
+    ), postings AS (
+        SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle
+        FROM sets WHERE len(shingles) > 0
+    ), sim_pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   a.set_size AS size_a, b.set_size AS size_b,
+                   count(*) AS n_common
+            FROM postings a JOIN postings b USING (shingle)
+            WHERE a.id < b.id
+            GROUP BY 1, 2, 3, 4
+        ) WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= 0.05
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM sim_pairs
+        UNION
+        SELECT id_b, id_a FROM sim_pairs
+    ), reach(src, dst) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ), labels AS (
+        SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src
+    ), keep2 AS (
+        SELECT k.doc_id, k.text
+        FROM keep1 k LEFT JOIN labels l USING (doc_id)
+        WHERE l.cluster_id IS NULL OR l.cluster_id = k.doc_id
+    ), keep3 AS (
+        SELECT doc_id, text FROM keep2 WHERE len({_TOKS_SQL}) >= 10
+    ), grid AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks,
+               CAST(greatest(ceil((len({_TOKS_SQL}) - 8) / 24.0), 1) AS INTEGER) AS nc
+        FROM keep3
+    ), flat AS (
+        SELECT doc_id,
+               unnest(list_transform(range(0, nc), i -> struct_pack(
+                   cid := i,
+                   txt := array_to_string(list_slice(toks, i*24 + 1, i*24 + 32), ' ')
+               ))) AS u
+        FROM grid
+    )
+    SELECT doc_id AS id, u.cid AS chunk_id, u.txt AS chunk_text FROM flat
+    """,
+)
+def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus preparation — the flagship composition of
+    the LLM operator set, one declarative pipeline:
+
+    1. exact dedup by content fingerprint (keep min doc_id per digest);
+    2. near-dup clustering: exact 3-gram-Jaccard pairs (≥0.05) → connected
+       components → keep only cluster representatives (min id);
+    3. quality gate: ≥10 word tokens;
+    4. chunking: 32-token windows, 8-token overlap.
+
+    Every stage is an operator from operators/ verified independently; the
+    oracle replays the identical semantics as one recursive-CTE SQL
+    pipeline. At 100 TB each stage shuffles the minimal payload for its
+    step (digests, shingle postings, edges, token arrays respectively)."""
+    from pyspark.sql import Window as W
+
+    from map_reduce_group_spark.operators.clusters import connected_components
+    from map_reduce_group_spark.operators.text import chunk_documents, fingerprint, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    # 1. exact dedup
+    wfp = W.partitionBy("f").orderBy("doc_id")
+    keep1 = (
+        d.withColumn("f", fingerprint("text"))
+        .withColumn("rn", F.row_number().over(wfp))
+        .filter(col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    # 2. near-dup clusters over survivors; keep representatives
+    pairs = dedup.ngram_jaccard_pairs(keep1, "doc_id", "text", n=3, threshold=0.05)
+    labels = connected_components(pairs).withColumnRenamed("id", "doc_id")
+    keep2 = (
+        keep1.join(labels, "doc_id", "left")
+        .filter(col("cluster_id").isNull() | (col("cluster_id") == col("doc_id")))
+        .select("doc_id", "text")
+    )
+    # 3. quality gate
+    keep3 = keep2.filter(token_count("text") >= 10)
+    # 4. chunking
+    return chunk_documents(keep3, "doc_id", "text", chunk_size=32, overlap=8).select(
+        "id", "chunk_id", "chunk_text"
+    )
