@@ -149,14 +149,28 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     n_planes: int = 4,
+    probe_hamming: int = 1,
     round_digits: int = 5,
 ) -> DataFrame:
-    """ANN top-k: probe only the query's LSH bucket (1/2^p of the corpus).
+    """ANN top-k with multiprobe: each query probes its own LSH bucket plus
+    every bucket within ``probe_hamming`` code-bit flips (hamming-1 ⇒
+    1+n_planes of 2^n_planes buckets). The corpus stays partitioned by its
+    single bucket; only query rows replicate (queries ≪ corpus, so the
+    fan-out is cheap). A candidate lives in exactly one corpus bucket, so
+    multiprobe introduces no duplicate pairs; the final per-query window
+    merges probes. Recall/fan-out trades directly via ``probe_hamming``
+    (0 = single-probe).
 
-    cogroup by bucket → per-bucket NumPy matmul → per-bucket top-k → done
-    (buckets partition the corpus, so the per-bucket top-k IS the final
-    answer). Approximate: neighbors in other buckets are missed."""
+    cogroup by bucket → per-bucket NumPy matmul → per-bucket top-k →
+    global per-query top-k."""
     q = _bucketize(queries, id_col, vec_col, n_planes)
+    if probe_hamming >= 1:
+        # Hamming-1 expansion: the original code plus each single-bit flip
+        flips = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)],
+        )
+        q = q.select("id", "v", F.explode(flips).alias("bucket"))
     c = _bucketize(corpus, id_col, vec_col, n_planes)
 
     def bucket_topk(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:

@@ -232,3 +232,45 @@ def events_from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("k").alias("k_typed"),
         (parsed.getField("k") * 2).alias("k_doubled"),
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+    )
+    SELECT f.cohort_week,
+           count(DISTINCT f.user_id) AS cohort_size,
+           count(DISTINCT CASE WHEN a.active_week = f.cohort_week + INTERVAL 7 DAYS
+                               THEN a.user_id END) AS retained_next_week
+    FROM firsts f
+    LEFT JOIN activity a ON a.user_id = f.user_id
+    GROUP BY f.cohort_week
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted again if active the following week — two aggregations and one
+    join, no self-join of the raw fact (the cohort and activity tables are
+    user-cardinality, not event-cardinality — the 100 TB-safe shape)."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", col("ts")).alias("active_week")
+    ).distinct()
+    joined = firsts.join(activity, "user_id", "left")
+    return joined.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size"),
+        F.countDistinct(
+            F.when(
+                col("active_week") == col("cohort_week") + F.expr("INTERVAL 7 DAYS"),
+                col("user_id"),
+            )
+        ).alias("retained_next_week"),
+    )

@@ -148,3 +148,42 @@ def test_jaccard_df_cap_precision(spark, sf_dir):
     assert capped <= exact, f"cap broke precision: {capped - exact}"
     planted = {(i, i + 500000) for i in range(50)}
     assert planted <= capped, f"planted exact dups lost: {planted - capped}"
+
+
+def test_ivf_recall_floor(spark, sf_dir):
+    """IVF (4 hyperplanes) must recover a sane fraction of the true top-5
+    neighbors — documents the approximation quality, guards bucketing bugs
+    (a broken bucket code sends recall to ~1/16)."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_group_spark.catalog import load_table
+    from map_reduce_group_spark.operators.similarity import cosine_topk, ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % 25 == 0)
+    exact = {
+        (r["q_id"], r["c_id"]) for r in cosine_topk(q, e, k=5).collect()
+    }
+    approx = {(r["q_id"], r["c_id"]) for r in ivf_topk(q, e, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    # multiprobe (hamming-1, 5/16 of corpus) measures 0.44-0.55 on the
+    # random fixture embeddings; floor guards bucket-code regressions
+    assert recall >= 0.35, f"IVF recall collapsed: {recall:.2f}"
+
+
+def test_approx_sketches_accuracy(spark, sf_dir):
+    """HLL++ distinct counts within 5% of exact; approx median within 5% of
+    exact median (documented sketch quality at default precision)."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_group_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey").alias("a"),
+        F.countDistinct("l_partkey").alias("e"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("am"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("em"),
+    ).collect()[0]
+    assert abs(row["a"] - row["e"]) / row["e"] < 0.05
+    assert abs(row["am"] - row["em"]) / row["em"] < 0.05
