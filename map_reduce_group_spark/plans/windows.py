@@ -206,3 +206,32 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", F.count(F.lit(1)).over(w).alias("n_similar_price")
     )
+
+
+@register(
+    "window_distribution_functions",
+    oracle="""
+    SELECT c_custkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist()    OVER w, 6) AS cume,
+           first_value(c_custkey) OVER w   AS richest_in_segment,
+           nth_value(c_custkey, 2) OVER (PARTITION BY c_mktsegment
+                                         ORDER BY c_acctbal DESC, c_custkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING) AS second_richest
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank / cume_dist (integer-count
+    ratios — engine-identical doubles) + first/nth value navigation."""
+    w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc(), col("c_custkey"))
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("c_custkey").over(w).alias("richest_in_segment"),
+        F.nth_value("c_custkey", 2).over(w_full).alias("second_richest"),
+    )

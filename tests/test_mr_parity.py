@@ -90,3 +90,23 @@ def test_pipe_table_roundtrip(spark, sf_dir):
     got = sorted((int(r[0]), r[1]) for r in back.collect())
     want = sorted((r[0], r[1]) for r in nation.collect())
     assert got == want
+
+
+def test_filter_job_arbitrary_executables(spark, corpus):
+    """A second executable pair (grep-style filter mapper + identity
+    reducer): the job API is generic over programs, not just word count."""
+    inp, out, _ = corpus
+    job = Job(inp, out, f"{EXEC_DIR}/filter_map.py", f"{EXEC_DIR}/identity_reduce.py", 2, 2)
+    submit(spark, job)
+    lines = []
+    for pf in sorted(os.listdir(out)):
+        if pf.startswith("part-"):
+            lines += open(os.path.join(out, pf)).read().splitlines()
+    n_spark_lines = sum(
+        1
+        for f in os.listdir(inp)
+        for line in open(os.path.join(inp, f))
+        if "spark" in line
+    )
+    assert len(lines) == n_spark_lines > 0
+    assert all("spark" in line for line in lines)
