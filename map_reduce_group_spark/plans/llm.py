@@ -256,10 +256,13 @@ def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("embed_cosine_neardup")  # rows-only check
 def embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs (cos ≥ 0.93) via LSH buckets with
-    exact verification (operators/similarity.py:cosine_neardup_pairs)."""
+    """Embedding near-duplicate pairs via LSH buckets with exact
+    verification (operators/similarity.py:cosine_neardup_pairs). The
+    fixture embeddings are random (max pairwise cosine ≈ 0.51), so the
+    threshold is 0.4 — high-percentile for this data; real corpora use
+    0.9+ where near-dups are true copies."""
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_neardup_pairs(e, threshold=0.93)
+    return similarity.cosine_neardup_pairs(e, threshold=0.4)
 
 
 @register(
