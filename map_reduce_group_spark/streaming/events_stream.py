@@ -144,3 +144,44 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def enrich_with_static(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static join: enrich each event with a broadcast-able static
+    dimension (profile/feature table). The static side is re-read per
+    micro-batch, so slowly-changing dims pick up updates without restarts."""
+    return events.join(dim, on, "left")
+
+
+def purchases_after_clicks(events: DataFrame, within: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join: purchases matched to same-user clicks
+    that happened within ``within`` BEFORE the purchase.
+
+    Both sides are watermarked so the state store can evict: the join
+    condition bounds click retention to the interval + watermark slack.
+    This is the streaming face of the as-of/interval join family (batch
+    twin: events_asof_join / a range-join)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_id"))
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return purchases.join(
+        clicks,
+        F.expr(
+            f"""
+            user_id = c_user AND
+            click_ts <= purchase_ts AND
+            click_ts >= purchase_ts - INTERVAL {within}
+            """
+        ),
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")

@@ -97,3 +97,47 @@ def test_foreach_batch_partitioned_sink(spark, events_path, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == spark.read.parquet(events_path).count()
     assert any(d.startswith("event_type=") for d in os.listdir(out))
+
+
+def test_stream_static_join(spark, sf_dir, events_path):
+    from map_reduce_group_spark.catalog import load_table
+    from map_reduce_group_spark.streaming import events_stream as es
+
+    batch_events = load_table(spark, sf_dir, "events")
+    dim = batch_events.groupBy("user_id").agg(F.min("event_id").alias("first_event"))
+    stream = es.read_events_stream(spark, events_path)
+    got = es.run_to_memory(
+        es.enrich_with_static(stream, dim).select("event_id", "user_id", "first_event"),
+        "t_enrich",
+        output_mode="append",
+    )
+    assert got.count() == batch_events.count()
+    assert got.filter(F.col("first_event").isNull()).count() == 0
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir, events_path):
+    from map_reduce_group_spark.catalog import load_table
+    from map_reduce_group_spark.streaming import events_stream as es
+
+    stream = es.read_events_stream(spark, events_path)
+    got = es.run_to_memory(
+        es.purchases_after_clicks(stream), "t_ssjoin", output_mode="append"
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_id")
+    )
+    want = purchases.join(
+        clicks,
+        F.expr(
+            "user_id = c_user AND click_ts <= purchase_ts "
+            "AND click_ts >= purchase_ts - INTERVAL 1 HOUR"
+        ),
+    ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+    assert canonicalize(got.toPandas()) == canonicalize(want.toPandas())
