@@ -110,3 +110,26 @@ def test_filter_job_arbitrary_executables(spark, corpus):
     )
     assert len(lines) == n_spark_lines > 0
     assert all("spark" in line for line in lines)
+
+
+def test_cli_submission(corpus, tmp_path):
+    """The reference's CLI surface: python -m map_reduce_group_spark.mr."""
+    import subprocess
+    import sys
+
+    inp, out, golden = corpus
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "map_reduce_group_spark.mr",
+            "--input", inp, "--output", out,
+            "--nmappers", "2", "--nreducers", "2",
+        ],
+        cwd=repo,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4"},
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert _read_output(out) == dict(golden)
