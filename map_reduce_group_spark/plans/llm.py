@@ -356,8 +356,8 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT count(*) AS n_docs FROM documents
     ), scored AS (
         SELECT tf.doc_id, tf.term,
-               (CAST(tf_count AS DOUBLE) / doc_len)
-                 * ln((n_docs + 1.0) / (doc_freq + 1.0)) AS tfidf
+               round((CAST(tf_count AS DOUBLE) / doc_len)
+                     * ln((n_docs + 1.0) / (doc_freq + 1.0)), 6) AS tfidf
         FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n
     )
     SELECT doc_id, term, tfidf, rank FROM (
@@ -385,9 +385,12 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "term",
-            (
+            # rounded to 6 on BOTH sides: JVM Math.log and libm log may
+            # differ by 1 ulp — ranking and output use the rounded value
+            F.round(
                 (col("tf_count").cast("double") / col("doc_len"))
-                * F.log((col("n_docs") + F.lit(1.0)) / (col("doc_freq") + F.lit(1.0)))
+                * F.log((col("n_docs") + F.lit(1.0)) / (col("doc_freq") + F.lit(1.0))),
+                6,
             ).alias("tfidf"),
         )
     )
