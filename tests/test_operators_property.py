@@ -187,3 +187,34 @@ def test_approx_sketches_accuracy(spark, sf_dir):
     ).collect()[0]
     assert abs(row["a"] - row["e"]) / row["e"] < 0.05
     assert abs(row["am"] - row["em"]) / row["em"] < 0.05
+
+
+def test_decode_image_is_gated(spark):
+    """The multimodal decode path is stubbed behind a clear gate (codecs
+    absent in this environment)."""
+    import pytest as _pytest
+
+    from map_reduce_group_spark.operators.multimodal import decode_image
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+
+
+def test_lsh_bucket_jvm_matches_numpy(spark, sf_dir):
+    """The JVM expression form of the hyperplane code must agree with the
+    NumPy form — same deterministic planes, two implementations."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_group_spark.catalog import load_table
+    from map_reduce_group_spark.operators.similarity import _bucketize, lsh_bucket
+
+    e = load_table(spark, sf_dir, "embeddings")
+    jvm = {
+        r["vec_id"]: r["b"]
+        for r in e.select("vec_id", lsh_bucket(F.col("embedding"), 4).alias("b")).collect()
+    }
+    np_codes = {
+        r["id"]: r["bucket"]
+        for r in _bucketize(e, "vec_id", "embedding", 4).collect()
+    }
+    assert jvm == np_codes
