@@ -43,7 +43,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # one broken query must not lose the artifact
-            errors[name] = str(exc).splitlines()[0][:200]
+            errors[name] = (str(exc).splitlines() or [repr(exc)])[0][:200]
 
     total = round(sum(timings.values()), 3)
     out = {

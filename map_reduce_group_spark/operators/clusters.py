@@ -40,7 +40,8 @@ def connected_components(
     # labels are monotonically non-increasing under min-propagation, so the
     # label SUM is a strictly-decreasing-until-fixpoint potential function:
     # convergence detection is one cheap aggregate, not a self-join diff.
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    # (summed as decimal(38,0): int64 ids could overflow a LongType sum)
+    prev_sum = labels.agg(F.sum(col("label").cast("decimal(38,0)"))).collect()[0][0]
     converged = False
     for _ in range(max_iter):
         neighbor_min = (
@@ -56,7 +57,7 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = labels.agg(F.sum(col("label").cast("decimal(38,0)"))).collect()[0][0]
         if cur_sum == prev_sum:
             converged = True
             break

@@ -30,7 +30,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 from pyspark.sql.functions import col
 
-TOPK_SCHEMA = "q_id bigint, c_id bigint, cos double"
+def _id_type(df: DataFrame, col_name: str) -> str:
+    return dict(df.dtypes)[col_name]
 
 
 def _matrix(series: pd.Series) -> np.ndarray:
@@ -59,7 +60,11 @@ def cosine_topk(
     One final window ranks the ≤ k·batches survivors per query.
     """
     spark = corpus.sparkSession
+    id_t = _id_type(corpus, id_col)
+    out_schema = f"q_id {id_t}, c_id {id_t}, cos double"
     qpdf = queries.select(col(id_col).alias("q_id"), col(vec_col).alias("v")).toPandas()
+    if not len(qpdf):  # no queries → empty result with the right schema
+        return spark.createDataFrame([], out_schema + ", rank int")
     q_ids = qpdf["q_id"].to_numpy()
     qm = _unit_rows(_matrix(qpdf["v"]))
     bq = spark.sparkContext.broadcast((q_ids, qm))
@@ -71,7 +76,7 @@ def cosine_topk(
                 continue
             cm = _unit_rows(_matrix(pdf["v"]))
             c_ids = pdf["c_id"].to_numpy()
-            sims = np.round(qmat @ cm.T, 5)  # (Q, B)
+            sims = np.round(qmat @ cm.T, round_digits)  # (Q, B)
             out_q, out_c, out_s = [], [], []
             for qi in range(sims.shape[0]):
                 row = sims[qi]
@@ -89,7 +94,7 @@ def cosine_topk(
 
     flat = corpus.select(
         col(id_col).alias("c_id"), col(vec_col).alias("v")
-    ).mapInPandas(score, TOPK_SCHEMA)
+    ).mapInPandas(score, out_schema)
     w = Window.partitionBy("q_id").orderBy(col("cos").desc(), col("c_id"))
     return flat.select(
         "q_id", "c_id", "cos", F.row_number().over(w).alias("rank")
@@ -124,7 +129,9 @@ def lsh_bucket(vec: F.Column, n_planes: int = 4) -> F.Column:
 
 
 def _bucketize(df: DataFrame, id_col: str, vec_col: str, n_planes: int) -> DataFrame:
-    """(id, v, bucket) with the hyperplane code computed via NumPy."""
+    """(id, v, bucket) with the hyperplane code computed via NumPy.
+    Schema (id and vector element types) is preserved from the input."""
+    out_schema = f"id {_id_type(df, id_col)}, v {_id_type(df, vec_col)}, bucket int"
 
     def code(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         planes = None
@@ -139,7 +146,7 @@ def _bucketize(df: DataFrame, id_col: str, vec_col: str, n_planes: int) -> DataF
             yield pd.DataFrame({"id": pdf["id"], "v": pdf["v"], "bucket": bucket})
 
     flat = df.select(col(id_col).alias("id"), col(vec_col).alias("v"))
-    return flat.mapInPandas(code, "id bigint, v array<float>, bucket int")
+    return flat.mapInPandas(code, out_schema)
 
 
 def ivf_topk(
@@ -163,6 +170,8 @@ def ivf_topk(
 
     cogroup by bucket → per-bucket NumPy matmul → per-bucket top-k →
     global per-query top-k."""
+    if probe_hamming not in (0, 1):
+        raise ValueError("probe_hamming supports 0 (single-probe) or 1 (hamming-1)")
     q = _bucketize(queries, id_col, vec_col, n_planes)
     if probe_hamming >= 1:
         # Hamming-1 expansion: the original code plus each single-bit flip
@@ -179,7 +188,7 @@ def ivf_topk(
         qm = _unit_rows(_matrix(qpdf["v"]))
         cm = _unit_rows(_matrix(cpdf["v"]))
         q_ids, c_ids = qpdf["id"].to_numpy(), cpdf["id"].to_numpy()
-        sims = np.round(qm @ cm.T, 5)
+        sims = np.round(qm @ cm.T, round_digits)
         out = {"q_id": [], "c_id": [], "bucket": [], "cos": []}
         for qi in range(sims.shape[0]):
             mask = c_ids != q_ids[qi]
@@ -191,8 +200,9 @@ def ivf_topk(
             out["cos"].extend(cand_sims[order])
         return pd.DataFrame(out)
 
+    id_t = _id_type(corpus, id_col)
     flat = q.groupBy("bucket").cogroup(c.groupBy("bucket")).applyInPandas(
-        bucket_topk, "q_id bigint, c_id bigint, bucket int, cos double"
+        bucket_topk, f"q_id {id_t}, c_id {id_t}, bucket int, cos double"
     )
     w = Window.partitionBy("q_id").orderBy(col("cos").desc(), col("c_id"))
     return flat.select(
@@ -218,11 +228,14 @@ def cosine_neardup_pairs(
             return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
         m = _unit_rows(_matrix(pdf["v"]))
         ids = pdf["id"].to_numpy()
-        sims = np.round(m @ m.T, 5)
+        sims = np.round(m @ m.T, round_digits)
         iu = np.triu_indices(len(ids), k=1)
         keep = sims[iu] >= threshold
         a, b = ids[iu[0][keep]], ids[iu[1][keep]]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": sims[iu][keep]})
 
-    return v.groupBy("bucket").applyInPandas(bucket_pairs, "id_a bigint, id_b bigint, cos double")
+    id_t = _id_type(df, id_col)
+    return v.groupBy("bucket").applyInPandas(
+        bucket_pairs, f"id_a {id_t}, id_b {id_t}, cos double"
+    )

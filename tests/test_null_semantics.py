@@ -53,12 +53,12 @@ def test_null_ordering_explicit(spark, tmp_path):
         .orderBy(F.col("v").asc_nulls_last(), F.col("g").asc_nulls_last())
         .collect()
     ]
-    want = [
-        tuple(None if x != x else x for x in row) if True else row
-        for row in duckdb.sql(
-            f"""SELECT g, v FROM read_parquet('{p}/*.parquet')
-                ORDER BY v ASC NULLS LAST, g ASC NULLS LAST"""
-        ).fetchall()
-    ]
-    norm = lambda rows: [tuple(None if x is None or x != x else x for x in r) for r in rows]
+    want = duckdb.sql(
+        f"""SELECT g, v FROM read_parquet('{p}/*.parquet')
+            ORDER BY v ASC NULLS LAST, g ASC NULLS LAST"""
+    ).fetchall()
+
+    def norm(rows):
+        return [tuple(None if x is None or x != x else x for x in r) for r in rows]
+
     assert norm(got) == norm(want)
