@@ -71,3 +71,27 @@ def write_bucketed(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.format("parquet").saveAsTable(table)
+
+
+def compact_parquet(
+    spark: SparkSession, path: str, out_path: str, target_file_bytes: int = 256 * 1024 * 1024
+) -> int:
+    """Compact a small-file parquet directory into ~target-sized files.
+
+    The chronic 100 TB operational problem: streaming/incremental writers
+    leave thousands of KB-sized files whose open/footer costs dominate
+    scans. Sizing uses the actual on-disk bytes (not row counts), and the
+    rewrite is a single repartition — no shuffle key, so it's a round-robin
+    exchange only. Returns the number of output files."""
+    import math
+    import os
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files

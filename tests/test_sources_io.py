@@ -80,3 +80,32 @@ def test_bucketed_join_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_compact_parquet_small_files(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    frag = f"{tmp_path}/fragmented"
+    orders.repartition(64).write.parquet(frag)  # simulate small-file mess
+    import os
+
+    n_in = sum(1 for f in os.listdir(frag) if f.endswith(".parquet"))
+    assert n_in == 64
+    out = f"{tmp_path}/compacted"
+    sio.compact_parquet(spark, frag, out, target_file_bytes=1 * 1024 * 1024)
+    n_out = sum(1 for f in os.listdir(out) if f.endswith(".parquet"))
+    assert n_out < n_in
+    assert spark.read.parquet(out).count() == orders.count()
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """mergeSchema read across parquet parts with evolving columns —
+    schema-on-read the way long-lived 100TB tables actually evolve."""
+    base = f"{tmp_path}/evolving"
+    spark.createDataFrame([(1, "a")], "id int, s string").write.parquet(f"{base}/p=1")
+    spark.createDataFrame([(2, "b", 9.5)], "id int, s string, score double").write.parquet(
+        f"{base}/p=2"
+    )
+    df = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(df.columns) >= {"id", "s", "score"}
+    rows = {r["id"]: (r["s"], r["score"]) for r in df.collect()}
+    assert rows[1] == ("a", None) and rows[2] == ("b", 9.5)
