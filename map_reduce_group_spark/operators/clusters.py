@@ -8,12 +8,12 @@ fixpoint. The cluster id is therefore min(doc_id) over the component:
 canonical and algorithm-independent, which is what makes the recursive-CTE
 oracle comparable.
 
-Scale: each iteration is one join + one aggregation on the edge list
-(shuffle by vertex); iterations ≈ graph diameter (near-dup graphs are
-shallow — boilerplate families form stars). ``localCheckpoint`` cuts the
-lineage each round so the plan doesn't grow unboundedly. For adversarial
-long-chain graphs, switch to large-star/small-star (same join shapes,
-O(log d) rounds).
+Scale: each round is a neighbor-min join plus one pointer-jump join
+(label := label(label)), so label chains HALVE per round — O(log diameter)
+rounds even on adversarial path graphs (tested on a 2000-node chain), with
+near-dup graphs (star-shaped boilerplate families) converging in 2-3.
+``localCheckpoint`` cuts the lineage each round so the plan doesn't grow
+unboundedly.
 """
 
 from __future__ import annotations
@@ -43,20 +43,30 @@ def connected_components(
     # (summed as decimal(38,0): int64 ids could overflow a LongType sum)
     prev_sum = labels.agg(F.sum(col("label").cast("decimal(38,0)"))).collect()[0][0]
     converged = False
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.src == labels.id)
             .groupBy("dst")
             .agg(F.min("label").alias("nmin"))
         )
-        labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.dst, "left")
-            .select(
-                "id",
-                F.least(col("label"), F.coalesce(col("nmin"), col("label"))).alias("label"),
-            )
-            .localCheckpoint(eager=True)
+        stepped = labels.join(neighbor_min, labels.id == neighbor_min.dst, "left").select(
+            "id",
+            F.least(col("label"), F.coalesce(col("nmin"), col("label"))).alias("label"),
         )
+        if it >= 2:
+            # pointer jumping: follow label -> label(label) once per round,
+            # halving label chains — O(log diameter) on path graphs. Engaged
+            # from round 3 only: shallow graphs (the common near-dup star
+            # families) converge by then without paying the extra join,
+            # while deep chains still get the logarithmic behavior. Labels
+            # stay ≥ the component minimum and monotone non-increasing, so
+            # the fixpoint argument is unchanged.
+            lookup = stepped.select(col("id").alias("l_id"), col("label").alias("l_label"))
+            stepped = stepped.join(lookup, stepped.label == lookup.l_id, "left").select(
+                "id",
+                F.least(col("label"), F.coalesce(col("l_label"), col("label"))).alias("label"),
+            )
+        labels = stepped.localCheckpoint(eager=True)
         cur_sum = labels.agg(F.sum(col("label").cast("decimal(38,0)"))).collect()[0][0]
         if cur_sum == prev_sum:
             converged = True
@@ -65,7 +75,6 @@ def connected_components(
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} iterations "
-            "(component diameter exceeds the cap); raise max_iter or switch "
-            "to large-star/small-star"
+            "(2^max_iter exceeded by component diameter); raise max_iter"
         )
     return labels.select("id", col("label").alias("cluster_id"))

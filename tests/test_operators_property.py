@@ -218,3 +218,13 @@ def test_lsh_bucket_jvm_matches_numpy(spark, sf_dir):
         for r in _bucketize(e, "vec_id", "embedding", 4).collect()
     }
     assert jvm == np_codes
+
+
+def test_connected_components_long_chain(spark):
+    """A 2000-node path graph: pure min-propagation needs ~2000 rounds;
+    pointer jumping must converge within the 20-round cap (O(log d))."""
+    edges = [(i, i + 1) for i in range(2000)]
+    pdf = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = connected_components(pdf, max_iter=20).collect()
+    assert len(got) == 2001
+    assert all(r["cluster_id"] == 0 for r in got)
