@@ -64,7 +64,7 @@ def cosine_topk(
     out_schema = f"q_id {id_t}, c_id {id_t}, cos double"
     qpdf = queries.select(col(id_col).alias("q_id"), col(vec_col).alias("v")).toPandas()
     if not len(qpdf):  # no queries → empty result with the right schema
-        return spark.createDataFrame([], out_schema + ", rank int")
+        return spark.createDataFrame([], out_schema + ", rank bigint")
     q_ids = qpdf["q_id"].to_numpy()
     qm = _unit_rows(_matrix(qpdf["v"]))
     bq = spark.sparkContext.broadcast((q_ids, qm))
@@ -97,7 +97,7 @@ def cosine_topk(
     ).mapInPandas(score, out_schema)
     w = Window.partitionBy("q_id").orderBy(col("cos").desc(), col("c_id"))
     return flat.select(
-        "q_id", "c_id", "cos", F.row_number().over(w).alias("rank")
+        "q_id", "c_id", "cos", F.row_number().over(w).cast("long").alias("rank")
     ).filter(col("rank") <= k)
 
 
@@ -206,7 +206,7 @@ def ivf_topk(
     )
     w = Window.partitionBy("q_id").orderBy(col("cos").desc(), col("c_id"))
     return flat.select(
-        "q_id", "c_id", "bucket", "cos", F.row_number().over(w).alias("rank")
+        "q_id", "c_id", "bucket", "cos", F.row_number().over(w).cast("long").alias("rank")
     ).filter(col("rank") <= k)
 
 

@@ -107,12 +107,15 @@ def chunk_documents(
     d = df.select(
         F.col(id_col).alias("id"), toks.alias("toks"), n_chunks.alias("nc")
     ).select(
-        "id", "toks", F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_id")
+        "id",
+        "toks",
+        # explode cannot be nested inside a cast; cast in the outer select
+        F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_i"),
     )
-    chunk = F.slice(F.col("toks"), F.col("chunk_id") * stride + 1, chunk_size)
+    chunk = F.slice(F.col("toks"), F.col("chunk_i") * stride + 1, chunk_size)
     return d.select(
         "id",
-        "chunk_id",
+        F.col("chunk_i").cast("long").alias("chunk_id"),
         F.array_join(chunk, " ").alias("chunk_text"),
-        F.size(chunk).alias("n_chunk_tokens"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
     )

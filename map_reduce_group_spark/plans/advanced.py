@@ -195,7 +195,7 @@ def _doc_count_fn(n_chars: pd.Series) -> int:
 
 @register(
     "udf_pandas_grouped_agg",
-    oracle="SELECT lang, sum(n_chars) AS total_chars, count(*) AS n_docs FROM documents GROUP BY lang",
+    oracle="SELECT lang, CAST(sum(n_chars) AS BIGINT) AS total_chars, count(*) AS n_docs FROM documents GROUP BY lang",
 )
 def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPED_AGG pandas_udf — the reference's 'reducer executable' as a

@@ -107,7 +107,7 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          ROWS UNBOUNDED PRECEDING) AS session_seq
         FROM flagged
     )
-    SELECT user_id, session_seq,
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
            min(ts) AS session_start,
            max(ts) AS session_end,
            count(*) AS n_events,

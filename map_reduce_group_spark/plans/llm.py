@@ -52,10 +52,10 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        token_count("text").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_unique"),
+        token_count("text").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
         F.round(avg_len, 4).alias("avg_token_len"),
-        bpe_ish_token_count("text").alias("n_bpe_ish"),
+        bpe_ish_token_count("text").cast("long").alias("n_bpe_ish"),
     )
 
 
@@ -132,7 +132,7 @@ def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         "n_chars",
-        n_words.alias("n_words"),
+        n_words.cast("long").alias("n_words"),
         F.round(ratio, 6).alias("stopword_ratio"),
         F.round(score, 6).alias("quality_score"),
     )
@@ -328,7 +328,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t
     )
     SELECT doc_id AS id, u.cid AS chunk_id, u.txt AS chunk_text,
-           CAST(u.n AS INTEGER) AS n_chunk_tokens
+           u.n AS n_chunk_tokens
     FROM flat
     """,
 )
@@ -398,7 +398,7 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.partitionBy("doc_id").orderBy(col("tfidf").desc(), col("term"))
     return scored.select(
-        "doc_id", "term", "tfidf", F.row_number().over(w).alias("rank")
+        "doc_id", "term", "tfidf", F.row_number().over(w).cast("long").alias("rank")
     ).filter(col("rank") <= 3)
 
 

@@ -89,7 +89,7 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select(
         "id",
         col("media.meta.media_type").alias("media_type"),
-        col("media.meta.n_bytes").alias("n_bytes"),
+        col("media.meta.n_bytes").cast("long").alias("n_bytes"),
         col("media.meta.content_md5").alias("content_md5"),
     )
 

@@ -364,9 +364,9 @@ def scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("o_orderstatus").alias("status_uc"),
         F.substring("o_orderpriority", 1, 1).alias("prio_digit"),
         F.concat_ws("_", "o_orderstatus", "o_orderpriority").alias("status_prio"),
-        F.length("o_orderpriority").alias("prio_len"),
-        F.year("o_orderdate").alias("order_year"),
-        F.month("o_orderdate").alias("order_month"),
+        F.length("o_orderpriority").cast("long").alias("prio_len"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
         (money("o_totalprice") * F.lit("0.001").cast("decimal(4,3)"))
         .cast("double")
         .alias("price_k"),
@@ -412,7 +412,7 @@ def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").filter(col("vec_id") % 10 == 0)
     return e.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
         F.round(col("embedding")[0], 4).alias("first_val"),
         F.round(
             F.sqrt(
@@ -546,10 +546,10 @@ def scalar_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         (col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
-        F.datediff(col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
-            "days_since_epoch_95"
-        ),
-        F.quarter("o_orderdate").alias("order_quarter"),
-        F.weekday("o_orderdate").alias("weekday_mon0"),
+        F.datediff(col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_epoch_95"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+        F.weekday("o_orderdate").cast("long").alias("weekday_mon0"),
         F.last_day(col("o_orderdate").cast("date")).cast("timestamp").alias("month_end"),
     )

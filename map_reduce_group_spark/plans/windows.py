@@ -48,9 +48,9 @@ def window_rank_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_mktsegment",
             "c_custkey",
             col("c_acctbal").alias("acctbal"),
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(w).alias("rnk"),
-            F.dense_rank().over(w).alias("drnk"),
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
         )
         .filter(col("rn") <= 5)
     )
@@ -124,7 +124,7 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("c_acctbal", "c_custkey")
     return (
         load_table(spark, sf_dir, "customer")
-        .select("c_acctbal", F.ntile(4).over(w).alias("quartile"))
+        .select("c_acctbal", F.ntile(4).over(w).cast("long").alias("quartile"))
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
@@ -155,7 +155,7 @@ def topk_per_group_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_type",
             "p_partkey",
             col("p_retailprice").alias("price"),
-            F.row_number().over(w).alias("rn"),
+            F.row_number().over(w).cast("long").alias("rn"),
         )
         .filter(col("rn") <= 3)
     )
