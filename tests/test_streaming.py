@@ -141,3 +141,57 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir, events_path):
         ),
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
     assert canonicalize(got.toPandas()) == canonicalize(want.toPandas())
+
+
+def test_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
+    """Incremental processing with checkpoint resume: run availableNow over
+    half the input, add the rest, run again with the SAME checkpoint — the
+    sink must contain every event exactly once (no reprocessing, no loss)."""
+    import os
+    import shutil
+
+    from map_reduce_group_spark.catalog import load_table
+    from map_reduce_group_spark.streaming import events_stream as es
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    events = load_table(spark, sf_dir, "events")
+    half1 = events.filter(F.col("event_id") % 2 == 0)
+    half2 = events.filter(F.col("event_id") % 2 == 1)
+    # stage first batch of files
+    half1.write.parquet(str(tmp_path / "h1"))
+    for f in os.listdir(tmp_path / "h1"):
+        if f.endswith(".parquet"):
+            shutil.copy(tmp_path / "h1" / f, src / f"a_{f}")
+
+    schema = ", ".join(f"{n} {t}" for n, t in events.dtypes)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            stream.select("event_id", "user_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    assert n_first == half1.count()
+
+    # stage the remaining files and resume from the same checkpoint
+    half2.write.parquet(str(tmp_path / "h2"))
+    for f in os.listdir(tmp_path / "h2"):
+        if f.endswith(".parquet"):
+            shutil.copy(tmp_path / "h2" / f, src / f"b_{f}")
+    run_once()
+
+    result = spark.read.parquet(out)
+    assert result.count() == events.count()  # exactly once: no dupes, no loss
+    assert result.select("event_id").distinct().count() == events.count()
