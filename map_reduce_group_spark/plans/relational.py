@@ -349,7 +349,8 @@ def setop_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         year(o_orderdate)                               AS order_year,
         month(o_orderdate)                              AS order_month,
         CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(0.001 AS DECIMAL(4,3)) AS DOUBLE) AS price_k,
-        CAST(abs(CAST(o_totalprice AS DECIMAL(12,2)) - 20000) AS DOUBLE)                    AS dist_from_20k
+        CAST(abs(CAST(o_totalprice AS DECIMAL(12,2)) - 20000) AS DOUBLE)                    AS dist_from_20k,
+        pow(o_orderkey % 10, 2)                                 AS key_digit_sq
     FROM orders
     WHERE o_orderkey % 97 = 0
     """,
@@ -371,6 +372,7 @@ def scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("price_k"),
         F.abs(money("o_totalprice") - F.lit(20000)).cast("double").alias("dist_from_20k"),
+        F.pow(col("o_orderkey") % 10, F.lit(2)).alias("key_digit_sq"),
     )
 
 
