@@ -65,8 +65,14 @@ def _first_field(line: str) -> str:
 
 
 def run_lines(spark: SparkSession, lines: RDD, job: Job) -> RDD:
-    """Run the map→shuffle→sort→reduce pipeline on an RDD of text lines."""
+    """Run the map→shuffle→sort→reduce pipeline on an RDD of text lines.
+
+    The input is repartitioned to ``num_mappers`` so the M knob governs map
+    parallelism here exactly as ``minPartitions`` does on the file path
+    (one executable process per map partition)."""
     r = job.num_reducers
+    if lines.getNumPartitions() != job.num_mappers:
+        lines = lines.repartition(job.num_mappers)
     mapped = lines.pipe(job.mapper_executable)
     keyed = mapped.map(lambda line: (line, None))
     shuffled = keyed.repartitionAndSortWithinPartitions(

@@ -55,6 +55,11 @@ def asof_join(
         right.select(*keys, col(right_ts).alias("__ts"), payload_struct.alias("__rp"))
         .withColumn("__side", F.lit(0))
     )
+    # SQL ASOF equality never matches on NULL keys: drop null-key right rows
+    # so null-key left rows fall through with a NULL payload (they share a
+    # window partition, but it then contains no right rows).
+    for k in keys:
+        rhs = rhs.filter(col(k).isNotNull())
 
     # align columns for the union: left keeps all its columns; right rows
     # carry nulls for them

@@ -165,11 +165,16 @@ def minhash_lsh_pairs(
     band buckets are the shuffle key. Hot buckets (boilerplate docs) are the
     skew risk — AQE skew join plus an optional bucket-size cap handle it.
     """
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
     rows_per_band = num_hashes // bands
     # postings feed BOTH the signatures and the verification join; persist
     # so the tokenize→explode→window→distinct pipeline (the expensive
     # stage) runs once, not twice. MEMORY_AND_DISK: postings are (id,
-    # shingle) pairs — larger than the docs but spillable.
+    # shingle) pairs — larger than the docs but spillable. The blocks stay
+    # cached for the session (LRU-evicted under pressure); long-lived
+    # sessions issuing many dedup runs should unpersist via
+    # spark.catalog.clearCache() between sweeps.
     from pyspark import StorageLevel
 
     postings = shingle_postings(df, id_col, text_col, n).persist(

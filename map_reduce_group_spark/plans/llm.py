@@ -46,10 +46,10 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace + BPE-ish regex) — all JVM built-ins."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
-    avg_len = F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
-        F.aggregate(toks, F.lit(0.0), lambda acc, x: acc + F.length(x).cast("double"))
-        / F.size(toks)
-    )
+    # Σ token lengths == length of the separator-less concatenation — pure
+    # codegen, no interpreted aggregate lambda (CLAUDE.md rule 2)
+    total_len = F.length(F.array_join(toks, "")).cast("double")
+    avg_len = F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(total_len / F.size(toks))
     return d.select(
         "doc_id",
         token_count("text").cast("long").alias("n_tokens"),

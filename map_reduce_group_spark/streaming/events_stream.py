@@ -27,24 +27,28 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from map_reduce_group_spark.functions.numeric import dsum
 
-# events schema with ts as raw nanos (parquet TIMESTAMP(NANOS) — see
-# catalog.load_table) — converted to a proper timestamp on read.
-EVENTS_RAW_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
-
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """File-source stream over events parquet (directory or glob).
 
     In production this would be Kafka/Kinesis; the file source has the same
     semantics (exactly-once, checkpointable) and is what the fixtures give
     us. maxFilesPerTrigger would bound micro-batch size at scale.
+
+    The ts layout is sniffed with a batch probe (same normalization as
+    catalog.load_table): TIMESTAMP(NANOS) parquet arrives as bigint nanos
+    under the legacy conf, µs TIMESTAMP_NTZ (e.g. DuckDB-written) as ntz —
+    both normalized to a proper instant column.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    probe_types = dict(spark.read.parquet(path).dtypes)
+    ts_t = probe_types.get("ts", "timestamp")
+    schema = ", ".join(f"{n} {t}" for n, t in probe_types.items())
+    raw = spark.readStream.schema(schema).parquet(path)
+    if ts_t == "bigint":  # raw nanoseconds
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if ts_t == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_counts(
@@ -90,8 +94,10 @@ def session_aggregate(
 def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Streaming exact dedup on event_id within the watermark horizon —
     the streaming face of the dedup operator family (state = one key per
-    event_id seen, GC'd by watermark)."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id", "ts"])
+    event_id seen, GC'd by watermark). ``dropDuplicatesWithinWatermark``
+    dedups by id alone, so at-least-once redelivery with a different ingest
+    timestamp still collapses to one row."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
 _STATE_SCHEMA = "n bigint, total double"

@@ -65,11 +65,9 @@ def test_stateful_user_totals_equal_batch(spark, sf_dir, events_path):
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
-    got_c = canonicalize(final.toPandas())
-    want_c = canonicalize(want.toPandas())
-    # totals are float sums in pandas vs spark — compare counts exactly and
-    # totals to 2 decimals (canonicalize handles via fixed formatting)
-    assert [r[:2] for r in got_c] == [r[:2] for r in want_c]
+    # full-row compare (user pairing included): 2-decimal value sums recover
+    # the exact decimal on both paths, so fixed-format canon rows are equal
+    assert canonicalize(final.toPandas()) == canonicalize(want.toPandas())
 
 
 def test_foreach_batch_partitioned_sink(spark, events_path, tmp_path):
