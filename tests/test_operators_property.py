@@ -228,3 +228,20 @@ def test_connected_components_long_chain(spark):
     got = connected_components(pdf, max_iter=20).collect()
     assert len(got) == 2001
     assert all(r["cluster_id"] == 0 for r in got)
+
+
+def test_asof_join_null_keys_never_match(spark):
+    """SQL ASOF equality semantics: NULL keys match nothing on either side."""
+    ldf = spark.createDataFrame(
+        [(1, None, 100), (2, 5, 100)], "lid long, k int, ts long"
+    )
+    rdf = spark.createDataFrame(
+        [(10, None, 50), (20, 5, 50)], "rid long, k int, ts long"
+    )
+    got = {
+        r["lid"]: r["rid_asof"]
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="ts", right_payload=["rid"]
+        ).collect()
+    }
+    assert got == {1: None, 2: 20}
