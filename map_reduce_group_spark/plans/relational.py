@@ -555,3 +555,26 @@ def scalar_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekday("o_orderdate").cast("long").alias("weekday_mon0"),
         F.last_day(col("o_orderdate").cast("date")).cast("timestamp").alias("month_end"),
     )
+
+
+@register(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, metric, value
+    FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, p_retailprice
+          FROM part WHERE p_partkey % 53 = 0)
+    UNPIVOT (value FOR metric IN (p_size, p_retailprice))
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt — wide→long reshaping (the inverse of pivot; feature
+    tables at scale routinely flip layouts this way)."""
+    p = load_table(spark, sf_dir, "part").filter(col("p_partkey") % 53 == 0)
+    return p.select(
+        "p_partkey", col("p_size").cast("double").alias("p_size"), "p_retailprice"
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
