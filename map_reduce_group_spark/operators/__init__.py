@@ -20,9 +20,21 @@ from map_reduce_group_spark.operators.similarity import (
     cosine_topk,
     ivf_topk,
 )
+from map_reduce_group_spark.operators.text import (
+    chunk_documents,
+    fingerprint,
+    predicted_lang,
+    token_count,
+    tokens,
+)
 
 __all__ = [
     "asof_join",
+    "chunk_documents",
+    "fingerprint",
+    "predicted_lang",
+    "token_count",
+    "tokens",
     "connected_components",
     "cosine_neardup_pairs",
     "cosine_topk",
