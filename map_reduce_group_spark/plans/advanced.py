@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import col, pandas_udf
 
 from map_reduce_group_spark.catalog import load_table
-from map_reduce_group_spark.functions.numeric import money
+from map_reduce_group_spark.functions.numeric import dec2double, money
 from map_reduce_group_spark.plans.registry import register
 
 
@@ -27,14 +27,14 @@ from map_reduce_group_spark.plans.registry import register
     WITH s AS (
         SELECT l_returnflag,
                count(*) AS n,
-               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)       AS sx,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)  AS sy,
-               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
-                        * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)     AS sxx,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
-               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
-                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)       AS sx,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)  AS sy,
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)     AS sxx,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS syy,
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                        * CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sxy
         FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag, n,
@@ -54,11 +54,11 @@ def agg_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     q, p = money("l_quantity"), money("l_extendedprice")
     s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(q).cast("double").alias("sx"),
-        F.sum(p).cast("double").alias("sy"),
-        F.sum(q * q).cast("double").alias("sxx"),
-        F.sum(p * p).cast("double").alias("syy"),
-        F.sum(q * p).cast("double").alias("sxy"),
+        dec2double(F.sum(q)).alias("sx"),
+        dec2double(F.sum(p)).alias("sy"),
+        dec2double(F.sum(q * q)).alias("sxx"),
+        dec2double(F.sum(p * p)).alias("syy"),
+        dec2double(F.sum(q * p)).alias("sxy"),
     )
     n, sx, sy = col("n"), col("sx"), col("sy")
     sxx, syy, sxy = col("sxx"), col("syy"), col("sxy")
@@ -286,7 +286,7 @@ def udf_cogroup_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "skew_salted_type_counts",
     oracle="""
-    SELECT event_type, count(*) AS n, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+    SELECT event_type, count(*) AS n, CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total
     FROM events GROUP BY event_type
     """,
 )
@@ -305,7 +305,7 @@ def skew_salted_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("pn"), F.sum(money("value")).alias("pt")
     )
     return partial.groupBy("event_type").agg(
-        F.sum("pn").alias("n"), F.sum("pt").cast("double").alias("total")
+        F.sum("pn").alias("n"), dec2double(F.sum("pt")).alias("total")
     )
 
 

@@ -44,7 +44,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS hour_start,
            event_type,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -69,7 +69,7 @@ def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sliding_windows",
     oracle="""
     SELECT w_start, count(*) AS n_events,
-           (CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(value)) AS avg_value
+           (CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / count(value)) AS avg_value
     FROM (
         SELECT unnest([
             time_bucket(INTERVAL 30 MINUTES, ts),
@@ -111,7 +111,7 @@ def events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
            min(ts) AS session_start,
            max(ts) AS session_end,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS session_value
     FROM sessioned
     GROUP BY user_id, session_seq
     """,

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import broadcast, col
 
 from map_reduce_group_spark.catalog import load_table
-from map_reduce_group_spark.functions.numeric import davg, dsum, money
+from map_reduce_group_spark.functions.numeric import davg, dec2double, dsum, money
 from map_reduce_group_spark.plans.registry import register
 
 
@@ -45,9 +45,9 @@ def join_left_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_mktsegment")
         .agg(
             F.count("o_orderkey").alias("order_count"),
-            F.coalesce(F.sum(money("o_totalprice")), F.lit(0).cast("decimal(12,2)"))
-            .cast("double")
-            .alias("total_spend"),
+            dec2double(
+                F.coalesce(F.sum(money("o_totalprice")), F.lit(0).cast("decimal(12,2)"))
+            ).alias("total_spend"),
         )
     )
 
@@ -174,7 +174,7 @@ def agg_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
@@ -193,7 +193,7 @@ def agg_rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            count(*) AS n_rows,
-           CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -211,11 +211,11 @@ def agg_cube_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_having_big_orders",
     oracle="""
     SELECT o_custkey, count(*) AS n_orders,
-           (CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(o_totalprice)) AS avg_price
+           (CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / count(o_totalprice)) AS avg_price
     FROM orders
     GROUP BY o_custkey
     HAVING count(*) >= 12
-       AND (CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(o_totalprice)) > 20000
+       AND (CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) / count(o_totalprice)) > 20000
     """,
 )
 def agg_having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -39,7 +39,7 @@ def _events_stream_dir(sf_dir: str) -> str:
     SELECT date_trunc('hour', ts) AS hour_start,
            event_type,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -72,7 +72,7 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id,
            min(ts) AS session_start,
            count(*) AS n_events,
-           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS session_value
+           CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS session_value
     FROM sessioned
     GROUP BY user_id, session_seq
     """,

@@ -24,6 +24,7 @@ from pyspark.sql.functions import broadcast, col
 from map_reduce_group_spark.catalog import load_table
 from map_reduce_group_spark.functions.numeric import (
     davg,
+    dec2double,
     dsum,
     dsum_expr,
     money,
@@ -50,11 +51,11 @@ def _disc_price() -> F.Column:
         l_linestatus,
         {sql_dsum('l_quantity')}                          AS sum_qty,
         {sql_dsum('l_extendedprice')}                     AS sum_base_price,
-        CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE)            AS sum_disc_price,
-        CAST(sum({_CHARGE_SQL}) AS DOUBLE)                AS sum_charge,
+        CAST(CAST(sum({_DISC_PRICE_SQL}) AS VARCHAR) AS DOUBLE)            AS sum_disc_price,
+        CAST(CAST(sum({_CHARGE_SQL}) AS VARCHAR) AS DOUBLE)                AS sum_charge,
         {sql_davg('l_quantity')}                          AS avg_qty,
         {sql_davg('l_extendedprice')}                     AS avg_price,
-        (CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / count(*)) AS avg_disc,
+        (CAST(CAST(sum(CAST(l_discount AS DECIMAL(3,2))) AS VARCHAR) AS DOUBLE) / count(*)) AS avg_disc,
         count(*)                                          AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -79,7 +80,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum_expr(charge).alias("sum_charge"),
             davg("l_quantity").alias("avg_qty"),
             davg("l_extendedprice").alias("avg_price"),
-            (F.sum(rate("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            (dec2double(F.sum(rate("l_discount"))) / F.count(F.lit(1))).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -90,7 +91,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT
         l_orderkey,
-        CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue,
+        CAST(CAST(sum({_DISC_PRICE_SQL}) AS VARCHAR) AS DOUBLE) AS revenue,
         o_orderdate,
         o_orderpriority
     FROM customer
@@ -178,7 +179,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_local_supplier_volume",
     oracle=f"""
-    SELECT n_name, CAST(sum({_DISC_PRICE_SQL}) AS DOUBLE) AS revenue
+    SELECT n_name, CAST(CAST(sum({_DISC_PRICE_SQL}) AS VARCHAR) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey  = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -219,8 +220,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(3,2))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'

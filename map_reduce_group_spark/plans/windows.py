@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import col
 
 from map_reduce_group_spark.catalog import load_table
-from map_reduce_group_spark.functions.numeric import money
+from map_reduce_group_spark.functions.numeric import dec2double, money
 from map_reduce_group_spark.plans.registry import register
 
 
@@ -82,9 +82,9 @@ def window_lag_lead_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_totals",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS running_spend,
            count(*) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)     AS order_seq
@@ -101,7 +101,7 @@ def window_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        F.sum(money("o_totalprice")).over(w).cast("double").alias("running_spend"),
+        dec2double(F.sum(money("o_totalprice")).over(w)).alias("running_spend"),
         F.count(F.lit(1)).over(w).alias("order_seq"),
     )
 
