@@ -21,6 +21,7 @@ from map_reduce_group_spark.operators.similarity import (
     ivf_topk,
 )
 from map_reduce_group_spark.operators.text import (
+    bpe_ish_token_count,
     chunk_documents,
     fingerprint,
     predicted_lang,
@@ -30,19 +31,20 @@ from map_reduce_group_spark.operators.text import (
 
 __all__ = [
     "asof_join",
+    "bpe_ish_token_count",
     "chunk_documents",
-    "fingerprint",
-    "predicted_lang",
-    "token_count",
-    "tokens",
     "connected_components",
     "cosine_neardup_pairs",
     "cosine_topk",
     "exact_dedup_groups",
+    "fingerprint",
     "ivf_topk",
     "minhash_lsh_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "predicted_lang",
     "simhash",
     "simhash_near_pairs",
+    "token_count",
+    "tokens",
 ]

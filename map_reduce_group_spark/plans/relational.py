@@ -30,7 +30,7 @@ from map_reduce_group_spark.plans.registry import register
     oracle="""
     SELECT c_custkey, c_mktsegment,
            count(o_orderkey)  AS order_count,
-           CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spend
+           CAST(CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS VARCHAR) AS DOUBLE) AS total_spend
     FROM customer LEFT JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_mktsegment
     """,
@@ -577,4 +577,4 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         values=["p_size", "p_retailprice"],
         variableColumnName="metric",
         valueColumnName="value",
-    )
+    ).filter(col("value").isNotNull())  # DuckDB UNPIVOT drops NULLs; pin that semantic
