@@ -41,11 +41,11 @@ def main() -> None:
         try:
             df = builder(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            timings[name] = round(time.perf_counter() - t0, 2)
         except Exception as exc:  # one broken query must not lose the artifact
             errors[name] = (str(exc).splitlines() or [repr(exc)])[0][:200]
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(timings.values()), 2)
     out = {
         "metric": "total_query_wall_sec",
         "value": total,
@@ -55,7 +55,13 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # Compact encoding (r01's pretty line overflowed the driver's capture
+    # window and parsed as null); the full artifact also lands on disk so a
+    # truncated stdout line can never lose the numbers again.
+    line = json.dumps(out, separators=(",", ":"))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as fh:
+        fh.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

@@ -73,6 +73,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_doc_freq: int | None = None,
+    max_doc_frac: float | None = None,
 ) -> DataFrame:
     """EXACT n-gram-Jaccard similar pairs via inverted-index self-join.
 
@@ -89,17 +90,37 @@ def ngram_jaccard_pairs(
     The threshold is applied to the RAW quotient (matches the oracle);
     rounding is presentation only.
 
-    ``max_doc_freq`` is the 100 TB lever: drop stop-shingles appearing in
-    more than that many documents BEFORE the self-join (a shingle in f docs
-    contributes O(f²) candidate rows). Set sizes keep counting dropped
-    shingles, so the measured overlap only shrinks: measured ≤ true
-    Jaccard, and every returned pair therefore meets the threshold on the
-    TRUE metric too (exact precision; recall loss limited to pairs whose
-    overlap is mostly boilerplate shingles). Default None = fully exact
-    (oracle mode).
+    ``max_doc_freq`` / ``max_doc_frac`` are the 100 TB lever: drop
+    stop-shingles appearing in more than that many (resp. that fraction of)
+    documents BEFORE the self-join (a shingle in f docs contributes O(f²)
+    candidate rows). Set sizes keep counting dropped shingles, so the
+    measured overlap only shrinks: measured ≤ true Jaccard, and every
+    returned pair therefore meets the threshold on the TRUE metric too
+    (exact precision; recall loss limited to pairs whose overlap is mostly
+    boilerplate shingles). Prefer the fractional form — boilerplate volume
+    grows with the corpus while duplicate-family sizes (whose shingles have
+    df ≈ family size) don't, so a fraction stays recall-safe as data grows
+    where any absolute cap eventually cuts into real duplicate families.
+    The effective cap is ``greatest(ceil(frac · n_docs), 1)`` computed in
+    double on both engines (identical IEEE result, oracle-stable). Default
+    None = fully exact (oracle mode).
     """
+    if max_doc_freq is not None and max_doc_frac is not None:
+        raise ValueError("pass max_doc_freq or max_doc_frac, not both")
     postings = shingle_postings(df, id_col, text_col, n)
-    if max_doc_freq is not None:
+    if max_doc_frac is not None:
+        n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+        w_df = Window.partitionBy("shingle")
+        postings = (
+            postings.crossJoin(F.broadcast(n_docs))
+            .withColumn("df", F.count(F.lit(1)).over(w_df))
+            .filter(
+                col("df")
+                <= F.greatest(F.ceil(F.lit(max_doc_frac) * col("n_docs")), F.lit(1))
+            )
+            .drop("df", "n_docs")
+        )
+    elif max_doc_freq is not None:
         w_df = Window.partitionBy("shingle")
         postings = (
             postings.withColumn("df", F.count(F.lit(1)).over(w_df))

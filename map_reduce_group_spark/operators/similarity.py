@@ -1,8 +1,10 @@
 """Similarity search over embedding columns (north-star, BASELINE.json).
 
-- brute-force cosine top-k: the exact baseline — broadcast query matrix,
-  Arrow-batched NumPy matmul over corpus partitions with per-batch top-k
-  pruning, then one k-bounded global ranking.
+- brute-force cosine top-k: the exact baseline — corpus hash-sharded with
+  queries replicated per shard (fully distributed, no driver collect),
+  NumPy matmul per shard with local top-k pruning, then one k-bounded
+  global ranking; an opt-in bounded broadcast path keeps the corpus scan
+  narrow when the query set is provably tiny.
 - IVF-style bucketed ANN: deterministic hyperplane LSH code per vector;
   per-bucket NumPy matmul via cogrouped applyInPandas — the scale path:
   each query touches 1/2^p of the corpus and the shuffle key is the bucket.
@@ -44,6 +46,39 @@ def _unit_rows(m: np.ndarray) -> np.ndarray:
     return m / norms[:, None]
 
 
+def _local_topk(
+    q_ids: np.ndarray,
+    qm: np.ndarray,
+    c_ids: np.ndarray,
+    cm: np.ndarray,
+    k: int,
+    round_digits: int,
+) -> pd.DataFrame:
+    """Per-block exact top-k: rank Q·Cᵀ cosines by (cos desc, c_id asc) and
+    keep k per query, excluding self-pairs. The local order equals the final
+    global ranking order, so per-block pruning never drops a global winner
+    (global top-k ⊆ union of block top-k)."""
+    sims = np.round(qm @ cm.T, round_digits)  # (Q, C)
+    out_q, out_c, out_s = [], [], []
+    for qi in range(sims.shape[0]):
+        mask = c_ids != q_ids[qi]  # exclude self
+        cand_ids, cand_sims = c_ids[mask], sims[qi][mask]
+        if not len(cand_ids):
+            continue
+        order = np.lexsort((cand_ids, -cand_sims))[:k]
+        out_q.extend([q_ids[qi]] * len(order))
+        out_c.extend(cand_ids[order])
+        out_s.extend(cand_sims[order])
+    return pd.DataFrame({"q_id": out_q, "c_id": out_c, "cos": out_s})
+
+
+def _rank_topk(flat: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("q_id").orderBy(col("cos").desc(), col("c_id"))
+    return flat.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        col("rank") <= k
+    )
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -51,54 +86,88 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     round_digits: int = 5,
+    n_shards: int | None = None,
+    max_broadcast_queries: int | None = None,
 ) -> DataFrame:
     """Exact brute-force cosine top-k: (q_id, c_id, cos, rank).
 
-    Queries (small) are collected and broadcast as one unit-row matrix;
-    each corpus Arrow batch computes Q·Bᵀ and emits only its local top-k
-    per query (global top-k ⊆ union of batch top-k, so pruning is exact).
-    One final window ranks the ≤ k·batches survivors per query.
+    Default (distributed, no driver-side collect): the corpus is salted into
+    ``n_shards`` hash shards and the queries — the small side — replicate
+    once per shard; a cogrouped applyInPandas runs the NumPy Q·Bᵀ kernel per
+    shard with local top-k pruning, and one window merges shard winners.
+    Each corpus row lives in exactly one shard and each query visits every
+    shard, so the result is exact and independent of ``n_shards``. Shuffle
+    volume: corpus once + queries × n_shards — both sides stay on executors.
+
+    ``max_broadcast_queries=N`` selects the shuffle-free fast path for small
+    query sets: queries are collected (bounded — raises if more than N rows)
+    and broadcast as one unit-row matrix, and the corpus is scanned narrowly
+    with per-Arrow-batch pruning. Optimal when Q is tiny and the corpus is
+    huge; the default path is the one that survives unbounded Q.
     """
     spark = corpus.sparkSession
     id_t = _id_type(corpus, id_col)
     out_schema = f"q_id {id_t}, c_id {id_t}, cos double"
-    qpdf = queries.select(col(id_col).alias("q_id"), col(vec_col).alias("v")).toPandas()
-    if not len(qpdf):  # no queries → empty result with the right schema
-        return spark.createDataFrame([], out_schema + ", rank bigint")
-    q_ids = qpdf["q_id"].to_numpy()
-    qm = _unit_rows(_matrix(qpdf["v"]))
-    bq = spark.sparkContext.broadcast((q_ids, qm))
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ids, qmat = bq.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            cm = _unit_rows(_matrix(pdf["v"]))
-            c_ids = pdf["c_id"].to_numpy()
-            sims = np.round(qmat @ cm.T, round_digits)  # (Q, B)
-            out_q, out_c, out_s = [], [], []
-            for qi in range(sims.shape[0]):
-                row = sims[qi]
-                mask = c_ids != ids[qi]  # exclude self
-                cand_ids, cand_sims = c_ids[mask], row[mask]
-                if not len(cand_ids):
+    if max_broadcast_queries is not None:
+        qpdf = (
+            queries.select(col(id_col).alias("q_id"), col(vec_col).alias("v"))
+            .limit(max_broadcast_queries + 1)
+            .toPandas()
+        )
+        if len(qpdf) > max_broadcast_queries:
+            raise ValueError(
+                f"cosine_topk broadcast path got > {max_broadcast_queries} "
+                "queries; raise max_broadcast_queries or use the default "
+                "distributed path"
+            )
+        if not len(qpdf):  # no queries → empty result with the right schema
+            return spark.createDataFrame([], out_schema + ", rank bigint")
+        bq = spark.sparkContext.broadcast(
+            (qpdf["q_id"].to_numpy(), _unit_rows(_matrix(qpdf["v"])))
+        )
+
+        def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ids, qmat = bq.value
+            for pdf in batches:
+                if not len(pdf):
                     continue
-                # local top-k by (cos desc, c_id asc) — same order as the
-                # final global ranking, so pruning never drops a winner
-                order = np.lexsort((cand_ids, -cand_sims))[:k]
-                out_q.extend([ids[qi]] * len(order))
-                out_c.extend(cand_ids[order])
-                out_s.extend(cand_sims[order])
-            yield pd.DataFrame({"q_id": out_q, "c_id": out_c, "cos": out_s})
+                yield _local_topk(
+                    ids, qmat, pdf["c_id"].to_numpy(), _unit_rows(_matrix(pdf["v"])),
+                    k, round_digits,
+                )
 
-    flat = corpus.select(
-        col(id_col).alias("c_id"), col(vec_col).alias("v")
-    ).mapInPandas(score, out_schema)
-    w = Window.partitionBy("q_id").orderBy(col("cos").desc(), col("c_id"))
-    return flat.select(
-        "q_id", "c_id", "cos", F.row_number().over(w).cast("long").alias("rank")
-    ).filter(col("rank") <= k)
+        flat = corpus.select(
+            col(id_col).alias("c_id"), col(vec_col).alias("v")
+        ).mapInPandas(score, out_schema)
+        return _rank_topk(flat, k)
+
+    if n_shards is None:
+        n_shards = max(spark.sparkContext.defaultParallelism, 8)
+    q = queries.select(
+        col(id_col).alias("id"),
+        col(vec_col).alias("v"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))).alias("shard"),
+    )
+    c = corpus.select(col(id_col).alias("id"), col(vec_col).alias("v")).withColumn(
+        "shard", F.pmod(F.xxhash64(col("id")), F.lit(n_shards)).cast("int")
+    )
+
+    def shard_topk(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame({"q_id": [], "c_id": [], "cos": []})
+        return _local_topk(
+            qpdf["id"].to_numpy(), _unit_rows(_matrix(qpdf["v"])),
+            cpdf["id"].to_numpy(), _unit_rows(_matrix(cpdf["v"])),
+            k, round_digits,
+        )
+
+    flat = (
+        q.groupBy("shard")
+        .cogroup(c.groupBy("shard"))
+        .applyInPandas(shard_topk, out_schema)
+    )
+    return _rank_topk(flat, k)
 
 
 # deterministic hyperplanes: plane[p][i] = ((i*31 + p*17) % 13) - 6
@@ -185,29 +254,19 @@ def ivf_topk(
     def bucket_topk(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
         if not len(qpdf) or not len(cpdf):
             return pd.DataFrame({"q_id": [], "c_id": [], "bucket": [], "cos": []})
-        qm = _unit_rows(_matrix(qpdf["v"]))
-        cm = _unit_rows(_matrix(cpdf["v"]))
-        q_ids, c_ids = qpdf["id"].to_numpy(), cpdf["id"].to_numpy()
-        sims = np.round(qm @ cm.T, round_digits)
-        out = {"q_id": [], "c_id": [], "bucket": [], "cos": []}
-        for qi in range(sims.shape[0]):
-            mask = c_ids != q_ids[qi]
-            cand_ids, cand_sims = c_ids[mask], sims[qi][mask]
-            order = np.lexsort((cand_ids, -cand_sims))[:k]
-            out["q_id"].extend([q_ids[qi]] * len(order))
-            out["c_id"].extend(cand_ids[order])
-            out["bucket"].extend([key[0]] * len(order))
-            out["cos"].extend(cand_sims[order])
-        return pd.DataFrame(out)
+        out = _local_topk(
+            qpdf["id"].to_numpy(), _unit_rows(_matrix(qpdf["v"])),
+            cpdf["id"].to_numpy(), _unit_rows(_matrix(cpdf["v"])),
+            k, round_digits,
+        )
+        out["bucket"] = key[0]
+        return out[["q_id", "c_id", "bucket", "cos"]]
 
     id_t = _id_type(corpus, id_col)
     flat = q.groupBy("bucket").cogroup(c.groupBy("bucket")).applyInPandas(
         bucket_topk, f"q_id {id_t}, c_id {id_t}, bucket int, cos double"
     )
-    w = Window.partitionBy("q_id").orderBy(col("cos").desc(), col("c_id"))
-    return flat.select(
-        "q_id", "c_id", "bucket", "cos", F.row_number().over(w).cast("long").alias("rank")
-    ).filter(col("rank") <= k)
+    return _rank_topk(flat, k)
 
 
 def cosine_neardup_pairs(

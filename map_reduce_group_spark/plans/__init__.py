@@ -1,4 +1,17 @@
-"""Query plans — importing this package populates the registry."""
+"""Query plans — importing this package populates the registry.
+
+Enumeration order matters: the external driver sweeps the first N registry
+entries per round (r01 recorded exactly the first 50 of 80), so after the
+plan modules register everything we reorder the registry to put queries
+with the fewest recorded CORRECTNESS rows first. Over rounds this rotates
+the sweep window across the whole surface; the sort is deterministic
+(tie-break = original registration order), so repeated runs in one round
+see an identical ordering.
+"""
+
+import glob as _glob
+import json as _json
+import os as _os
 
 from map_reduce_group_spark.plans import (  # noqa: F401
     advanced,
@@ -11,5 +24,33 @@ from map_reduce_group_spark.plans import (  # noqa: F401
     windows,
 )
 from map_reduce_group_spark.plans.registry import REGISTRY, oracles, queries
+
+
+def _recorded_counts() -> dict[str, int]:
+    """How many driver CORRECTNESS rounds have recorded each query name."""
+    repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    counts: dict[str, int] = {}
+    for path in sorted(_glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            # an errored row proves nothing — keep the query near the front
+            ok = isinstance(row, dict) and row.get("err") in (None, "no_oracle")
+            counts[name] = counts.get(name, 0) + (1 if ok else 0)
+    return counts
+
+
+def _reorder_registry() -> None:
+    seen = _recorded_counts()
+    order = {name: i for i, name in enumerate(REGISTRY)}
+    ranked = sorted(REGISTRY, key=lambda n: (seen.get(n, 0), order[n]))
+    for name in ranked:
+        REGISTRY[name] = REGISTRY.pop(name)
+
+
+_reorder_registry()
 
 __all__ = ["REGISTRY", "oracles", "queries"]
