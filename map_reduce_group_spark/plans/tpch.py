@@ -266,3 +266,283 @@ def project_filter_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
         charge.cast("double").alias("charge"),
         F.when(col("l_quantity") >= 25, "bulk").otherwise("small").alias("qty_class"),
     )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           CAST(CAST(sum({_DISC_PRICE_SQL}) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two facts + the SAME dimension joined twice under
+    different roles (supplier-nation vs customer-nation) + a disjunctive
+    cross-role predicate + agg by (nation pair, year).
+
+    Scale: both nation copies broadcast; the only shuffles are the two
+    fact-fact joins on their natural keys and the final partial+final agg.
+    The nation-pair filter is applied to each broadcast copy's join output
+    early (Catalyst pushes the OR through after the joins)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(col("n_nationkey").alias("n1_key"), col("n_name").alias("supp_nation"))
+    n2 = nation.select(col("n_nationkey").alias("n2_key"), col("n_name").alias("cust_nation"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        li.join(orders, col("l_orderkey") == col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") == col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") == col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") == col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") == col("n2_key"))
+        .filter(
+            ((col("supp_nation") == "NATION_3") & (col("cust_nation") == "NATION_7"))
+            | ((col("supp_nation") == "NATION_7") & (col("cust_nation") == "NATION_3"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(dsum_expr(_disc_price()).alias("revenue"))
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle=f"""
+    WITH all_sales AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               {_DISC_PRICE_SQL} AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        JOIN part     ON l_partkey = p_partkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           (CAST(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume END) AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(sum(volume) AS VARCHAR) AS DOUBLE)) AS mkt_share,
+           CAST(CAST(sum(volume) AS VARCHAR) AS DOUBLE) AS total_volume
+    FROM all_sales
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: 8-way join + conditional aggregation (one nation's
+    share of regional volume per year). The numerator is sum(CASE WHEN ...)
+    over the same rows as the denominator — one aggregate pass, not two
+    scans. Both sums are exact decimal; the share is a single double
+    division of two exact values (deterministic, functions/numeric.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        col("n_nationkey").alias("n1_key"), col("n_regionkey").alias("n1_region")
+    )
+    region = load_table(spark, sf_dir, "region").filter(col("r_name") == "ASIA")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = load_table(spark, sf_dir, "nation").select(
+        col("n_nationkey").alias("n2_key"), col("n_name").alias("supp_nation")
+    )
+    part = load_table(spark, sf_dir, "part").filter(col("p_type") == "PROMO").select("p_partkey")
+    vol = _disc_price()
+    num = F.sum(F.when(col("supp_nation") == "NATION_3", vol))
+    den = F.sum(vol)
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey", "o_orderdate"), col("l_orderkey") == col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") == col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") == col("n1_key"))
+        .join(broadcast(region), col("n1_region") == col("r_regionkey"))
+        .join(broadcast(supp), col("l_suppkey") == col("s_suppkey"))
+        .join(broadcast(n2), col("s_nationkey") == col("n2_key"))
+        .join(broadcast(part), col("l_partkey") == col("p_partkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (dec2double(num) / dec2double(den)).alias("mkt_share"),
+            dec2double(den).alias("total_volume"),
+        )
+    )
+
+
+@register(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(CAST(sum({_DISC_PRICE_SQL}
+                         - CAST(p_retailprice AS DECIMAL(12,2))
+                           * CAST(l_quantity AS DECIMAL(12,2))
+                           * CAST(0.10 AS DECIMAL(3,2))) AS VARCHAR) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%ring%'
+    GROUP BY n_name, CAST(year(o_orderdate) AS BIGINT)
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by (supplier nation, order year) for parts
+    matching a name pattern. The fixture has no partsupp table, so unit cost
+    is modeled as 10% of p_retailprice (the SHAPE — multi-fact join with a
+    computed profit expression aggregated two levels up — is what Q9
+    exercises). All money arithmetic stays in exact decimals until the final
+    cast (functions/numeric.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(col("p_name").like("%ring%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = load_table(spark, sf_dir, "nation")
+    profit = _disc_price() - money("p_retailprice") * money("l_quantity") * rate(F.lit(0.10))
+    return (
+        li.join(broadcast(part), col("l_partkey") == col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") == col("s_suppkey"))
+        .join(orders, col("l_orderkey") == col("o_orderkey"))
+        .join(broadcast(nation), col("s_nationkey") == col("n_nationkey"))
+        .groupBy(
+            col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(dsum_expr(profit).alias("sum_profit"))
+    )
+
+
+@register(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           CAST(CAST(sum({_DISC_PRICE_SQL}) AS VARCHAR) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-04-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: who returned the most revenue last quarter — 4-way
+    join, agg keyed by the customer tuple, deterministic top-20
+    (TakeOrderedAndProject; ties broken by c_custkey)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (col("o_orderdate") >= F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        & (col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(col("l_returnflag") == "R")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), col("l_orderkey") == col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") == col("c_custkey"))
+        .join(broadcast(nation), col("c_nationkey") == col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dsum_expr(_disc_price()).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(col("revenue").desc(), col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               min(CAST(l_extendedprice AS DECIMAL(12,2))) AS supply_price
+        FROM lineitem GROUP BY 1, 2
+    ), eligible AS (
+        SELECT partkey, suppkey, supply_price, s_name, n_name
+        FROM ps
+        JOIN supplier ON suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT s_name, n_name, p_partkey, p_type,
+           CAST(CAST(e.supply_price AS VARCHAR) AS DOUBLE) AS supply_price
+    FROM eligible e
+    JOIN part ON e.partkey = p_partkey
+    WHERE p_size <= 10
+      AND e.supply_price = (
+        SELECT min(e2.supply_price) FROM eligible e2 WHERE e2.partkey = e.partkey
+      )
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated min-aggregate subquery — for each small
+    part, the EUROPE supplier(s) offering its minimum price. The fixture has
+    no partsupp, so the part-supplier price relation is derived from
+    lineitem (min extendedprice per part-supplier pair).
+
+    The correlated subquery realizes as a per-part min window over the
+    eligible relation + equality filter — one shuffle on partkey, no
+    re-scan of the subquery side (Catalyst would do the same de-correlation
+    for the SQL form). The price comparison is decimal = decimal (exact);
+    the cast to double happens only on output."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = (
+        li.groupBy(col("l_partkey").alias("partkey"), col("l_suppkey").alias("suppkey"))
+        .agg(F.min(money("l_extendedprice")).alias("supply_price"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey", "s_name")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(col("r_name") == "EUROPE")
+    eligible = (
+        ps.join(broadcast(supp), col("suppkey") == col("s_suppkey"))
+        .join(broadcast(nation), col("s_nationkey") == col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") == col("r_regionkey"))
+        .select("partkey", "suppkey", "supply_price", "s_name", "n_name")
+    )
+    w = Window.partitionBy("partkey")
+    best = eligible.withColumn("min_price", F.min("supply_price").over(w)).filter(
+        col("supply_price") == col("min_price")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(col("p_size") <= 10)
+        .select("p_partkey", "p_type")
+    )
+    return best.join(broadcast(part), col("partkey") == col("p_partkey")).select(
+        "s_name",
+        "n_name",
+        "p_partkey",
+        "p_type",
+        dec2double(col("supply_price")).alias("supply_price"),
+    )
