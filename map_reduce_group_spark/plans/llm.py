@@ -196,6 +196,52 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.05)
 
 
+@register(
+    "dedup_ngram_jaccard_capped",
+    oracle=f"""
+    WITH sets AS (
+        SELECT doc_id AS id, {_SHINGLES_SQL} AS shingles
+        FROM documents
+        WHERE len({_TOKS_SQL}) >= 3
+    ), postings AS (
+        SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle
+        FROM sets WHERE len(shingles) > 0
+    ), capped AS (
+        SELECT id, set_size, shingle FROM (
+            SELECT id, set_size, shingle,
+                   count(*) OVER (PARTITION BY shingle) AS df
+            FROM postings
+        )
+        WHERE df <= greatest(CAST(ceil(0.01 * (SELECT count(*) FROM documents)) AS BIGINT), 1)
+    ), pair_counts AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               a.set_size AS size_a, b.set_size AS size_b,
+               count(*) AS n_common
+        FROM capped a JOIN capped b USING (shingle)
+        WHERE a.id < b.id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, n_common,
+           round(CAST(n_common AS DOUBLE) / (size_a + size_b - n_common), 6) AS jaccard
+    FROM pair_counts
+    WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= 0.05
+    """,
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SUBLINEAR-candidate variant of exact n-gram Jaccard: shingles in
+    more than ``max_doc_frac`` of documents are dropped BEFORE the self-join
+    (a df-f shingle contributes O(f²) candidate rows — the df cap bounds the
+    join's output quadratically while set sizes keep counting dropped
+    shingles, so every returned pair still meets the threshold on the TRUE
+    Jaccard). This is the default 100 TB near-dup plan; the uncapped
+    ``dedup_ngram_jaccard`` is the oracle-exact baseline. The DuckDB oracle
+    applies the IDENTICAL cap (greatest(ceil(frac·n_docs), 1))."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.05, max_doc_frac=0.01
+    )
+
+
 @register("dedup_minhash_lsh")  # xxhash64-based — not SQL-expressible; rows-only check
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) candidates verified by exact Jaccard
@@ -419,12 +465,19 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), postings AS (
         SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle
         FROM sets WHERE len(shingles) > 0
+    ), capped AS (
+        SELECT id, set_size, shingle FROM (
+            SELECT id, set_size, shingle,
+                   count(*) OVER (PARTITION BY shingle) AS df
+            FROM postings
+        )
+        WHERE df <= greatest(CAST(ceil(0.01 * (SELECT count(*) FROM keep1)) AS BIGINT), 1)
     ), sim_pairs AS (
         SELECT id_a, id_b FROM (
             SELECT a.id AS id_a, b.id AS id_b,
                    a.set_size AS size_a, b.set_size AS size_b,
                    count(*) AS n_common
-            FROM postings a JOIN postings b USING (shingle)
+            FROM capped a JOIN capped b USING (shingle)
             WHERE a.id < b.id
             GROUP BY 1, 2, 3, 4
         ) WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= 0.05
@@ -464,8 +517,10 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the LLM operator set, one declarative pipeline:
 
     1. exact dedup by content fingerprint (keep min doc_id per digest);
-    2. near-dup clustering: exact 3-gram-Jaccard pairs (≥0.05) → connected
-       components → keep only cluster representatives (min id);
+    2. near-dup clustering: 3-gram-Jaccard pairs (≥0.05) with the df-capped
+       sublinear candidate plan (max_doc_frac=0.01 — the default 100 TB
+       path, see dedup_ngram_jaccard_capped) → connected components → keep
+       only cluster representatives (min id);
     3. quality gate: ≥10 word tokens;
     4. chunking: 32-token windows, 8-token overlap.
 
@@ -488,7 +543,9 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     # 2. near-dup clusters over survivors; keep representatives
-    pairs = dedup.ngram_jaccard_pairs(keep1, "doc_id", "text", n=3, threshold=0.05)
+    pairs = dedup.ngram_jaccard_pairs(
+        keep1, "doc_id", "text", n=3, threshold=0.05, max_doc_frac=0.01
+    )
     labels = connected_components(pairs).withColumnRenamed("id", "doc_id")
     keep2 = (
         keep1.join(labels, "doc_id", "left")
