@@ -11,22 +11,113 @@ Spark-side design (all real and tested):
   — the right shape for decode/resize/frame-sample at scale (one Python
   worker per partition, zero-copy Arrow transfer, bounded batch memory via
   ``spark.sql.execution.arrow.maxRecordsPerBatch``);
-- decode: STUBBED — real codecs (PIL/librosa/ffmpeg) are not in this
-  container. ``decode_image`` raises NotImplementedError behind an
-  import-try; ``fake_features`` is the deterministic stand-in that keeps
-  the plumbing (schema, batching, partitioning) fully testable.
+- decode: REAL for 24-bit uncompressed BMP (``decode_bmp24`` — pure
+  struct/NumPy header+pixel parse: magic, pixel-data offset, signed height
+  for bottom-up vs top-down row order, 4-byte row stride padding, BGR
+  channel order; no codec library needed). Compressed codecs (JPEG/PNG/
+  audio/video) stay gated behind an import-try in ``decode_image`` because
+  PIL/librosa/ffmpeg are not in this container; ``fake_features`` remains
+  the codec-free plumbing exerciser.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.functions import col
 
 FEATURE_SCHEMA = "id bigint, n_bytes bigint, byte_sum bigint, head_hash bigint"
+
+BMP_FEATURE_SCHEMA = (
+    "id bigint, width bigint, height bigint, "
+    "r_sum bigint, g_sum bigint, b_sum bigint, "
+    "r_mean double, g_mean double, b_mean double"
+)
+
+
+def encode_bmp24(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a standard 24-bit uncompressed
+    BMP file (BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up rows, BGR
+    channel order, rows padded to a 4-byte stride)."""
+    h, w, _ = pixels.shape
+    stride = (w * 3 + 3) & ~3
+    img_size = stride * h
+    padded = np.zeros((h, stride), dtype=np.uint8)
+    # bottom-up row order; RGB -> BGR
+    padded[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return file_header + info_header + padded.tobytes()
+
+
+def decode_bmp24(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL image decode for 24-bit uncompressed BMP: returns (width,
+    height, (h, w, 3) uint8 RGB top-down array).
+
+    Parses the actual format, not a private convention: 'BM' magic, pixel
+    array offset from the file header (so extra header blocks are honored),
+    signed biHeight (negative = top-down), 4-byte row stride, BGR order.
+    """
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (offset,) = struct.unpack_from("<I", payload, 10)
+    _, w, h_signed, _, bpp, compression = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit uncompressed BMP supported (bpp={bpp})")
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    raw = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=offset)
+    rgb = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    if h_signed > 0:  # bottom-up storage -> flip to top-down
+        rgb = rgb[::-1]
+    return w, h, rgb
+
+
+def bmp_features(df: DataFrame, id_col: str = "id", payload_col: str = "payload") -> DataFrame:
+    """Decode BMP payloads and emit per-image features (dimensions, per-
+    channel pixel sums and means) via Arrow-batched ``mapInPandas`` — the
+    real decode path: one Python worker per partition, each batch decodes
+    independently, nothing driver-side. Channel means are a single division
+    of an exact integer sum by the exact pixel count (deterministic IEEE)."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, rgb = decode_bmp24(bytes(payload))
+                sums = rgb.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                n_px = float(w * h)
+                rows.append(
+                    (
+                        doc_id,
+                        w,
+                        h,
+                        int(sums[0]),
+                        int(sums[1]),
+                        int(sums[2]),
+                        sums[0] / n_px,
+                        sums[1] / n_px,
+                        sums[2] / n_px,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height",
+                    "r_sum", "g_sum", "b_sum",
+                    "r_mean", "g_mean", "b_mean",
+                ],
+            )
+
+    flat = df.select(col(id_col).alias(id_col), col(payload_col).alias(payload_col))
+    return flat.mapInPandas(featurize, BMP_FEATURE_SCHEMA)
 
 
 def to_media_column(df: DataFrame, id_col: str, payload_col: str, media_type: str) -> DataFrame:

@@ -190,14 +190,75 @@ def test_approx_sketches_accuracy(spark, sf_dir):
 
 
 def test_decode_image_is_gated(spark):
-    """The multimodal decode path is stubbed behind a clear gate (codecs
-    absent in this environment)."""
+    """The COMPRESSED-codec decode path is stubbed behind a clear gate
+    (PIL/ffmpeg absent in this environment); BMP decode is real."""
     import pytest as _pytest
 
     from map_reduce_group_spark.operators.multimodal import decode_image
 
     with _pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
+
+
+def test_bmp24_decode_handcrafted_bytes():
+    """Decoder correctness against hand-assembled BMP bytes (independent of
+    our encoder): 2×2 image — stride padding (2*3=6 → 8 bytes/row), bottom-up
+    row order, BGR channel order all exercised."""
+    import struct
+
+    import numpy as np
+
+    from map_reduce_group_spark.operators.multimodal import decode_bmp24
+
+    # pixel layout (top-down RGB): (0,0)=red (1,0)... rows stored bottom-up
+    top = [(255, 0, 0), (0, 255, 0)]  # row 0: red, green
+    bot = [(0, 0, 255), (10, 20, 30)]  # row 1: blue, arbitrary
+    rows_bottom_up = [bot, top]
+    data = b"".join(
+        b"".join(bytes([b, g, r]) for (r, g, b) in row) + b"\x00\x00"  # stride pad
+        for row in rows_bottom_up
+    )
+    payload = (
+        struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(data), 0, 0, 0, 0)
+        + data
+    )
+    w, h, rgb = decode_bmp24(payload)
+    assert (w, h) == (2, 2)
+    assert rgb.tolist() == [[list(p) for p in top], [list(p) for p in bot]]
+
+    # top-down variant: negative biHeight, rows stored top-down
+    data_td = b"".join(
+        b"".join(bytes([b, g, r]) for (r, g, b) in row) + b"\x00\x00"
+        for row in (top, bot)
+    )
+    payload_td = (
+        struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data_td), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 24, 0, len(data_td), 0, 0, 0, 0)
+        + data_td
+    )
+    assert decode_bmp24(payload_td)[2].tolist() == rgb.tolist()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_bmp24(b"\x89PNG not a bmp")
+    np.testing.assert_array_equal(rgb[0, 0], [255, 0, 0])
+
+
+def test_bmp24_roundtrip_property():
+    """encode_bmp24 → decode_bmp24 is the identity for arbitrary dims
+    (including stride-padding widths) and arbitrary pixel content."""
+    import numpy as np
+
+    from map_reduce_group_spark.operators.multimodal import decode_bmp24, encode_bmp24
+
+    rng = np.random.RandomState(7)
+    for w, h in [(1, 1), (2, 3), (3, 2), (5, 4), (16, 9), (7, 1)]:
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        got_w, got_h, got = decode_bmp24(encode_bmp24(px))
+        assert (got_w, got_h) == (w, h)
+        np.testing.assert_array_equal(got, px)
 
 
 def test_lsh_bucket_jvm_matches_numpy(spark, sf_dir):
