@@ -38,10 +38,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # reader rejects outright; read it as raw nanos (legacy conf) and
         # floor-convert to microseconds — exactly what DuckDB's TIMESTAMP
         # (µs) does, so oracle comparisons agree.
+        # The conf is consumed when the parquet relation's schema is
+        # resolved (i.e. inside spark.read.parquet), so it is saved and
+        # restored around the read — a later TIMESTAMP(NANOS) read by OTHER
+        # code in the same (possibly externally-owned) session keeps its own
+        # semantics instead of silently coming back as bigint.
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prior = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            df = spark.read.parquet(path)
+        finally:
+            if prior is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -7,7 +7,10 @@ Semantics reproduced (citations into /root/reference/):
 - key = text before the first tab (worker/__main__.py:138);
 - partition = int(md5(key_utf8).hexdigest(), 16) % R
   (worker/__main__.py:139-143) → custom ``partitionFunc`` — byte-identical
-  routing, not just semantic parity;
+  routing, not just semantic parity: the worker hashes/sorts lines with the
+  trailing '\n' retained (so a tab-less line's key includes it), which
+  ``run_lines`` reproduces by re-appending '\n' around the shuffle
+  (tests/test_mr_parity.py:test_tabless_line_newline_parity);
 - per-partition lexicographic full-line sort + k-way merge grouping
   guarantee (worker/__main__.py:149, 168) →
   ``repartitionAndSortWithinPartitions`` (Spark's sort-based shuffle spills
@@ -33,6 +36,7 @@ spill handling apply unchanged.
 from __future__ import annotations
 
 import hashlib
+import re
 import shutil
 from dataclasses import dataclass
 from pathlib import Path
@@ -74,13 +78,19 @@ def run_lines(spark: SparkSession, lines: RDD, job: Job) -> RDD:
     if lines.getNumPartitions() != job.num_mappers:
         lines = lines.repartition(job.num_mappers)
     mapped = lines.pipe(job.mapper_executable)
-    keyed = mapped.map(lambda line: (line, None))
+    # Strict byte parity with the reference: the worker hashes and sorts
+    # mapper-output LINES WITH their trailing '\n' (worker/__main__.py:138 —
+    # so a tab-less line's key retains the newline, and the sort compares
+    # '\t' < '\n' < ' '). rdd.pipe strips the newline, so re-append it for
+    # keying/sorting and strip it again before the reducer pipe. For lines
+    # containing a tab (every shipped executable) this is a no-op.
+    keyed = mapped.map(lambda line: (line + "\n", None))
     shuffled = keyed.repartitionAndSortWithinPartitions(
         numPartitions=r,
         partitionFunc=lambda line: _md5_mod(_first_field(line), r),
         ascending=True,
     )
-    return shuffled.keys().pipe(job.reducer_executable)
+    return shuffled.keys().map(lambda line: line[:-1]).pipe(job.reducer_executable)
 
 
 def run_job(spark: SparkSession, job: Job) -> RDD:
@@ -100,14 +110,42 @@ def submit(spark: SparkSession, job: Job) -> None:
     run_job(spark, job).saveAsTextFile(str(out))
 
 
+_NULL_SENTINEL = "\\N"  # Hive/Hadoop-Streaming TextFile convention
+
+
+def _pipe_encode(v: object) -> str:
+    r"""Lossless field encoding for the tab-delimited pipe wire format:
+    NULL → ``\N``, and backslash/tab/newline escaped so embedded separators
+    can never shift fields (the Hive TextFile convention)."""
+    if v is None:
+        return _NULL_SENTINEL
+    return str(v).replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+
+
+def _pipe_decode(s: str) -> str | None:
+    if s == _NULL_SENTINEL:
+        return None
+    return re.sub(
+        r"\\(.)", lambda m: {"t": "\t", "n": "\n"}.get(m.group(1), m.group(1)), s
+    )
+
+
 def pipe_table(
     df: DataFrame,
     command: str,
     output_schema: str = "value string",
 ) -> DataFrame:
-    """DataFrame-level escape hatch: stream a single-string-column DataFrame
+    r"""DataFrame-level escape hatch: stream a single-string-column DataFrame
     through an arbitrary executable (Hadoop-Streaming style), back to a
-    DataFrame. The bridge RDD↔DataFrame is the only non-codegen'd hop."""
-    rdd = df.rdd.map(lambda row: "\t".join("" if v is None else str(v) for v in row))
-    piped = rdd.pipe(command).map(lambda line: line.split("\t"))
+    DataFrame. The bridge RDD↔DataFrame is the only non-codegen'd hop.
+
+    Wire format (lossless, Hive TextFile-style): fields tab-delimited, NULL
+    encoded as ``\N``, embedded ``\\``/tab/newline backslash-escaped on the
+    way in and unescaped on the way out — so NULL round-trips distinctly
+    from the empty string and a value containing a tab cannot shift fields.
+    Executables that only pass fields through (filters, projections, `cat`)
+    need no awareness of the escaping; ones that REWRITE text fields must
+    preserve it for the round trip."""
+    rdd = df.rdd.map(lambda row: "\t".join(_pipe_encode(v) for v in row))
+    piped = rdd.pipe(command).map(lambda line: [_pipe_decode(f) for f in line.split("\t")])
     return df.sparkSession.createDataFrame(piped, output_schema)

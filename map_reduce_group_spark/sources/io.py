@@ -82,16 +82,28 @@ def compact_parquet(
     leave thousands of KB-sized files whose open/footer costs dominate
     scans. Sizing uses the actual on-disk bytes (not row counts), and the
     rewrite is a single repartition — no shuffle key, so it's a round-robin
-    exchange only. Returns the number of output files."""
-    import math
-    import os
+    exchange only. Returns the number of output files.
 
-    total = sum(
-        os.path.getsize(os.path.join(dp, f))
-        for dp, _, fs in os.walk(path)
-        for f in fs
-        if f.endswith(".parquet")
-    )
+    Sizing goes through the Hadoop FileSystem API, so it is correct for ANY
+    scheme (file://, hdfs://, s3a://) — a local os.walk would find nothing
+    on remote paths and silently compact 100 TB into one file. Finding zero
+    parquet bytes is an error, never a size-1 default."""
+    import math
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    total = 0
+    while it.hasNext():
+        status = it.next()
+        if status.getPath().getName().endswith(".parquet"):
+            total += status.getLen()
+    if total == 0:
+        raise ValueError(
+            f"compact_parquet: no parquet bytes found under {path!r} — "
+            "refusing to guess an output file count"
+        )
     n_files = max(1, math.ceil(total / target_file_bytes))
     spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(out_path)
     return n_files

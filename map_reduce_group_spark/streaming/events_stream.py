@@ -19,6 +19,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -39,6 +40,12 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     under the legacy conf, µs TIMESTAMP_NTZ (e.g. DuckDB-written) as ntz —
     both normalized to a proper instant column.
     """
+    # SESSION-WIDE side effect, deliberately NOT restored (unlike the batch
+    # loader, which scopes it): the streaming source re-validates parquet
+    # footers on EVERY micro-batch, so the conf must outlive this call for
+    # the whole life of any query built on the returned stream. Consequence:
+    # other TIMESTAMP(NANOS) parquet reads in this session will come back
+    # as bigint nanos while a stream is in use (CLAUDE.md rule 5).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     probe_types = dict(spark.read.parquet(path).dtypes)
     ts_t = probe_types.get("ts", "timestamp")
@@ -100,23 +107,30 @@ def stream_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
-_STATE_SCHEMA = "n bigint, total double"
+_STATE_SCHEMA = "n bigint, cents bigint"
 _OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double"
 
 
 def _track_user_totals(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
+    # State accumulates INTEGER CENTS, not doubles — the streaming analogue
+    # of the repo's exact-decimal policy (functions/numeric.py): the 2-decimal
+    # fixture values are exact multiples of 0.01, per-row cents extraction is
+    # exact (rint of value*100), and a bigint sum never drifts no matter how
+    # many micro-batches fold in. Only the EMIT divides back to double.
     (user_id,) = key
     if state.exists:
-        n, total = state.get
+        n, cents = state.get
     else:
-        n, total = 0, 0.0
+        n, cents = 0, 0
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, round(total, 2)))
-    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]})
+        cents += int(np.rint(pdf["value"].to_numpy() * 100).sum()) if len(pdf) else 0
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [cents / 100.0]}
+    )
 
 
 def user_running_totals(events: DataFrame) -> DataFrame:

@@ -92,6 +92,17 @@ def test_pipe_table_roundtrip(spark, sf_dir):
     assert got == want
 
 
+def test_pipe_table_null_and_tab_roundtrip(spark):
+    """The pipe wire format is lossless: NULL round-trips distinctly from
+    the empty string, and embedded tabs/newlines/backslashes cannot shift
+    fields (Hive TextFile-style \\N + escaping)."""
+    rows = [("1", None), ("2", ""), ("3", "has\ttab"), ("4", "has\nnewline"), ("5", "back\\slash")]
+    df = spark.createDataFrame(rows, "id string, v string")
+    back = pipe_table(df, "cat", "id string, v string")
+    got = sorted((int(r[0]), r[1]) for r in back.collect())
+    assert got == [(1, None), (2, ""), (3, "has\ttab"), (4, "has\nnewline"), (5, "back\\slash")]
+
+
 def test_filter_job_arbitrary_executables(spark, corpus):
     """A second executable pair (grep-style filter mapper + identity
     reducer): the job API is generic over programs, not just word count."""
@@ -133,3 +144,78 @@ def test_cli_submission(corpus, tmp_path):
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert _read_output(out) == dict(golden)
+
+
+def test_executable_sees_environment(spark):
+    """Executable-contract parity: the reference spawns executables with an
+    inherited environment (worker/__main__.py:128-133, no env= override) —
+    rdd.pipe does the same, plus supports per-job injection via env=.
+    A mapper that keys on $MRG_TAG must see the injected value."""
+    rdd = spark.sparkContext.parallelize(["a", "b", "c"], 2)
+    out = rdd.pipe(f"{EXEC_DIR}/env_map.py", env={"MRG_TAG": "tag-42"}).collect()
+    assert out == ["tag-42\t1"] * 3
+
+
+def test_executable_sees_cwd(spark):
+    """Executable-contract parity: executables inherit the hosting process's
+    working directory (reference Popen without cwd=), so relative sidecar
+    paths resolve. The sidecar is written to the executor JVM's cwd (= the
+    launch directory in local mode)."""
+    sidecar = ".mrg_cwd_sidecar"
+    with open(sidecar, "w") as fh:
+        fh.write("cwd-probe\n")
+    try:
+        rdd = spark.sparkContext.parallelize(["x", "y"], 2)
+        out = rdd.pipe(f"{EXEC_DIR}/cwd_map.py").collect()
+        assert out == ["cwd-probe\t1"] * 2
+    finally:
+        os.remove(sidecar)
+
+
+def test_non_utf8_input_is_safe(spark, tmp_path):
+    """Non-UTF8 bytes in input files: the engine must not crash and must
+    route/sort deterministically. DOCUMENTED DEVIATION from the reference:
+    Spark's textFile decodes invalid UTF-8 to U+FFFD replacement chars
+    (Hadoop Text semantics), whereas the reference's text-mode open() would
+    raise UnicodeDecodeError — we are strictly safer. Valid non-ASCII UTF-8
+    (é, 中) must round-trip exactly."""
+    from map_reduce_group_spark.mr.job import run_job
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    (inp / "f0.txt").write_bytes("café café\n中文\n".encode() + b"bad \xff\xfe bytes\n")
+    job = Job(str(inp), str(tmp_path / "out"), "cat", f"{EXEC_DIR}/identity_reduce.py", 1, 1)
+    got = sorted(run_job(spark, job).collect())
+    assert "café café" in got
+    assert "中文" in got
+    bad = [line for line in got if line.startswith("bad ")]
+    assert len(bad) == 1 and "�" in bad[0]  # replaced, not crashed
+
+
+def test_tabless_line_newline_parity(spark):
+    """Routing/sort parity for tab-LESS mapper output: the reference hashes
+    line.split('\\t')[0] with the trailing '\\n' retained and sorts raw
+    lines with '\\n' attached ('\\t' < '\\n' < ' '). Verify both against a
+    byte-level emulation of the reference worker."""
+    import hashlib as hl
+
+    lines = ["ab", "ab\tz", "ab c", "aa", "b"]
+    r = 2
+
+    def ref_partition(line_with_nl: str) -> int:
+        key = line_with_nl.split("\t")[0]
+        return int(hl.md5(key.encode()).hexdigest(), 16) % r
+
+    from map_reduce_group_spark.mr.job import run_lines
+
+    job = Job("<inline>", "<inline>", "cat", f"{EXEC_DIR}/identity_reduce.py", 2, r)
+    rdd = spark.sparkContext.parallelize(lines, 2)
+    parts = run_lines(spark, rdd, job).glom().collect()
+    assert len(parts) == r
+    for pid, part in enumerate(parts):
+        # every line landed on the reference's partition
+        for line in part:
+            assert ref_partition(line + "\n") == pid, (line, pid)
+        # and the part is in the reference's sort order (bytes incl. '\n':
+        # 'ab\tz' < 'ab' < 'ab c' whenever they share a partition)
+        assert [w[:-1] for w in sorted(x + "\n" for x in part)] == part
