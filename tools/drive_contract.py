@@ -7,7 +7,11 @@ correctness gate, runnable at any scale factor.
 Reuses the test harness's canonicalization and oracle runner (single
 source of truth — tests/helpers.py) rather than forking them.
 
-Usage: python tools/drive_contract.py [sf_dir]   (default sf0.01)
+Usage: python tools/drive_contract.py [sf_dir] [cap]   (default sf0.01, no cap)
+
+``cap`` emulates the driver's observed truncation (r01 recorded exactly the
+first 50 enumerated queries): only the first ``cap`` queries run, in the
+registry's enumeration order (untested-first, cheap-first).
 """
 import os
 import sys
@@ -34,11 +38,12 @@ print(f"ENTRY: {len(rows)} rows, schema={df.schema.simpleString()}")
 assert len(rows) > 0
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+CAP = int(sys.argv[2]) if len(sys.argv) > 2 else None
 qs, osql = e.queries(), e.oracle_sql()
 print(f"{len(qs)} queries, {len(osql)} oracles")
 
 fails = []
-for name in sorted(qs):
+for name in list(qs)[:CAP]:
     t0 = time.perf_counter()
     sdf = qs[name](spark, SF).toPandas()
     if name in osql:
