@@ -92,6 +92,8 @@ _DRIVER_RECORDED = frozenset(
 _COST_HINT = {
     "q8_market_share": 1.4, "join_range_price_bands": 1.7, "agg_approx_sketches": 1.9,
     "q2_min_cost_supplier": 2.0, "stream_tumbling_hourly": 2.0, "agg_cube_returns": 2.5,
+    "stream_static_enrich": 2.0, "stream_running_totals": 5.0,
+    "stream_purchase_attribution": 6.0, "stream_dedup_redelivery": 9.0,
     "embed_ann_ivf": 2.5, "dedup_ngram_jaccard_capped": 2.9, "dedup_simhash": 3.5,
     "udf_cogroup_in_pandas": 3.7, "stream_sessionization": 4.1, "dedup_minhash_lsh": 4.2,
     "dedup_clusters": 9.7, "pipeline_corpus_prep": 11.7,

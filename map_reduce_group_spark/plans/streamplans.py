@@ -13,24 +13,32 @@ import itertools
 import os
 import tempfile
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from map_reduce_group_spark.plans.registry import register
 from map_reduce_group_spark.streaming import events_stream as es
 
 _COUNTER = itertools.count()
-_STREAM_DIRS: dict[str, str] = {}
+_STREAM_DIRS: dict[tuple[str, int], str] = {}
 
 
-def _events_stream_dir(sf_dir: str) -> str:
+def _events_stream_dir(sf_dir: str, copies: int = 1) -> str:
     """File stream sources need a directory; expose the single events
     parquet file via a symlinked temp dir (testdata is read-only).
-    Cached per sf_dir so repeated builder invocations don't leak dirs."""
-    if sf_dir not in _STREAM_DIRS:
+    ``copies=2`` links the same file twice — an at-least-once redelivery
+    fixture for the streaming dedup check. Cached per (sf_dir, copies) so
+    repeated builder invocations don't leak dirs."""
+    key = (sf_dir, copies)
+    if key not in _STREAM_DIRS:
         d = tempfile.mkdtemp(prefix="mrg_stream_src_")
-        os.symlink(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet"))
-        _STREAM_DIRS[sf_dir] = d
-    return _STREAM_DIRS[sf_dir]
+        for i in range(copies):
+            os.symlink(
+                os.path.join(sf_dir, "events.parquet"),
+                os.path.join(d, f"events_{i}.parquet"),
+            )
+        _STREAM_DIRS[key] = d
+    return _STREAM_DIRS[key]
 
 
 @register(
@@ -84,4 +92,110 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = es.read_events_stream(spark, _events_stream_dir(sf_dir))
     return es.run_to_memory(
         es.session_aggregate(stream), f"q_stream_sessions_{next(_COUNTER)}"
+    )
+
+
+@register(
+    "stream_dedup_redelivery",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, value
+    FROM events
+    """,
+)
+def stream_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under at-least-once redelivery: the file source
+    sees the events file TWICE (two links in the source dir), and
+    ``dropDuplicatesWithinWatermark("event_id")`` must collapse the replay
+    back to exactly the batch-distinct row set (the oracle is plain SELECT —
+    event_id is unique in the fixture, so any surviving duplicate or any
+    dropped original fails the hash). State: one key per event_id inside the
+    watermark horizon, GC'd as the watermark advances."""
+    stream = es.read_events_stream(spark, _events_stream_dir(sf_dir, copies=2))
+    deduped = es.stream_dedup(stream).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    return es.run_to_memory(
+        deduped, f"q_stream_dedup_{next(_COUNTER)}", output_mode="append"
+    )
+
+
+@register(
+    "stream_running_totals",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (``applyInPandasWithState``,
+    integer-cents state) checked against the batch exact-decimal aggregate.
+    Update mode emits a cumulative row per user per micro-batch; the final
+    state is recovered as the emission with the highest n_events (counts are
+    monotone), which must equal the batch GROUP BY exactly."""
+    stream = es.read_events_stream(spark, _events_stream_dir(sf_dir))
+    updates = es.run_to_memory(
+        es.user_running_totals(stream),
+        f"q_stream_totals_{next(_COUNTER)}",
+        output_mode="update",
+    )
+    return updates.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )
+
+
+@register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
+    FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each event enriched with the customer dimension
+    (re-read per micro-batch; broadcast-able small side). Append mode — no
+    state beyond the join itself."""
+    from map_reduce_group_spark.catalog import load_table
+
+    stream = es.read_events_stream(spark, _events_stream_dir(sf_dir))
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    enriched = es.enrich_with_static(stream, dim).select(
+        "event_id", "user_id", "c_name", "c_mktsegment", "value"
+    )
+    return es.run_to_memory(
+        enriched, f"q_stream_enrich_{next(_COUNTER)}", output_mode="append"
+    )
+
+
+@register(
+    "stream_purchase_attribution",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.ts AS purchase_ts,
+           c.event_id AS click_id,
+           c.ts AS click_ts
+    FROM events p
+    JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def stream_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchases to same-user clicks within the
+    preceding hour), both sides watermarked so join state evicts. Inner
+    append-mode matches emit eagerly; must reproduce the batch interval-join
+    row set exactly."""
+    stream = es.read_events_stream(spark, _events_stream_dir(sf_dir))
+    return es.run_to_memory(
+        es.purchases_after_clicks(stream, within="1 hour"),
+        f"q_stream_attrib_{next(_COUNTER)}",
+        output_mode="append",
     )
