@@ -44,9 +44,14 @@ def _recorded_counts() -> dict[str, int]:
 
 
 def _reorder_registry() -> None:
+    """Least-recorded first, then cheapest first (COST_HINT), then original
+    registration order — so a count- OR time-budgeted sweep records the most
+    new coverage before it truncates."""
+    from map_reduce_group_spark.plans.registry import COST_HINT
+
     seen = _recorded_counts()
     order = {name: i for i, name in enumerate(REGISTRY)}
-    ranked = sorted(REGISTRY, key=lambda n: (seen.get(n, 0), order[n]))
+    ranked = sorted(REGISTRY, key=lambda n: (seen.get(n, 0), COST_HINT.get(n, 0.0), order[n]))
     for name in ranked:
         REGISTRY[name] = REGISTRY.pop(name)
 
