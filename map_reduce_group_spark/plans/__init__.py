@@ -21,6 +21,7 @@ from map_reduce_group_spark.plans import (  # noqa: F401
     relational,
     streamplans,
     tpch,
+    tpch2,
     windows,
 )
 from map_reduce_group_spark.plans.registry import REGISTRY, oracles, queries
