@@ -172,3 +172,94 @@ def fake_features(df: DataFrame) -> DataFrame:
 
     flat = df.select(col("media.payload").alias("payload"), col("id"))
     return flat.mapInPandas(featurize, FEATURE_SCHEMA)
+
+
+WAV_FEATURE_SCHEMA = (
+    "id bigint, n_frames bigint, channels bigint, sample_rate bigint, "
+    "duration_s double, amp_sum bigint, amp_mean double, peak bigint"
+)
+
+
+def encode_wav_pcm16(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode an (n_frames, channels) int16 array as a standard RIFF/WAVE
+    file (PCM format 1, 16-bit little-endian, interleaved frames). A LIST
+    metadata chunk is deliberately placed between fmt and data so decoders
+    that assume data immediately follows fmt break loudly."""
+    frames, channels = samples.shape
+    data = samples.astype("<i2").tobytes()
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    info = b"INFOISFT\x06\x00\x00\x00mrgsp\x00"  # LIST/INFO software tag
+    chunks = (
+        b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"LIST" + struct.pack("<I", len(info)) + info
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav_pcm16(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """REAL audio decode for 16-bit PCM WAV: returns (sample_rate, channels,
+    (n_frames, channels) int16 array).
+
+    Parses the actual container: RIFF magic + WAVE form type, then a proper
+    chunk walk (chunk ids + sizes, word-aligned) to locate fmt and data —
+    unknown chunks (LIST, fact, cue…) are skipped, not assumed absent."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"only 16-bit PCM supported (format={audio_format}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2").reshape(-1, channels)
+    return sample_rate, channels, samples
+
+
+def wav_features(df: DataFrame, id_col: str = "id", payload_col: str = "payload") -> DataFrame:
+    """Decode PCM WAV payloads and emit per-clip features (frame count,
+    channel count, sample rate, duration, amplitude sum/mean, peak) via
+    Arrow-batched ``mapInPandas`` — same distributed decode shape as
+    ``bmp_features``: per-partition Python workers, zero driver involvement.
+    amp_sum is an exact int64 sum; mean and duration are single exact-IEEE
+    divisions, so the closed-form oracle agrees bit-for-bit."""
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rate, channels, samples = decode_wav_pcm16(bytes(payload))
+                frames = samples.shape[0]
+                flat = samples.astype(np.int64)
+                amp_sum = int(flat.sum())
+                rows.append(
+                    (
+                        doc_id,
+                        frames,
+                        channels,
+                        rate,
+                        frames / rate,
+                        amp_sum,
+                        amp_sum / (frames * channels),
+                        int(np.abs(flat).max()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "n_frames", "channels", "sample_rate",
+                    "duration_s", "amp_sum", "amp_mean", "peak",
+                ],
+            )
+
+    flat = df.select(col(id_col).alias(id_col), col(payload_col).alias(payload_col))
+    return flat.mapInPandas(featurize, WAV_FEATURE_SCHEMA)
