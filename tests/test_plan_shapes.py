@@ -123,3 +123,44 @@ def test_jaccard_joins_flip_to_sort_merge_at_scale(spark, sf_dir):
         assert got == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_q11_threshold_is_broadcast_not_recompute(spark, sf_dir):
+    """Q11's global-total scalar subquery must be a broadcast of the 1-row
+    aggregate back over the grouped relation — never a nested loop over the
+    full relation per row."""
+    p = plan(spark, sf_dir, "q11_important_stock")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_q18_having_set_is_semi_join(spark, sf_dir):
+    p = plan(spark, sf_dir, "q18_large_volume_customers")
+    assert "LeftSemi" in p, p
+    assert "TakeOrderedAndProject" in p, p
+
+
+def test_q21_exists_pair_is_semi_plus_anti(spark, sf_dir):
+    """Q21's EXISTS / NOT-EXISTS pair must realize as one left-semi and one
+    left-anti join — never a correlated re-scan or nested loop."""
+    p = plan(spark, sf_dir, "q21_waiting_suppliers")
+    assert "LeftSemi" in p, p
+    assert "LeftAnti" in p, p
+    assert "NestedLoop" not in p.replace("BroadcastNestedLoopJoin", ""), p
+
+
+def test_q19_disjunction_stays_hash_join(spark, sf_dir):
+    """The OR-of-ANDs predicate must not force a nested-loop join: the
+    equi-key (partkey) carries the join, the disjunction is a filter."""
+    p = plan(spark, sf_dir, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p, p
+    assert "NestedLoop" not in p, p
+
+
+def test_q17_correlated_avg_is_window_single_shuffle(spark, sf_dir):
+    """Q17's correlated per-part average is one window over partkey — the
+    lineitem side is scanned once, not once per outer row."""
+    p = plan(spark, sf_dir, "q17_small_quantity_revenue")
+    assert "Window" in p, p
+    scans = len(re.findall(r"Location:.*lineitem", p))
+    assert scans == 1, f"{scans} lineitem scans:\n{p}"
