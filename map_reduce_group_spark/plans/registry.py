@@ -61,13 +61,13 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # a secondary sort key so a time-budgeted driver sweep gets through the cheap
 # tail before committing to the heavy queries.
 COST_HINT = {
-    "q8_market_share": 1.4, "join_range_price_bands": 1.7, "agg_approx_sketches": 1.9,
-    "q2_min_cost_supplier": 2.0, "stream_tumbling_hourly": 2.0, "agg_cube_returns": 2.5,
-    "stream_static_enrich": 2.0, "stream_running_totals": 5.0,
-    "stream_purchase_attribution": 6.0, "stream_dedup_redelivery": 9.0,
-    "embed_ann_ivf": 2.5, "dedup_ngram_jaccard_capped": 2.9, "dedup_simhash": 3.5,
-    "udf_cogroup_in_pandas": 3.7, "stream_sessionization": 4.1, "dedup_minhash_lsh": 4.2,
-    "dedup_clusters": 9.7, "pipeline_corpus_prep": 11.7,
+    "q8_market_share": 1.4, "join_range_price_bands": 1.7, "text_tfidf_top_terms": 2.0,
+    "q2_min_cost_supplier": 2.0, "stream_tumbling_hourly": 2.0, "q21_waiting_suppliers": 2.1,
+    "agg_approx_sketches": 2.2, "agg_cube_returns": 2.6, "dedup_ngram_jaccard_capped": 2.5,
+    "embed_ann_ivf": 2.5, "stream_static_enrich": 2.0, "stream_running_totals": 2.6,
+    "udf_cogroup_in_pandas": 3.2, "stream_dedup_redelivery": 3.2, "dedup_minhash_lsh": 3.4,
+    "dedup_simhash": 3.5, "stream_sessionization": 4.9, "pipeline_corpus_prep": 7.5,
+    "stream_purchase_attribution": 7.6, "dedup_clusters": 10.0,
 }
 
 
