@@ -384,3 +384,26 @@ def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT doc_id, t.tok FROM docs_for_udtf, LATERAL tokenize_udtf(text) t"
     )
+
+
+@register(
+    "sample_hash_deterministic",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substr(md5(text), 1, 1) IN ('0', '1')
+    """,
+)
+def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-hash sampling: keep documents whose md5(text)
+    starts with one of 2 of the 16 hex digits — an exactly-reproducible 1/8
+    systematic sample, the form a training-data pipeline should prefer over
+    seeded RNG sampling (same selection on ANY engine, any partitioning, any
+    run — so ablations and holdouts are re-derivable from the data alone;
+    the seeded twin `sample_seeded` stays rows-only precisely because RNG
+    streams are engine-private). Map-only: the predicate evaluates in the
+    scan stage, no shuffle, and composes with any downstream operator."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(F.substring(F.md5(col("text").cast("binary")), 1, 1).isin("0", "1")).select(
+        "doc_id", "lang", "n_chars"
+    )

@@ -52,7 +52,7 @@ def _disc_price() -> F.Column:
     )
     SELECT partkey, CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value
     FROM ps
-    WHERE value > (SELECT sum(value) * 0.001 FROM ps)
+    WHERE value > (SELECT sum(value) FROM ps) * 60.0 / (SELECT count(*) FROM lineitem)
     ORDER BY value DESC, partkey
     """,
 )
@@ -62,7 +62,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     so value = sum(extendedprice x quantity) of one nation's suppliers'
     lineitems.
 
-    The scalar subquery realizes as a 1-row aggregate cross-joined
+    The threshold fraction is 60/|lineitem| — data-size-relative, mirroring
+    TPC-H's own 0.0001/SF scaling (a FIXED fraction degenerates to the empty
+    set as data grows: with ~n lineitems per part, relative deviation from
+    the uniform share shrinks as 1/sqrt(n), measured 394 rows at sf0.01 but
+    0 at sf0.1 under the fixed form).
+
+    The scalar subqueries realize as 1-row aggregates cross-joined
     (broadcast) against the grouped relation — the grouped relation is
     computed ONCE and reused for both sides, not re-scanned."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -74,7 +80,10 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(col("l_partkey").alias("partkey"))
         .agg(F.sum(money("l_extendedprice") * money("l_quantity")).alias("value"))
     )
-    total = ps.agg((F.sum("value") * F.lit(0.001)).alias("threshold"))
+    n_li = li.agg(F.count(F.lit(1)).alias("n_li"))
+    total = ps.agg(F.sum("value").alias("grand_total")).crossJoin(broadcast(n_li)).select(
+        (col("grand_total") * F.lit(60.0) / col("n_li")).alias("threshold")
+    )
     return (
         ps.join(broadcast(total))
         .filter(col("value") > col("threshold"))
@@ -411,29 +420,36 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q20_excess_suppliers",
     oracle="""
+    WITH shipped AS (
+        SELECT l_suppkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%gear%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey
+    )
     SELECT s_name, n_name
     FROM supplier
     JOIN nation ON s_nationkey = n_nationkey
     WHERE n_name IN ('NATION_1', 'NATION_5')
       AND s_suppkey IN (
-        SELECT l_suppkey FROM lineitem
-        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%ana%')
-          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-        GROUP BY l_suppkey
-        HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 50
+        SELECT l_suppkey FROM shipped WHERE qty > (SELECT avg(qty) FROM shipped)
       )
     ORDER BY s_name
     """,
 )
 def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: nested IN-subqueries (parts by name pattern →
-    suppliers who shipped enough of them in a year → suppliers of a nation).
-    Each IN realizes as a left-semi join; the quantity HAVING plays the
-    original's availability threshold (no partsupp.availqty in the fixture)."""
+    suppliers who shipped an above-average quantity of them in a year →
+    suppliers of a nation). Each IN realizes as a left-semi join; the
+    original's availability threshold (no partsupp.availqty in the fixture)
+    becomes "above the per-supplier average" — a scalar subquery over the
+    SAME derived relation, which stays discriminating at every data size
+    (a fixed absolute threshold saturates: measured all-81 pass at sf0.1,
+    while >avg keeps ~half at any scale)."""
     part = (
         load_table(spark, sf_dir, "part")
-        .filter(col("p_name").like("%ana%"))
+        .filter(col("p_name").like("%gear%"))
         .select("p_partkey")
     )
     li = (
@@ -444,10 +460,11 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(broadcast(part), col("l_partkey") == col("p_partkey"), "left_semi")
     )
+    shipped = li.groupBy("l_suppkey").agg(F.sum(money("l_quantity")).alias("qty"))
+    avg_qty = shipped.agg(F.avg("qty").alias("avg_qty"))
     qualified = (
-        li.groupBy("l_suppkey")
-        .agg(F.sum(money("l_quantity")).alias("qty"))
-        .filter(col("qty") > 50)
+        shipped.join(broadcast(avg_qty))
+        .filter(col("qty") > col("avg_qty"))
         .select("l_suppkey")
     )
     nation = load_table(spark, sf_dir, "nation").filter(
