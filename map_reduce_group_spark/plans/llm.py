@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import col
 
 from map_reduce_group_spark.catalog import load_table
-from map_reduce_group_spark.operators import dedup, similarity
+from map_reduce_group_spark.operators import dedup, similarity, text
 from map_reduce_group_spark.operators.text import (
     LANG_MARKERS,
     bpe_ish_token_count,
@@ -558,3 +558,43 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(keep3, "doc_id", "text", chunk_size=32, overlap=8).select(
         "id", "chunk_id", "chunk_text"
     )
+
+
+@register(
+    "doc_winnow_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id,
+               unnest(range(0, greatest(len(t) - 2, 0))) AS pos,
+               t
+        FROM toks
+    ), hashed AS (
+        SELECT doc_id, pos,
+               md5(t[pos + 1] || ' ' || t[pos + 2] || ' ' || t[pos + 3]) AS h
+        FROM sh
+    ), winnowed AS (
+        SELECT doc_id, pos,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+               count(*) OVER (PARTITION BY doc_id) AS m
+        FROM hashed
+    )
+    SELECT DISTINCT doc_id AS id, fp
+    FROM winnowed
+    WHERE pos <= greatest(m - 4, 0)
+    """,
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling k-gram hash + per-window minimum) document
+    fingerprints — the Moss-style copy-detection fingerprint set
+    (operators/text.py:winnow_fingerprints, k=3 token-grams, window w=4).
+    Any shared token run of ≥ 6 tokens between two documents is guaranteed
+    to surface as a shared fingerprint while only ~2/(w+1) of the k-gram
+    hashes are stored — the scale trade that makes corpus-wide
+    copy-detection a groupBy(fp) instead of an all-pairs comparison. The
+    window minimum compares md5 HEX STRINGS (lexicographic), so the DuckDB
+    oracle replays the identical selection."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.winnow_fingerprints(d, "doc_id", "text", k=3, w=4)

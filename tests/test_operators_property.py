@@ -306,3 +306,55 @@ def test_asof_join_null_keys_never_match(spark):
         ).collect()
     }
     assert got == {1: None, 2: 20}
+
+
+def test_winnowing_guarantee_and_model(spark):
+    """Winnowing's defining guarantee: any shared token run of length
+    ≥ w+k-1 between two documents yields a shared fingerprint. Also checks
+    the whole fingerprint set against a brute-force Python model (same
+    md5-hex rolling hashes, same per-window lexicographic minimum)."""
+    import hashlib
+    import random
+
+    from map_reduce_group_spark.operators.text import winnow_fingerprints
+
+    k, w = 3, 4
+    rng = random.Random(7)
+    # letters only: the operator tokenizes on [^a-z]+, so digits would split
+    vocab = [f"w{chr(97 + i % 26)}{chr(97 + i // 26)}" for i in range(30)]
+    shared = [rng.choice(vocab) for _ in range(w + k - 1)]  # guarantee-length run
+    docs = []
+    for i in range(20):
+        toks = [rng.choice(vocab) for _ in range(rng.randrange(2, 40))]
+        if i % 4 == 0:  # plant the shared run in every 4th doc
+            at = rng.randrange(0, len(toks) + 1)
+            toks = toks[:at] + shared + toks[at:]
+        docs.append((i, " ".join(toks)))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id"], r["fp"])
+        for r in winnow_fingerprints(df, "doc_id", "text", k=k, w=w).collect()
+    }
+
+    def model(toks: list[str]) -> set[str]:
+        hs = [
+            hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+            for i in range(len(toks) - k + 1)
+        ]
+        if not hs:
+            return set()
+        if len(hs) < w:
+            return {min(hs)}
+        return {min(hs[i : i + w]) for i in range(len(hs) - w + 1)}
+
+    want = set()
+    for i, text_ in docs:
+        for fp in model(text_.split()):
+            want.add((i, fp))
+    assert got == want
+
+    planted = [i for i, _ in docs if i % 4 == 0]
+    fp_sets = {i: {fp for j, fp in got if j == i} for i in planted}
+    common = set.intersection(*fp_sets.values())
+    assert common, "guarantee violated: planted shared run yielded no common fingerprint"
