@@ -312,3 +312,43 @@ def simhash_near_pairs(
         .distinct()
         .filter(col("hamming") <= max_hamming)
     )
+
+
+def span_dedup_stats(
+    df: DataFrame, id_col: str, text_col: str, span_tokens: int = 16
+) -> DataFrame:
+    """Cross-corpus span-level exact dedup — the C4/CCNet pass (Raffel et
+    al. 2020 §2.2 dedups three-sentence spans corpus-wide; CCNet dedups
+    paragraphs by hash): split every document into non-overlapping
+    ``span_tokens``-token spans, hash each span, and keep only the first
+    corpus-wide occurrence (min (doc_id, span_id) — deterministic). Removes
+    boilerplate shared ACROSS documents (headers, license blocks, navigation
+    chrome) that document-level dedup can never see.
+
+    Scale shape: the first-occurrence winner per span hash is a groupBy
+    ``min(struct(id, span_id))`` — an *aggregate with map-side partial
+    combine*, deliberately not a window over the hash (a hot span — think
+    empty or one-word boilerplate — would funnel one partition; the partial
+    agg collapses it executor-side first). Shuffle payload is (16-byte
+    hash, id pair) only; the re-join to mark survivors is hash-keyed and
+    AQE-skew-splittable.
+
+    Returns per-document (id, n_spans, n_kept, removed_frac).
+    """
+    from map_reduce_group_spark.operators.text import chunk_documents
+
+    spans = chunk_documents(df, id_col, text_col, chunk_size=span_tokens, overlap=0)
+    hashed = spans.select("id", F.col("chunk_id").alias("span_id"), F.md5("chunk_text").alias("h"))
+    first = hashed.groupBy("h").agg(F.min(F.struct("id", "span_id")).alias("keep"))
+    marked = hashed.join(first, "h").select(
+        "id",
+        (
+            (col("id") == col("keep.id")) & (col("span_id") == col("keep.span_id"))
+        ).cast("long").alias("kept"),
+    )
+    n = F.count(F.lit(1))
+    return marked.groupBy("id").agg(
+        n.cast("long").alias("n_spans"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.round((n - F.sum("kept")) / n, 6).alias("removed_frac"),
+    )

@@ -121,6 +121,106 @@ def chunk_documents(
     )
 
 
+# PII patterns shared verbatim with the DuckDB oracles. Deliberately simple
+# ASCII classes + \b word boundaries so Java regex (Spark) and RE2 (DuckDB)
+# agree byte-for-byte; real deployments would swap in stricter patterns, the
+# plumbing (count + global redact, all codegen'd regexp built-ins) is the same.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}-\d{4}\b", "<PHONE>"),
+    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-kind PII occurrence counts (regexp_count — JVM codegen)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        kind: F.regexp_count(c, F.lit(pat)).cast("long")
+        for kind, (pat, _) in PII_PATTERNS.items()
+    }
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Redact every PII match with its typed placeholder. Email runs first
+    so the address's digits can't be half-eaten by the phone/IP patterns."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pat, repl in PII_PATTERNS.values():
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def repetition_signals(df, id_col: str, text_col: str):
+    """Within-document repetition signals — the Gopher-rules quality family
+    (Rae et al. 2021 §A1.1: duplicate/top n-gram fractions): documents that
+    repeat themselves (boilerplate, keyword stuffing, template spam) are
+    filtered from LLM training corpora before any cross-document dedup runs.
+
+    Emits, per document (token-count-based variants of the Gopher signals):
+
+    - ``dup_token_frac``  — fraction of tokens that are repeats of an
+      earlier token: ``(n_tokens − n_distinct) / n_tokens``;
+    - ``top_token_frac``  — share of the single most frequent token;
+    - ``dup_2gram_frac``  — same repeat fraction over token 2-grams;
+    - ``top_2gram_frac``  — share of the most frequent 2-gram.
+
+    Shape (CLAUDE.md rule 2 — no interpreted higher-order lambdas in the
+    per-token path): one posexplode, a lead() window to form 2-grams, then
+    two (id, gram)-keyed groupBy counts reduced to per-id aggregates. Every
+    shuffle is keyed by doc id (or (id, gram), strictly finer), so the plan
+    parallelizes by document at any corpus size — no global state, no
+    driver collect.
+
+    Returns (id, n_tokens, dup_token_frac, top_token_frac, n_2grams,
+    dup_2gram_frac, top_2gram_frac); zero-token documents report 0 counts
+    and 0.0 fractions.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    order = Window.partitionBy("id").orderBy("pos")
+    grams = base.select(
+        "id",
+        F.col("tok"),
+        F.when(
+            F.lead("tok", 1).over(order).isNotNull(),
+            F.concat_ws(" ", "tok", F.lead("tok", 1).over(order)),
+        ).alias("gram"),
+    )
+
+    def stats(col_name: str, prefix: str):
+        cnt = (
+            grams.filter(F.col(col_name).isNotNull())
+            .groupBy("id", col_name)
+            .count()
+        )
+        total = F.sum("count")
+        return cnt.groupBy("id").agg(
+            total.cast("long").alias(f"n_{prefix}"),
+            F.round(
+                (total - F.count(F.lit(1))) / F.greatest(total, F.lit(1)), 6
+            ).alias(f"dup_{prefix}_frac"),
+            F.round(F.max("count") / F.greatest(total, F.lit(1)), 6).alias(
+                f"top_{prefix}_frac"
+            ),
+        )
+
+    tok_stats = stats("tok", "tokens")
+    gram_stats = stats("gram", "2grams")
+    ids = df.select(F.col(id_col).alias("id")).distinct()
+    out = ids.join(tok_stats, "id", "left").join(gram_stats, "id", "left")
+    filled = [
+        F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+        if c.startswith("n_")
+        else F.coalesce(F.col(c), F.lit(0.0)).alias(c)
+        for c in out.columns
+        if c != "id"
+    ]
+    return out.select("id", *filled)
+
+
 def winnow_fingerprints(df, id_col: str, text_col: str, k: int = 3, w: int = 4):
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
     — the rolling-hash fingerprinting scheme behind Moss): hash every token

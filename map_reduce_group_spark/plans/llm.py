@@ -561,6 +561,172 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_span_dedup",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks,
+               CAST(greatest(ceil(len({_TOKS_SQL}) / 16.0), 1) AS INTEGER) AS nc
+        FROM documents
+    ), flat AS (
+        SELECT doc_id, unnest(range(0, nc)) AS sid, toks FROM t
+    ), spans AS (
+        SELECT doc_id, sid,
+               md5(array_to_string(list_slice(toks, sid*16 + 1, sid*16 + 16), ' ')) AS h
+        FROM flat
+    ), marked AS (
+        SELECT doc_id,
+               CASE WHEN row_number() OVER (PARTITION BY h ORDER BY doc_id, sid) = 1
+                    THEN 1 ELSE 0 END AS kept
+        FROM spans
+    )
+    SELECT doc_id AS id,
+           count(*) AS n_spans,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           round((count(*) - sum(kept)) / count(*), 6) AS removed_frac
+    FROM marked GROUP BY 1
+    """,
+)
+def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/CCNet-style cross-corpus span dedup
+    (operators/dedup.py:span_dedup_stats, 16-token spans): hash every
+    non-overlapping token span and keep only its first corpus-wide
+    occurrence — the pass that strips boilerplate shared ACROSS documents,
+    which document-level dedup cannot see. First-occurrence selection is a
+    map-side-combining min(struct) aggregate, not a window over the span
+    hash, so hot boilerplate spans don't funnel one partition."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.span_dedup_stats(d, "doc_id", "text", span_tokens=16)
+
+
+_PII_INJECT_SQL = """
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+            ELSE '' END
+"""
+
+
+@register(
+    "doc_pii_scrub",
+    oracle=f"""
+    WITH injected AS (
+        SELECT doc_id, {_PII_INJECT_SQL} AS t FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}')) AS n_emails,
+           len(regexp_extract_all(t, '\\b\\d{{3}}-\\d{{4}}\\b'))                  AS n_phones,
+           len(regexp_extract_all(t, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_ipv4,
+           (len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}'))
+            + len(regexp_extract_all(t, '\\b\\d{{3}}-\\d{{4}}\\b'))
+            + len(regexp_extract_all(t, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))) > 0 AS has_pii,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', '<EMAIL>', 'g'),
+                   '\\b\\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g'),
+               '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g') AS clean_text
+    FROM injected
+    """,
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (operators/text.py:PII_PATTERNS) — the
+    pre-training scrub pass: count emails / phone numbers / IPv4 addresses
+    and emit the globally-redacted text. The fixture corpus carries no PII,
+    so the query first plants deterministic doc_id-derived PII into fixed
+    doc_id-modulus slices (scale-stable fractions: 1/3 email, 1/5 phone,
+    1/7 IP — CLAUDE.md rule 7) and both engines replay the identical
+    injection; the value hash then verifies the redacted text byte-for-byte.
+    Map-only plan, all regexp built-ins, zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        col("text"),
+        F.when(
+            col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), col("doc_id").cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            col("doc_id") % 5 == 0,
+            F.concat(F.lit(" call 555-"), F.lpad((col("doc_id") % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                (col("doc_id") % 256).cast("string"),
+                F.lit("."),
+                ((col("doc_id") * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    t = d.select("doc_id", injected.alias("t"))
+    counts = text.pii_counts("t")
+    return t.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["phone"].alias("n_phones"),
+        counts["ipv4"].alias("n_ipv4"),
+        (counts["email"] + counts["phone"] + counts["ipv4"] > 0).alias("has_pii"),
+        text.scrub_pii("t").alias("clean_text"),
+    )
+
+
+@register(
+    "doc_repetition_signals",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), ex AS (
+        SELECT doc_id, unnest(range(0, len(t))) AS pos, t FROM toks
+    ), grams AS (
+        SELECT doc_id,
+               t[pos + 1] AS tok,
+               CASE WHEN pos + 2 <= len(t)
+                    THEN t[pos + 1] || ' ' || t[pos + 2] END AS gram
+        FROM ex
+    ), tokc AS (
+        SELECT doc_id, tok, count(*) AS c FROM grams GROUP BY 1, 2
+    ), gramc AS (
+        SELECT doc_id, gram, count(*) AS c FROM grams
+        WHERE gram IS NOT NULL GROUP BY 1, 2
+    ), ts AS (
+        SELECT doc_id, sum(c) AS n_tokens,
+               round((sum(c) - count(*)) / greatest(sum(c), 1), 6) AS dup_token_frac,
+               round(max(c) / greatest(sum(c), 1), 6) AS top_token_frac
+        FROM tokc GROUP BY 1
+    ), gs AS (
+        SELECT doc_id, sum(c) AS n_2grams,
+               round((sum(c) - count(*)) / greatest(sum(c), 1), 6) AS dup_2gram_frac,
+               round(max(c) / greatest(sum(c), 1), 6) AS top_2gram_frac
+        FROM gramc GROUP BY 1
+    )
+    SELECT d.doc_id AS id,
+           coalesce(n_tokens, 0)        AS n_tokens,
+           coalesce(dup_token_frac, 0)  AS dup_token_frac,
+           coalesce(top_token_frac, 0)  AS top_token_frac,
+           coalesce(n_2grams, 0)        AS n_2grams,
+           coalesce(dup_2gram_frac, 0)  AS dup_2gram_frac,
+           coalesce(top_2gram_frac, 0)  AS top_2gram_frac
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN ts USING (doc_id) LEFT JOIN gs USING (doc_id)
+    """,
+)
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition quality signals
+    (operators/text.py:repetition_signals): duplicate/top token and 2-gram
+    fractions — the filter family that removes boilerplate/keyword-stuffed
+    documents BEFORE cross-document dedup in an LLM corpus pipeline. All
+    shuffles keyed by doc id, so the plan scales by document count."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.repetition_signals(d, "doc_id", "text")
+
+
+@register(
     "doc_winnow_fingerprints",
     oracle=f"""
     WITH toks AS (
