@@ -352,3 +352,49 @@ def span_dedup_stats(
         F.sum("kept").cast("long").alias("n_kept"),
         F.round((n - F.sum("kept")) / n, 6).alias("removed_frac"),
     )
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Train-test contamination check — the decontamination pass every
+    serious pre-training pipeline runs (GPT-3 App. C / PaLM / Llama all
+    report n-gram-overlap decontamination of the training set against
+    evaluation benchmarks): for each training document, how many of its
+    distinct token n-grams also appear anywhere in the benchmark set.
+
+    Scale shape: the benchmark side is collapsed to its DISTINCT n-gram set
+    and **broadcast** — eval benchmarks are megabytes against a 100 TB
+    corpus, so the overlap join must never shuffle the corpus postings.
+    The corpus side is the existing distinct-shingle postings (posexplode +
+    lead window, one doc-keyed shuffle); the per-doc totals reuse the
+    postings' own ``set_size``, so no second aggregation pass over the data.
+
+    ``n`` defaults to 13 (the GPT-3 convention); callers pick smaller n for
+    short-vocabulary fixtures. Documents with fewer than ``n`` tokens have
+    no n-grams and are absent from the output (nothing to contaminate).
+
+    Returns (id, n_grams, n_shared, overlap_frac, contaminated).
+    """
+    cp = shingle_postings(corpus, id_col, text_col, n)
+    bset = (
+        shingle_postings(bench, id_col, text_col, n).select("shingle").distinct()
+    )
+    hits = (
+        cp.join(F.broadcast(bset), "shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    totals = cp.groupBy("id").agg(F.max("set_size").alias("n_grams"))
+    shared = F.coalesce(col("n_shared"), F.lit(0))
+    return totals.join(hits, "id", "left").select(
+        "id",
+        col("n_grams").cast("long").alias("n_grams"),
+        shared.cast("long").alias("n_shared"),
+        F.round(shared / F.greatest(col("n_grams"), F.lit(1)), 6).alias("overlap_frac"),
+        (shared > 0).alias("contaminated"),
+    )

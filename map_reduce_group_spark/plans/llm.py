@@ -561,6 +561,49 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_contamination_check",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(range(0, greatest(len(t) - 2, 0))) AS pos, t FROM toks
+    ), g AS (
+        SELECT DISTINCT doc_id,
+               t[pos + 1] || ' ' || t[pos + 2] || ' ' || t[pos + 3] AS gram
+        FROM sh
+    ), bench AS (
+        SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+    ), tot AS (
+        SELECT doc_id, count(*) AS n_grams FROM g WHERE doc_id % 97 <> 0 GROUP BY 1
+    ), hits AS (
+        SELECT g.doc_id, count(*) AS n_shared
+        FROM g JOIN bench USING (gram)
+        WHERE g.doc_id % 97 <> 0 GROUP BY 1
+    )
+    SELECT tot.doc_id AS id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+           round(coalesce(n_shared, 0) / greatest(n_grams, 1), 6) AS overlap_frac,
+           coalesce(n_shared, 0) > 0 AS contaminated
+    FROM tot LEFT JOIN hits USING (doc_id)
+    """,
+)
+def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination sweep
+    (operators/dedup.py:benchmark_contamination): per training document,
+    the count/fraction of its distinct token n-grams that appear anywhere
+    in the held-out benchmark slice (doc_id % 97 — a scale-stable fraction,
+    CLAUDE.md rule 7). The benchmark n-gram set is broadcast, so the 100 TB
+    corpus side never shuffles for the overlap join. n=3 here because the
+    fixture's ~30-word vocabulary makes longer grams vanishingly rare; real
+    corpora use the GPT-3-style n=13 default."""
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(col("doc_id") % 97 == 0)
+    corpus = d.filter(col("doc_id") % 97 != 0)
+    return dedup.benchmark_contamination(corpus, bench, "doc_id", "text", n=3)
+
+
+@register(
     "corpus_span_dedup",
     oracle=f"""
     WITH t AS (

@@ -358,3 +358,28 @@ def test_winnowing_guarantee_and_model(spark):
     fp_sets = {i: {fp for j, fp in got if j == i} for i in planted}
     common = set.intersection(*fp_sets.values())
     assert common, "guarantee violated: planted shared run yielded no common fingerprint"
+
+
+def test_avi_roundtrip_and_frame_sampling():
+    """encode_avi_rgb24 → decode_avi_rgb24 is the identity for arbitrary
+    dims/frame counts (incl. stride-padding widths and odd-sized chunks),
+    and frame sampling picks exactly indices 0, s, 2s, …"""
+    import numpy as np
+
+    from map_reduce_group_spark.operators.multimodal import (
+        decode_avi_rgb24,
+        encode_avi_rgb24,
+    )
+
+    rng = np.random.default_rng(11)
+    for n, h, w in [(1, 1, 1), (3, 5, 7), (7, 4, 6), (4, 3, 9), (2, 8, 2)]:
+        fr = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        gw, gh, gn, usec, got = decode_avi_rgb24(encode_avi_rgb24(fr, 33333))
+        assert (gw, gh, gn, usec) == (w, h, n, 33333)
+        assert np.array_equal(got, fr)
+        assert np.array_equal(got[::3], fr[::3])  # the sampling contract
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_avi_rgb24(b"RIFF\x04\x00\x00\x00WAVE")  # wrong form type
