@@ -1,0 +1,91 @@
+"""Corpus sampling operators: deterministic hash-uniforms and domain-mixture
+rebalancing (north-star: the "data mixing" stage of LLM corpus prep — The
+Pile / Llama-style per-source reweighting).
+
+Everything is content/key-addressed (md5-derived uniforms), never seeded
+RNG: the same selection falls out on any engine, any partitioning, any run,
+so mixtures and ablations are re-derivable from the data alone — and every
+formula has a byte-identical ANSI-SQL twin for the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql.functions import col
+
+_TWO32 = 4294967296.0
+
+
+def hash_uniform(key: Column, salt: str) -> Column:
+    """Deterministic uniform in [0, 1): the first 8 hex chars of
+    md5(salt || key) as a 32-bit integer, scaled. Cross-engine reproducible
+    (DuckDB twin: ``CAST(('0x' || substr(md5(s), 1, 8)) AS UBIGINT) / 2^32``).
+    """
+    h = F.md5(F.concat(F.lit(salt), key.cast("string")).cast("binary"))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(_TWO32)
+
+
+def mixture_rebalance(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weight: Column,
+    salt: str = "mix",
+) -> DataFrame:
+    """Rebalance a multi-source corpus toward target mixture weights by
+    deterministic downsampling — the data-mixing pass run before training
+    (Pile/Llama report per-source mixture weights; the pipeline must turn
+    those into per-document keep decisions).
+
+    Given per-source target weights ``weight`` (any positive relative
+    scale), the acceptance rate for source s is
+
+        a_s = min(1, (W_s / p_s) · k),   k = min_s(p_s / W_s)
+
+    where p_s is the source's observed document share and W_s the
+    normalized target — i.e. downsample-only rebalancing, normalized so the
+    most under-represented source keeps 100 % of its documents. Every input
+    is data-relative (observed shares, a global min over sources), so the
+    selection stays non-degenerate at any corpus size (CLAUDE.md rule 7).
+
+    Scale shape: rates are computed on the per-source count table (one
+    groupBy over the corpus, then window math over ``n_sources`` rows —
+    orders of magnitude below data size) and broadcast back; the keep
+    decision is a map-side ``hash_uniform(id) < a_s`` predicate. One
+    corpus-wide shuffle total (the count groupBy).
+
+    Returns the per-source audit table (source, n_docs, n_kept,
+    accept_rate, kept_frac) — the artifact a mixture job must publish.
+    """
+    tagged = df.select(
+        col(id_col).alias("id"), col(source_col).alias("source"), weight.alias("w")
+    )
+    counts = tagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.first("w").alias("w")
+    )
+    everything = Window.partitionBy()
+    p = col("n_docs") / F.sum("n_docs").over(everything)
+    big_w = col("w") / F.sum("w").over(everything)
+    k = F.min(p / big_w).over(everything)
+    rates = counts.select(
+        "source", "n_docs", F.least(F.lit(1.0), big_w / p * k).alias("accept_rate")
+    )
+    kept = (
+        tagged.join(F.broadcast(rates.select("source", "accept_rate")), "source")
+        .filter(hash_uniform(col("id"), salt) < col("accept_rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            col("n_docs").cast("long").alias("n_docs"),
+            F.coalesce(col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.round("accept_rate", 6).alias("accept_rate"),
+            F.round(F.coalesce(col("n_kept"), F.lit(0)) / col("n_docs"), 6).alias(
+                "kept_frac"
+            ),
+        )
+    )

@@ -267,3 +267,61 @@ def winnow_fingerprints(df, id_col: str, text_col: str, k: int = 3, w: int = 4):
         F.count(F.lit(1)).over(whole).alias("m"),
     ).filter(F.col("pos") <= F.greatest(F.col("m") - F.lit(w), F.lit(0)))
     return winnowed.select("id", "fp").distinct()
+
+
+def pack_sequences(df, id_col: str, text_col: str, seq_len: int = 64, num_partitions: int = 32):
+    """Sequence packing — the GPT/T5 training-prep step that concatenates
+    the corpus token stream in a deterministic document order and splits it
+    into fixed ``seq_len`` training sequences: each document is assigned
+    the half-open range of sequence ids its tokens land in.
+
+    The kernel is a GLOBAL prefix sum over documents ordered by id — the
+    naive shape (one Window over a global ORDER BY) funnels the whole
+    corpus through a single partition, so this implements the classic
+    two-pass distributed scan instead:
+
+    1. range-partition by id (partition order == id order), per-partition
+       token subtotals via one tiny spark_partition_id groupBy;
+    2. the P subtotal rows (P = partition count, not data size) come to
+       the driver, form exclusive prefix offsets, and are broadcast back
+       via a P-row join; each partition then windows ONLY within itself.
+
+    The driver-side step is O(num_partitions) scalars — same class as the
+    connected-components convergence check (operators/clusters.py), not a
+    data collect. Zero-token documents occupy no sequence positions and
+    are excluded (nothing to pack).
+
+    Returns (id, n_tokens, first_seq, last_seq, n_seqs).
+    """
+    from pyspark.sql import Window
+
+    t = (
+        df.select(F.col(id_col).alias("id"), token_count(text_col).cast("long").alias("n"))
+        .filter(F.col("n") > 0)
+        .repartitionByRange(num_partitions, "id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    t = t.localCheckpoint()  # pin partitioning: pid must not be recomputed differently per use
+    subtotal_rows = sorted(
+        (r["pid"], r["s"]) for r in t.groupBy("pid").agg(F.sum("n").alias("s")).collect()
+    )
+    offsets, running = [], 0
+    for pid, s in subtotal_rows:
+        offsets.append((pid, running))
+        running += s
+    spark = df.sparkSession
+    off = F.broadcast(spark.createDataFrame(offsets, "pid int, off long"))
+    w = Window.partitionBy("pid").orderBy("id")
+    cum_before = F.col("off") + F.sum("n").over(w) - F.col("n")
+    first = F.floor(cum_before / seq_len).cast("long")
+    last = F.floor((cum_before + F.col("n") - 1) / seq_len).cast("long")
+    return (
+        t.join(off, "pid")
+        .select(
+            "id",
+            F.col("n").alias("n_tokens"),
+            first.alias("first_seq"),
+            last.alias("last_seq"),
+            (last - first + 1).alias("n_seqs"),
+        )
+    )

@@ -561,6 +561,86 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_mixture_rebalance",
+    oracle="""
+    WITH tagged AS (
+        SELECT doc_id, source,
+               CAST(substr(source, 4) AS INTEGER) % 4 + 1 AS w
+        FROM documents
+    ), counts AS (
+        SELECT source, count(*) AS n_docs, min(w) AS w FROM tagged GROUP BY 1
+    ), shares AS (
+        SELECT source, n_docs,
+               w / sum(w) OVER ()           AS tw,
+               n_docs / sum(n_docs) OVER () AS p
+        FROM counts
+    ), rates AS (
+        SELECT source, n_docs,
+               least(1.0, tw / p * min(p / tw) OVER ()) AS accept_rate
+        FROM shares
+    ), kept AS (
+        SELECT t.source, count(*) AS n_kept
+        FROM tagged t JOIN rates r USING (source)
+        WHERE CAST(('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+              / 4294967296.0 < r.accept_rate
+        GROUP BY 1
+    )
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+           round(accept_rate, 6) AS accept_rate,
+           round(coalesce(n_kept, 0) / n_docs, 6) AS kept_frac
+    FROM rates LEFT JOIN kept USING (source)
+    """,
+)
+def corpus_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing (operators/sampling.py:mixture_rebalance):
+    downsample each source toward target mixture weights (here w = source
+    number mod 4 + 1 — a fixture-independent relative target) with
+    deterministic md5-uniform keep decisions. Rates come from observed
+    source shares (data-relative, rule 7), are broadcast back, and the keep
+    predicate is map-side; returns the per-source audit table a mixture job
+    publishes."""
+    from map_reduce_group_spark.operators.sampling import mixture_rebalance
+
+    d = load_table(spark, sf_dir, "documents")
+    w = F.substring("source", 4, 10).cast("int") % 4 + 1
+    return mixture_rebalance(d, "doc_id", "source", w)
+
+
+@register(
+    "corpus_sequence_pack",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, len({_TOKS_SQL}) AS n FROM documents
+        WHERE len({_TOKS_SQL}) > 0
+    ), c AS (
+        SELECT doc_id, n,
+               sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS cb
+        FROM t
+    )
+    SELECT doc_id AS id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(cb // 64 AS BIGINT) AS first_seq,
+           CAST((cb + n - 1) // 64 AS BIGINT) AS last_seq,
+           CAST((cb + n - 1) // 64 - cb // 64 + 1 AS BIGINT) AS n_seqs
+    FROM c
+    """,
+)
+def corpus_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/text.py:pack_sequences, seq_len=64):
+    concatenate the corpus token stream in doc_id order and split it into
+    fixed-length training sequences, assigning each document its sequence-id
+    range. The global prefix sum runs as the classic two-pass distributed
+    scan (range partition → per-partition subtotals → broadcast offsets →
+    partition-local windows); the only driver traffic is one subtotal
+    scalar per partition. The oracle replays the identical packing with a
+    plain SQL running sum."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.pack_sequences(d, "doc_id", "text", seq_len=64)
+
+
+@register(
     "corpus_contamination_check",
     oracle=f"""
     WITH toks AS (

@@ -383,3 +383,32 @@ def test_avi_roundtrip_and_frame_sampling():
 
     with _pytest.raises(ValueError):
         decode_avi_rgb24(b"RIFF\x04\x00\x00\x00WAVE")  # wrong form type
+
+
+def test_pack_sequences_matches_serial_scan(spark):
+    """The two-pass distributed prefix sum must equal the serial packing:
+    cumulative token count in doc_id order, seq ids = floor division. Also
+    checks the cross-partition stitching invariant (every doc's first_seq
+    continues exactly where the previous doc's tokens ended) with enough
+    rows to span many range partitions."""
+    import random
+
+    from map_reduce_group_spark.operators.text import pack_sequences
+
+    rng = random.Random(3)
+    docs = [(i, " ".join("tok" for _ in range(rng.randrange(0, 9)))) for i in range(500)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_tokens"], r["first_seq"], r["last_seq"], r["n_seqs"])
+        for r in pack_sequences(df, "doc_id", "text", seq_len=7, num_partitions=16).collect()
+    }
+
+    cum, want = 0, {}
+    for i, text_ in docs:
+        n = len(text_.split())
+        if n == 0:
+            continue
+        first, last = cum // 7, (cum + n - 1) // 7
+        want[i] = (n, first, last, last - first + 1)
+        cum += n
+    assert got == want
