@@ -298,3 +298,93 @@ def cosine_neardup_pairs(
     return v.groupBy("bucket").applyInPandas(
         bucket_pairs, f"id_a {id_t}, id_b {id_t}, cos double"
     )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Lloyd k-means over an embedding column — the clustering kernel behind
+    cluster-based corpus curation (SemDeDup prunes semantic duplicates
+    within k-means clusters; cluster-balanced sampling uses the same
+    assignment). Deterministic init: the centroids start as the vectors of
+    the ``k`` smallest ids.
+
+    Scale shape per iteration (no O(data) driver traffic):
+
+    - assignment + partial sufficient statistics in ONE Arrow
+      ``mapInPandas`` pass: each batch emits at most k rows of
+      (cluster, count, per-dimension sums) — NumPy matmul against the
+      broadcast centroid matrix, argmin with ties to the lowest cluster id;
+    - the P·k partial rows (partitions × clusters, not data) are combined
+      driver-side into new means — same O(partitions) scalar class as the
+      pack_sequences offsets and the connected-components convergence
+      check; empty clusters keep their previous centroid.
+
+    A final pass emits (id, cluster, dist) with dist rounded to 5 decimals
+    for cross-run display stability. Registered rows-only: float summation
+    order makes exact centroid bits engine-private (the same reason the
+    MinHash family is rows-only); the property suite pins the semantics
+    (nearest-centroid invariant, planted-cluster recovery, determinism).
+    """
+    spark = df.sparkSession
+    init = (
+        df.orderBy(col(id_col))
+        .limit(k)
+        .select(vec_col)
+        .toPandas()[vec_col]
+    )
+    centroids = np.stack(init.to_numpy()).astype(np.float64)
+
+    flat = df.select(col(id_col).alias("id"), col(vec_col).alias("vec"))
+
+    def make_partials(cents: np.ndarray):
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                m = _matrix(pdf["vec"])
+                d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+                assign = d2.argmin(axis=1)  # np.argmin: first (lowest) index wins ties
+                rows = []
+                for c in np.unique(assign):
+                    sel = m[assign == c]
+                    rows.append((int(c), len(sel), sel.sum(axis=0).tolist()))
+                yield pd.DataFrame(rows, columns=["cluster", "n", "sums"])
+
+        return partials
+
+    dim = centroids.shape[1]
+    for _ in range(iters):
+        got = flat.mapInPandas(
+            make_partials(centroids), "cluster int, n long, sums array<double>"
+        ).collect()
+        counts = np.zeros(k)
+        sums = np.zeros((k, dim))
+        for r in sorted(got, key=lambda r: r["cluster"]):
+            counts[r["cluster"]] += r["n"]
+            sums[r["cluster"]] += np.asarray(r["sums"])
+        nonempty = counts > 0
+        centroids = centroids.copy()
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+
+    cents = centroids
+
+    def assign_final(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            m = _matrix(pdf["vec"])
+            d2 = ((m[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "cluster": a.astype(np.int64),
+                    "dist": np.round(np.sqrt(d2[np.arange(len(a)), a]), 5),
+                }
+            )
+
+    out_id_type = _id_type(df, id_col)
+    return flat.mapInPandas(
+        assign_final, f"id {out_id_type}, cluster bigint, dist double"
+    )

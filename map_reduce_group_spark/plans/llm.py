@@ -560,6 +560,21 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embed_kmeans_assign")  # float-sum order is engine-private -> rows-only
+def embed_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means assignment over the embeddings table
+    (operators/similarity.py:kmeans_assign, k=8, 2 iterations,
+    deterministic lowest-id init) — the clustering kernel behind
+    SemDeDup-style cluster-based curation. Per iteration one Arrow
+    mapInPandas pass emits ≤ k partial-sufficient-statistic rows per
+    partition; only those P·k rows reach the driver. Rows-only by design
+    (float summation order, like the MinHash family); semantics pinned by
+    the property suite (nearest-centroid invariant, planted-cluster
+    recovery, determinism)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_assign(e, "vec_id", "embedding", k=8, iters=2)
+
+
 @register(
     "corpus_mixture_rebalance",
     oracle="""

@@ -412,3 +412,44 @@ def test_pack_sequences_matches_serial_scan(spark):
         want[i] = (n, first, last, last - first + 1)
         cum += n
     assert got == want
+
+
+def test_kmeans_invariants_and_planted_recovery(spark):
+    """k-means semantics (rows-only query, so the contract lives here):
+    on well-separated planted clusters the assignment must recover the
+    planting exactly (each planted group -> exactly one cluster id,
+    distinct groups -> distinct ids) and be deterministic across runs."""
+    import numpy as np
+
+    from map_reduce_group_spark.operators.similarity import kmeans_assign
+
+    rng = np.random.default_rng(5)
+    k, per, dim = 4, 40, 8
+    centers = np.eye(k, dim) * 50.0
+    # ids round-robin across groups so the deterministic lowest-id init
+    # (ids 0..k-1) seeds one centroid inside each planted cluster
+    rows = []
+    for c in range(k):
+        for j in range(per):
+            v = centers[c] + rng.normal(0, 0.5, dim)
+            rows.append((j * k + c, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {
+        r["id"]: r["cluster"]
+        for r in kmeans_assign(df, "vec_id", "embedding", k=k, iters=3).collect()
+    }
+    assert len(got) == k * per
+    # planted recovery: each planted group maps to exactly one cluster id,
+    # and distinct groups map to distinct ids
+    group_to_cluster = {}
+    for vid, cl in got.items():
+        group_to_cluster.setdefault(vid % k, set()).add(cl)
+    assert all(len(s) == 1 for s in group_to_cluster.values()), group_to_cluster
+    assert len({next(iter(s)) for s in group_to_cluster.values()}) == k
+
+    again = {
+        r["id"]: r["cluster"]
+        for r in kmeans_assign(df, "vec_id", "embedding", k=k, iters=3).collect()
+    }
+    assert got == again
