@@ -164,3 +164,44 @@ def test_q17_correlated_avg_is_window_single_shuffle(spark, sf_dir):
     assert "Window" in p, p
     scans = len(re.findall(r"Location:.*lineitem", p))
     assert scans == 1, f"{scans} lineitem scans:\n{p}"
+
+
+def test_contamination_bench_set_is_broadcast(spark, sf_dir):
+    # the benchmark n-gram set must broadcast: the 100 TB corpus postings
+    # never shuffle for the overlap join
+    p = plan(spark, sf_dir, "corpus_contamination_check")
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_span_dedup_winner_is_partial_aggregate(spark, sf_dir):
+    # first-occurrence-per-span-hash must be a map-side-combining aggregate
+    # (2x HashAggregate/ObjectHashAggregate), NOT a window over the hash —
+    # a hot boilerplate span would funnel one partition under a window
+    p = plan(spark, sf_dir, "corpus_span_dedup")
+    assert len(re.findall(r"HashAggregate", p)) >= 2, p
+    assert "Window" not in p, p
+
+
+def test_pii_scrub_is_map_only(spark, sf_dir):
+    p = plan(spark, sf_dir, "doc_pii_scrub")
+    assert "Exchange" not in p, p
+
+
+def test_sequence_pack_windows_are_partition_local(spark, sf_dir):
+    # the distributed prefix scan must never plan a global-order window
+    # (WindowExec with an empty partition spec funnels the corpus into one
+    # partition); every Window in the plan must carry a partition key
+    p = plan(spark, sf_dir, "corpus_sequence_pack")
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert "pid" in spec or "id" in spec, (spec, p)
+
+
+def test_repetition_signals_shuffles_keyed_by_doc(spark, sf_dir):
+    # every exchange must hash-partition on id (or finer): no global
+    # repartition, no single-partition funnel
+    p = plan(spark, sf_dir, "doc_repetition_signals")
+    specs = re.findall(r"(\w+partitioning)\(([^)]*)", p)
+    assert specs, p
+    for kind, keys in specs:
+        assert kind == "hashpartitioning" and "id" in keys, (kind, keys)
+    assert "SinglePartition" not in p, p
