@@ -190,7 +190,7 @@ def repetition_signals(df, id_col: str, text_col: str):
         ).alias("gram"),
     )
 
-    def stats(col_name: str, prefix: str):
+    def stats(col_name: str, n_name: str, frac_prefix: str):
         cnt = (
             grams.filter(F.col(col_name).isNotNull())
             .groupBy("id", col_name)
@@ -198,17 +198,17 @@ def repetition_signals(df, id_col: str, text_col: str):
         )
         total = F.sum("count")
         return cnt.groupBy("id").agg(
-            total.cast("long").alias(f"n_{prefix}"),
+            total.cast("long").alias(n_name),
             F.round(
                 (total - F.count(F.lit(1))) / F.greatest(total, F.lit(1)), 6
-            ).alias(f"dup_{prefix}_frac"),
+            ).alias(f"dup_{frac_prefix}_frac"),
             F.round(F.max("count") / F.greatest(total, F.lit(1)), 6).alias(
-                f"top_{prefix}_frac"
+                f"top_{frac_prefix}_frac"
             ),
         )
 
-    tok_stats = stats("tok", "tokens")
-    gram_stats = stats("gram", "2grams")
+    tok_stats = stats("tok", "n_tokens", "token")
+    gram_stats = stats("gram", "n_2grams", "2gram")
     ids = df.select(F.col(id_col).alias("id")).distinct()
     out = ids.join(tok_stats, "id", "left").join(gram_stats, "id", "left")
     filled = [

@@ -29,6 +29,49 @@ from map_reduce_group_spark.plans.registry import register
 _TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')"
 
 
+def _inject_pii(doc_id, text_col):
+    """Deterministic doc_id-derived PII injection (Spark twin of
+    _PII_INJECT_SQL): the fixture corpus carries no PII, so queries that
+    exercise the scrubber plant it into fixed doc_id-modulus slices first
+    (scale-stable fractions — CLAUDE.md rule 7)."""
+    return F.concat(
+        text_col,
+        F.when(
+            doc_id % 3 == 0,
+            F.concat(F.lit(" contact user"), doc_id.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 5 == 0,
+            F.concat(F.lit(" call 555-"), F.lpad((doc_id % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 7 == 0,
+            F.concat(
+                F.lit(" host 10.0."),
+                (doc_id % 256).cast("string"),
+                F.lit("."),
+                ((doc_id * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+
+
+_PII_INJECT_SQL = """
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                 || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+            ELSE '' END
+"""
+
+
+
 @register(
     "doc_token_stats",
     oracle=f"""
@@ -560,6 +603,107 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pipeline_corpus_prep_v2",
+    oracle=f"""
+    WITH toks0 AS (
+        SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), ex AS (
+        SELECT doc_id, unnest(range(0, greatest(len(t) - 1, 0))) AS pos, t FROM toks0
+    ), gramc AS (
+        SELECT doc_id, t[pos + 1] || ' ' || t[pos + 2] AS gram, count(*) AS c
+        FROM ex GROUP BY 1, 2
+    ), rep AS (
+        SELECT doc_id,
+               round((sum(c) - count(*)) / greatest(sum(c), 1), 6) AS dup
+        FROM gramc GROUP BY 1
+    ), rep_all AS (
+        SELECT d.doc_id, coalesce(rep.dup, 0) AS dup
+        FROM documents d LEFT JOIN rep USING (doc_id)
+    ), thr AS (
+        SELECT quantile_cont(dup, 0.5) AS m FROM rep_all
+    ), keep1 AS (
+        SELECT d.doc_id, d.text
+        FROM documents d JOIN rep_all USING (doc_id) CROSS JOIN thr
+        WHERE rep_all.dup <= thr.m
+    ), scrubbed AS (
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace({_PII_INJECT_SQL},
+                           '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{{2,}}', '<EMAIL>', 'g'),
+                       '\\b\\d{{3}}-\\d{{4}}\\b', '<PHONE>', 'g'),
+                   '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '<IP>', 'g') AS text
+        FROM keep1
+    ), keep2 AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f
+            FROM scrubbed
+        ) QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
+    ), t AS (
+        SELECT doc_id, len({_TOKS_SQL}) AS n FROM keep2
+        WHERE len({_TOKS_SQL}) > 0
+    ), c AS (
+        SELECT doc_id, n,
+               sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS cb
+        FROM t
+    )
+    SELECT doc_id AS id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(cb // 64 AS BIGINT) AS first_seq,
+           CAST((cb + n - 1) // 64 AS BIGINT) AS last_seq,
+           CAST((cb + n - 1) // 64 - cb // 64 + 1 AS BIGINT) AS n_seqs
+    FROM c
+    """,
+)
+def pipeline_corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation, second composition — the quality/
+    safety/packing pipeline complementing `pipeline_corpus_prep`'s dedup/
+    chunking one:
+
+    1. repetition gate (Gopher family): drop documents whose duplicate-
+       2-gram fraction exceeds the corpus EXACT MEDIAN — a rank-relative,
+       scale-stable threshold (rule 7); the median is one interpolated
+       midpoint of two identically-computed doubles, so both engines
+       compare bit-identical values (vs an avg of doubles, whose summation
+       order is engine-private — rule 1);
+    2. PII scrub: deterministic injection + global typed redaction;
+    3. exact dedup of the SCRUBBED text (scrubbing can collapse documents
+       that differed only in their PII — dedup must run after);
+    4. sequence packing of the survivors into 64-token training sequences
+       via the two-pass distributed prefix scan.
+
+    Every stage is an independently-verified operator; the oracle replays
+    the whole pipeline as one SQL chain."""
+    from pyspark.sql import Window as W
+
+    from map_reduce_group_spark.operators.text import fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    rep = text.repetition_signals(d, "doc_id", "text").select(
+        col("id").alias("doc_id"), "dup_2gram_frac"
+    )
+    med = rep.agg(F.expr("percentile(dup_2gram_frac, 0.5)").alias("m"))
+    keep1 = (
+        d.join(rep, "doc_id")
+        .crossJoin(F.broadcast(med))
+        .filter(col("dup_2gram_frac") <= col("m"))
+        .select("doc_id", "text")
+    )
+    scrubbed = keep1.select(
+        "doc_id", text.scrub_pii(_inject_pii(col("doc_id"), col("text"))).alias("text")
+    )
+    wfp = W.partitionBy("f").orderBy("doc_id")
+    keep2 = (
+        scrubbed.withColumn("f", fingerprint("text"))
+        .withColumn("rn", F.row_number().over(wfp))
+        .filter(col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    return text.pack_sequences(keep2, "doc_id", "text", seq_len=64)
+
+
 @register("embed_kmeans_assign")  # float-sum order is engine-private -> rows-only
 def embed_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd k-means assignment over the embeddings table
@@ -736,19 +880,6 @@ def corpus_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.span_dedup_stats(d, "doc_id", "text", span_tokens=16)
 
 
-_PII_INJECT_SQL = """
-    text
-    || CASE WHEN doc_id % 3 = 0
-            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
-            ELSE '' END
-    || CASE WHEN doc_id % 5 = 0
-            THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
-            ELSE '' END
-    || CASE WHEN doc_id % 7 = 0
-            THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR)
-                 || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
-            ELSE '' END
-"""
 
 
 @register(
@@ -782,26 +913,7 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     injection; the value hash then verifies the redacted text byte-for-byte.
     Map-only plan, all regexp built-ins, zero shuffles."""
     d = load_table(spark, sf_dir, "documents")
-    injected = F.concat(
-        col("text"),
-        F.when(
-            col("doc_id") % 3 == 0,
-            F.concat(F.lit(" contact user"), col("doc_id").cast("string"), F.lit("@example.com")),
-        ).otherwise(F.lit("")),
-        F.when(
-            col("doc_id") % 5 == 0,
-            F.concat(F.lit(" call 555-"), F.lpad((col("doc_id") % 10000).cast("string"), 4, "0")),
-        ).otherwise(F.lit("")),
-        F.when(
-            col("doc_id") % 7 == 0,
-            F.concat(
-                F.lit(" host 10.0."),
-                (col("doc_id") % 256).cast("string"),
-                F.lit("."),
-                ((col("doc_id") * 7) % 256).cast("string"),
-            ),
-        ).otherwise(F.lit("")),
-    )
+    injected = _inject_pii(col("doc_id"), col("text"))
     t = d.select("doc_id", injected.alias("t"))
     counts = text.pii_counts("t")
     return t.select(

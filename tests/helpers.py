@@ -56,8 +56,16 @@ def canonicalize(df: pd.DataFrame) -> list[tuple[str, ...]]:
 
 
 def assert_matches_oracle(spark_df, sql: str, sf_dir: str, name: str = "") -> None:
-    got = canonicalize(spark_df.toPandas())
-    want = canonicalize(run_oracle(sql, sf_dir))
+    got_pdf = spark_df.toPandas()
+    want_pdf = run_oracle(sql, sf_dir)
+    # the driver compares schema as well as values (CLAUDE.md rule 4):
+    # identical column NAMES, not just identically-ordered values
+    assert sorted(got_pdf.columns) == sorted(want_pdf.columns), (
+        f"{name}: column names differ: spark={sorted(got_pdf.columns)} "
+        f"oracle={sorted(want_pdf.columns)}"
+    )
+    got = canonicalize(got_pdf)
+    want = canonicalize(want_pdf)
     assert len(got) == len(want), f"{name}: row count {len(got)} != oracle {len(want)}"
     mismatches = [(g, w) for g, w in zip(got, want) if g != w]
     assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[:3]}"

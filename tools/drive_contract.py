@@ -47,9 +47,11 @@ for name in list(qs)[:CAP]:
     t0 = time.perf_counter()
     sdf = qs[name](spark, SF).toPandas()
     if name in osql:
+        ddf = run_oracle(osql[name], SF)
         got = canonicalize(sdf)
-        want = canonicalize(run_oracle(osql[name], SF))
-        ok = got == want
+        want = canonicalize(ddf)
+        # the real driver checks schema too (CLAUDE.md rule 4)
+        ok = got == want and sorted(sdf.columns) == sorted(ddf.columns)
         status = "MATCH" if ok else "MISMATCH"
         if not ok:
             fails.append(name)
