@@ -36,6 +36,17 @@ def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
     return spark.read.schema(schema).json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (native Spark reader — same predicate-pushdown/column-
+    pruning machinery as parquet, for corpora landed by Hive-era
+    pipelines)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
 def write_text(df: DataFrame, path: str, num_files: int | None = None) -> None:
     """Overwrite-semantics text sink (the reference's A9)."""
     out = df if num_files is None else df.repartition(num_files)

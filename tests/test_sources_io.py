@@ -109,3 +109,15 @@ def test_schema_evolution_merge(spark, tmp_path):
     assert set(df.columns) >= {"id", "s", "score"}
     rows = {r["id"]: (r["s"], r["score"]) for r in df.collect()}
     assert rows[1] == ("a", None) and rows[2] == ("b", 9.5)
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    nation = load_table(spark, sf_dir, "nation")
+    path = f"{tmp_path}/nation_orc"
+    sio.write_orc(nation, path)
+    back = sio.read_orc(spark, path)
+    assert sorted(back.collect()) == sorted(nation.collect())
+    # the ORC scan must push filters and prune columns like parquet
+    p = explain_str(back.filter(F.col("n_regionkey") == 1).select("n_name"))
+    assert "PushedFilters" in p and "n_regionkey" in p, p
+    assert "n_comment" not in p.split("ReadSchema")[-1], p
