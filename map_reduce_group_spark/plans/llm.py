@@ -720,6 +720,52 @@ def embed_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embed_quantize_int8",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), u AS (
+        SELECT id, i, v[i] AS x FROM e, unnest(range(1, len(v)+1)) AS t(i)
+    ), stats AS (
+        SELECT i, min(x) AS mn, max(x) AS mx FROM u GROUP BY i
+    )
+    SELECT id,
+           list(CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS INT) ORDER BY i)
+               AS codes
+    FROM u JOIN stats USING (i)
+    GROUP BY id
+    """,
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension uint8 scalar quantization of the embeddings table
+    (operators/similarity.py:quantize_embeddings) — the 4× storage/bandwidth
+    shrink for 100 TB vector corpora. Stats pass emits one partial row per
+    Arrow batch; quantize pass is map-only with broadcast scales; codes are
+    exact integers (min/max are order-insensitive and the quantize arithmetic
+    is a fixed IEEE-double op sequence), so the DuckDB oracle hash-matches
+    bit-for-bit."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantize_embeddings(e, "vec_id", "embedding", levels=256)
+
+
+@register("embed_semdedup_prune")  # kmeans centroids engine-private -> rows-only
+def embed_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic pruning (operators/similarity.py:semdedup_prune):
+    k-means clusters + greedy within-cluster cosine prune keeping the
+    lowest-id representative of every semantic-duplicate family. The fixture
+    embeddings are random (max pairwise cosine ≈ 0.5), so the threshold is
+    0.4 — high-percentile for this data; real corpora use 0.9+. Rows-only:
+    the survivor set depends on k-means centroids (float-sum order is
+    engine-private, as for embed_kmeans_assign); semantics pinned by the
+    property suite (planted-duplicate collapse, keeper determinism,
+    partitioning invariance)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.semdedup_prune(
+        e, "vec_id", "embedding", k=8, iters=2, threshold=0.4
+    )
+
+
+@register(
     "corpus_mixture_rebalance",
     oracle="""
     WITH tagged AS (

@@ -64,6 +64,7 @@ COST_HINT = {
     "doc_repetition_signals": 1.5, "doc_winnow_fingerprints": 1.7,
     "multimodal_video_frame_sample": 1.8, "corpus_span_dedup": 2.2,
     "corpus_contamination_check": 4.8, "embed_kmeans_assign": 4.0,
+    "embed_semdedup_prune": 5.0,
     "pipeline_corpus_prep_v2": 5.0,
     "q8_market_share": 1.4, "join_range_price_bands": 1.7, "text_tfidf_top_terms": 2.0,
     "q2_min_cost_supplier": 2.0, "stream_tumbling_hourly": 2.0, "q21_waiting_suppliers": 2.1,

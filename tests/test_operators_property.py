@@ -453,3 +453,85 @@ def test_kmeans_invariants_and_planted_recovery(spark):
         for r in kmeans_assign(df, "vec_id", "embedding", k=k, iters=3).collect()
     }
     assert got == again
+
+
+def test_semdedup_prune_planted_duplicates(spark):
+    """SemDeDup prune semantics (rows-only query, so the contract lives
+    here): planted exact duplicates collapse to their lowest-id copy,
+    well-separated singletons all survive, and the survivor set is
+    deterministic and partitioning-invariant."""
+    import numpy as np
+
+    from map_reduce_group_spark.operators.similarity import semdedup_prune
+
+    rng = np.random.default_rng(11)
+    # centers of norm 5 with unit noise: within-cluster non-dup cosines land
+    # well below 0.999 while exact duplicates sit at 1.0, so threshold=0.999
+    # prunes EXACTLY the planted dups; clusters stay separated enough
+    # (center distance ~7) for k-means to recover the planting
+    k, per, dim = 4, 30, 8
+    centers = np.eye(k, dim) * 5.0
+    rows = []
+    for c in range(k):
+        for j in range(per):
+            v = centers[c] + rng.normal(0, 1.0, dim)
+            rows.append((j * k + c, [float(x) for x in v]))
+    n_base = len(rows)
+    base_ids = {i: rid for i, (rid, _) in enumerate(rows)}
+    # plant exact duplicates of 8 scattered originals at high ids (cos = 1)
+    dup_src = [0, 17, 34, 51, 68, 85, 102, 119]
+    for d, src in enumerate(dup_src):
+        rows.append((10_000 + d, list(rows[src][1])))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = semdedup_prune(df, "vec_id", "embedding", k=k, iters=3, threshold=0.999)
+    got = {r["id"]: (r["keep"], r["pruned_by"]) for r in out.collect()}
+    assert len(got) == n_base + len(dup_src)
+    for d, src in enumerate(dup_src):
+        keep, pruned_by = got[10_000 + d]
+        assert not keep and pruned_by == base_ids[src], (d, keep, pruned_by)
+
+    # only the planted dups prune: every original survives
+    kept = [i for i, (kp, _) in got.items() if kp]
+    assert sorted(kept) == sorted(base_ids[i] for i in range(n_base))
+
+    # determinism + partitioning invariance
+    again = {
+        r["id"]: (r["keep"], r["pruned_by"])
+        for r in semdedup_prune(
+            df.repartition(7), "vec_id", "embedding", k=k, iters=3, threshold=0.999
+        ).collect()
+    }
+    assert got == again
+
+
+def test_quantize_embeddings_roundtrip_bounds(spark):
+    """Quantization semantics: codes span [0, levels-1], per-dimension min
+    maps to 0 and max to levels-1, and dequantization error is bounded by
+    half a quantization step per dimension."""
+    import numpy as np
+
+    from map_reduce_group_spark.operators.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(0, 2.0, (200, 6))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["id"]: np.asarray(r["codes"])
+        for r in quantize_embeddings(df, "vec_id", "embedding", levels=256).collect()
+    }
+    assert len(out) == len(vecs)
+    codes = np.stack([out[i] for i in range(len(vecs))])
+    assert codes.min() >= 0 and codes.max() <= 255
+    mn, mx = vecs.min(axis=0), vecs.max(axis=0)
+    # argmin/argmax rows hit the rails exactly
+    for d in range(vecs.shape[1]):
+        assert codes[vecs[:, d].argmin(), d] == 0
+        assert codes[vecs[:, d].argmax(), d] == 255
+    # dequantized reconstruction is within half a step everywhere
+    step = (mx - mn) / 255.0
+    recon = mn + codes * step
+    assert np.all(np.abs(recon - vecs) <= step / 2 + 1e-12)
