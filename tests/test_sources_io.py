@@ -121,3 +121,29 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
     p = explain_str(back.filter(F.col("n_regionkey") == 1).select("n_name"))
     assert "PushedFilters" in p and "n_regionkey" in p, p
     assert "n_comment" not in p.split("ReadSchema")[-1], p
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: joining a partitioned fact to a FILTERED
+    dim on the partition column must inject a runtime subquery into the
+    fact scan's PartitionFilters (``dynamicpruning`` expression) so only
+    the dim-selected partitions are read — at 100 TB this is the difference
+    between scanning one date partition and scanning the table. Static
+    pruning can't do this: the partition set is only known after the dim
+    filter runs."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = f"{tmp_path}/orders_by_prio"
+    sio.write_partitioned(orders, path, ["o_orderpriority"])
+    fact = spark.read.parquet(path)
+    dim = (
+        orders.select("o_orderpriority")
+        .distinct()
+        .filter(F.col("o_orderpriority").startswith("1"))
+    )
+    joined = fact.join(dim, "o_orderpriority")
+    plan = explain_str(joined)
+    part_filters = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("dynamicpruning" in ln for ln in part_filters), plan
+    # and the result is the statically-filtered row set
+    want = orders.filter(F.col("o_orderpriority").startswith("1")).count()
+    assert joined.count() == want
