@@ -205,3 +205,12 @@ def test_repetition_signals_shuffles_keyed_by_doc(spark, sf_dir):
     for kind, keys in specs:
         assert kind == "hashpartitioning" and "id" in keys, (kind, keys)
     assert "SinglePartition" not in p, p
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    """rank()<=k predicates must engage Spark's WindowGroupLimit pushdown:
+    each map task keeps only k rows per group BEFORE the window shuffle, so
+    shuffle volume is O(groups*k) not O(rows) — the difference between a
+    bounded and an unbounded shuffle for per-group top-k at 100 TB."""
+    p = plan(spark, sf_dir, "topk_per_group_parts")
+    assert "WindowGroupLimit" in p, p
