@@ -150,6 +150,28 @@ def scrub_pii(text: Column | str) -> Column:
     return c
 
 
+def nfc_normalize(text: Column | str) -> Column:
+    """Unicode NFC normalization (composed canonical form) — the first pass
+    of any text-dedup pipeline: visually-identical strings with decomposed
+    combining marks (``e`` + U+0301 vs precomposed ``é``) hash differently,
+    so exact/near dedup and fingerprinting must run on a canonical form.
+
+    Spark has no normalization built-in, so this is a vectorized Pandas UDF
+    (pandas ``Series.str.normalize`` → unicodedata NFC per Arrow batch) —
+    one of the few justified Python hot paths: the work is per-document,
+    codegen can't express it, and the Arrow transfer is columnar. NFC is
+    engine-agnostic (Unicode-defined), so DuckDB's ``nfc_normalize``
+    oracle-checks the output byte-for-byte."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):  # pd.Series -> pd.Series
+        return s.str.normalize("NFC")
+
+    c = F.col(text) if isinstance(text, str) else text
+    return _nfc(c)
+
+
 def repetition_signals(df, id_col: str, text_col: str):
     """Within-document repetition signals — the Gopher-rules quality family
     (Rae et al. 2021 §A1.1: duplicate/top n-gram fractions): documents that

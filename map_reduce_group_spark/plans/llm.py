@@ -704,6 +704,50 @@ def pipeline_corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.pack_sequences(keep2, "doc_id", "text", seq_len=64)
 
 
+@register(
+    "doc_unicode_normalize",
+    oracle="""
+    WITH inj AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) ELSE '' END
+               || CASE WHEN doc_id % 4 = 0
+                       THEN ' A' || chr(778) || 'ngstro' || chr(776) || 'm'
+                       ELSE '' END AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           nfc_normalize(t) <> t AS changed,
+           CAST(length(nfc_normalize(t)) AS BIGINT) AS n_chars_nfc,
+           md5(nfc_normalize(t)) AS digest
+    FROM inj
+    """,
+)
+def doc_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (operators/text.py:nfc_normalize) — the
+    pass that makes dedup fingerprints see decomposed and precomposed text
+    as equal. The ASCII fixture corpus gets deterministic decomposed
+    combining marks planted on doc_id-modulus slices (scale-stable, rule 7);
+    the digest column proves byte-exact cross-engine normalization (DuckDB
+    ``nfc_normalize`` is the oracle). Map-only, shuffle-free; the Pandas UDF
+    is justified Python (no JVM normalization built-in)."""
+    d = load_table(spark, sf_dir, "documents")
+    injected = F.concat(
+        col("text"),
+        F.when(col("doc_id") % 3 == 0, F.lit(" cafe\u0301")).otherwise(F.lit("")),
+        F.when(
+            col("doc_id") % 4 == 0, F.lit(" A\u030angstro\u0308m")
+        ).otherwise(F.lit("")),
+    )
+    norm = text.nfc_normalize(injected)
+    return d.select(
+        "doc_id",
+        (norm != injected).alias("changed"),
+        F.length(norm).cast("long").alias("n_chars_nfc"),
+        F.md5(F.encode(norm, "UTF-8")).alias("digest"),
+    )
+
+
 @register("embed_kmeans_assign")  # float-sum order is engine-private -> rows-only
 def embed_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd k-means assignment over the embeddings table
