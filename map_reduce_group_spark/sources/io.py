@@ -67,6 +67,42 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> No
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Dynamic partition overwrite: replace ONLY the partitions present in
+    ``df``, leaving sibling partitions untouched — the idempotent daily-load
+    primitive (re-running a day's job rewrites that day's directory, never
+    truncating the table the way static overwrite mode does). The conf is
+    scoped to this write and restored after."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def read_json_permissive(
+    spark: SparkSession, path: str, schema: str, corrupt_col: str = "_corrupt_record"
+) -> DataFrame:
+    """JSON scan that SURVIVES malformed rows instead of failing the job:
+    well-formed rows parse into the typed schema, malformed lines land
+    whole in ``corrupt_col`` for quarantine/audit. At 100 TB a single bad
+    line must never kill a multi-hour job — route ``corrupt_col IS NOT
+    NULL`` rows to a quarantine sink and keep going."""
+    full = f"{schema}, {corrupt_col} string"
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

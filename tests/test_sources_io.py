@@ -147,3 +147,57 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     # and the result is the statically-filtered row set
     want = orders.filter(F.col("o_orderpriority").startswith("1")).count()
     assert joined.count() == want
+
+
+def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
+    """overwrite_partitions must replace only the partitions present in the
+    incoming frame (idempotent daily reload) — static overwrite would
+    truncate every other partition."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = f"{tmp_path}/orders_dyn"
+    sio.write_partitioned(orders, path, ["o_orderstatus"])
+    before = {
+        r["o_orderstatus"]: r["n"]
+        for r in spark.read.parquet(path).groupBy("o_orderstatus").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+
+    # reload ONLY the F partition, with a marker mutation (totalprice = 0)
+    f_only = orders.filter(F.col("o_orderstatus") == "F").withColumn(
+        "o_totalprice", F.lit(0.0)
+    )
+    sio.overwrite_partitions(f_only, path, ["o_orderstatus"])
+
+    back = spark.read.parquet(path)
+    after = {
+        r["o_orderstatus"]: r["n"]
+        for r in back.groupBy("o_orderstatus").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert after == before  # same partition set, same counts
+    # F partition rewritten...
+    assert back.filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") != 0)).count() == 0
+    # ...others untouched
+    assert back.filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") == 0)).count() == 0
+    # and the conf was restored (write-scoped, not session-leaked)
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC").upper() == "STATIC"
+
+
+def test_permissive_json_quarantines_bad_rows(spark, tmp_path):
+    """A malformed line must neither fail the read nor silently vanish: it
+    lands whole in the corrupt-record column for quarantine."""
+    src = tmp_path / "raw"
+    src.mkdir()
+    (src / "a.json").write_text(
+        '{"id": 1, "v": "ok"}\n'
+        'THIS IS NOT JSON\n'
+        '{"id": 2, "v": "also ok"}\n'
+        '{"id": "not-a-number", "v": "half bad"}\n'
+    )
+    df = sio.read_json_permissive(spark, str(src), "id bigint, v string").cache()
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted(r["id"] for r in good.collect()) == [1, 2]
+    assert bad.count() == 2  # the non-JSON line and the type-mismatched row
+    assert any("NOT JSON" in r["_corrupt_record"] for r in bad.collect())
+    df.unpersist()
