@@ -214,3 +214,50 @@ def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
     bounded and an unbounded shuffle for per-group top-k at 100 TB."""
     p = plan(spark, sf_dir, "topk_per_group_parts")
     assert "WindowGroupLimit" in p, p
+
+
+def test_aqe_splits_skewed_join_partition(spark, tmp_path):
+    """AQE skew-join mitigation must actually fire: a sort-merge join with
+    one pathological hot key gets its oversized shuffle partition split at
+    runtime (SortMergeJoin(skew=true) in the adaptive executed plan). This
+    is the built-in complement to the manual salting pattern
+    (skew_salted_type_counts) — at 100 TB a hot join key otherwise pins one
+    executor while 999 idle."""
+    import pyspark.sql.functions as F
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+
+        # 150k rows on ONE key + a uniform tail: the hot partition is far
+        # beyond factor x median. Write to parquet so sizes are realistic.
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") < 150_000, F.lit(7)).otherwise(F.col("id") % 64).alias("k"),
+            F.col("id").alias("payload"),
+        )
+        dim = spark.range(64).select(F.col("id").alias("k"), (F.col("id") * 10).alias("dim_v"))
+        fact.write.mode("overwrite").parquet(f"{tmp_path}/fact")
+        dim.write.mode("overwrite").parquet(f"{tmp_path}/dim")
+
+        joined = spark.read.parquet(f"{tmp_path}/fact").join(
+            spark.read.parquet(f"{tmp_path}/dim"), "k"
+        )
+        # execute THIS DataFrame's QueryExecution (count() would build its
+        # own aggregate plan and leave `joined`'s adaptive plan unfinalized)
+        assert len(joined.collect()) == 200_000
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:4000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
