@@ -69,3 +69,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose the catalog as temp views so users can work in pure SQL:
+    ``register_views(spark, sf); spark.sql("SELECT ... FROM lineitem ...")``.
+    Views are lazy references to the normalized loaders (events keeps its
+    timestamp normalization), so predicate pushdown / pruning apply exactly
+    as through the DataFrame API — Catalyst sees the same logical plan."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
+
+
+def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
+    """Run an ANSI-SQL query against the catalog tables (the user-facing
+    SQL entry point — the same engine surface as the DataFrame builders;
+    every registered query could equivalently be phrased through here)."""
+    register_views(spark, sf_dir)
+    return spark.sql(query)

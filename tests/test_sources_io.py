@@ -201,3 +201,40 @@ def test_permissive_json_quarantines_bad_rows(spark, tmp_path):
     assert bad.count() == 2  # the non-JSON line and the type-mismatched row
     assert any("NOT JSON" in r["_corrupt_record"] for r in bad.collect())
     df.unpersist()
+
+
+def test_sql_entry_point_matches_dataframe_api(spark, sf_dir):
+    """catalog.sql: pure-SQL access to the catalog must produce the same
+    result AND the same pushdown behavior as the DataFrame API (views are
+    lazy loader references, so Catalyst sees one logical plan)."""
+    from map_reduce_group_spark import catalog
+
+    got = catalog.sql(
+        spark,
+        sf_dir,
+        """
+        SELECT n_name, count(*) AS n_cust
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > 0
+        GROUP BY n_name
+        """,
+    )
+    want = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # pushdown reaches the scan through the view layer too
+    p = explain_str(got)
+    assert "PushedFilters" in p and "c_acctbal" in p
+    # events view keeps the timestamp normalization from the loader
+    ts_type = dict(
+        catalog.sql(spark, sf_dir, "SELECT ts FROM events LIMIT 1").dtypes
+    )["ts"]
+    assert ts_type == "timestamp"
