@@ -238,3 +238,55 @@ def test_sql_entry_point_matches_dataframe_api(spark, sf_dir):
         catalog.sql(spark, sf_dir, "SELECT ts FROM events LIMIT 1").dtypes
     )["ts"]
     assert ts_type == "timestamp"
+
+
+def test_synthetic_docs_datasource(spark):
+    """Custom Python DataSource: deterministic partition-parallel generation
+    with doc_id range pushdown narrowing the partitions themselves."""
+    from map_reduce_group_spark.sources.synthetic import (
+        SyntheticDocsDataSource,
+        SyntheticDocsReader,
+    )
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 500)
+        .option("n_partitions", 7)
+        .option("seed", 42)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 7
+    assert df.count() == 500
+    assert dict(df.dtypes)["doc_id"] == "bigint"
+    # deterministic: a second scan produces the identical corpus
+    again = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 500).option("n_partitions", 3).option("seed", 42).load()
+    )
+    assert df.exceptAll(again).count() == 0 and again.exceptAll(df).count() == 0
+    # filters produce correct results (pushed or not)
+    sub = df.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 120))
+    ids = sorted(r["doc_id"] for r in sub.select("doc_id").collect())
+    assert ids == list(range(100, 120))
+
+    # the pushdown contract, unit-level: range predicates narrow the
+    # generation bounds and the partition set; others are yielded back
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan, StringContains
+
+    r = SyntheticDocsReader({"n_docs": "1000", "n_partitions": "8"})
+    leftover = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("doc_id",), 900),
+                LessThan(("doc_id",), 950),
+                StringContains(("text",), "spark"),
+            ]
+        )
+    )
+    assert [type(f).__name__ for f in leftover] == ["StringContains"]
+    parts = r.partitions()
+    assert sum(p.end - p.start for p in parts) == 50  # O(selected), not O(n_docs)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
