@@ -38,6 +38,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 
 _SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars int"
@@ -81,27 +82,6 @@ class SyntheticDocsReader(DataSourceReader):
         self.lo = 0  # inclusive doc_id lower bound after pushdown
         self.hi = self.n_docs  # exclusive upper bound after pushdown
 
-    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
-        """Absorb doc_id range predicates into the generation bounds (the
-        custom-source analog of min/max pruning); yield back everything we
-        can't handle so Spark re-applies it post-scan."""
-        for f in filters:
-            attr = getattr(f, "attribute", None)
-            if attr == ("doc_id",):
-                if isinstance(f, GreaterThan):
-                    self.lo = max(self.lo, f.value + 1)
-                    continue
-                if isinstance(f, GreaterThanOrEqual):
-                    self.lo = max(self.lo, f.value)
-                    continue
-                if isinstance(f, LessThan):
-                    self.hi = min(self.hi, f.value)
-                    continue
-                if isinstance(f, LessThanOrEqual):
-                    self.hi = min(self.hi, f.value + 1)
-                    continue
-            yield f
-
     def partitions(self) -> Sequence[InputPartition]:
         lo, hi = self.lo, max(self.lo, self.hi)
         n = max(1, min(self.n_parts, hi - lo or 1))
@@ -130,9 +110,64 @@ class SyntheticDocsReader(DataSourceReader):
         )
 
 
+class SyntheticDocsPushdownReader(SyntheticDocsReader):
+    """Reader variant with doc_id range pushdown. Split into a subclass
+    because Spark refuses ANY reader that defines ``pushFilters`` unless
+    ``spark.sql.python.filterPushdown.enabled`` is true — the plain reader
+    keeps the source usable on unconfigured sessions (Spark re-applies all
+    filters post-scan either way; pushdown only changes the work done)."""
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Absorb doc_id range predicates into the generation bounds (the
+        custom-source analog of min/max pruning); yield back everything we
+        can't handle so Spark re-applies it post-scan."""
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if attr == ("doc_id",):
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, f.value + 1)
+                    continue
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, f.value)
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, f.value)
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, f.value + 1)
+                    continue
+            yield f
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin: the corpus arrives as an unbounded append stream,
+    ``batch_size`` docs per micro-batch. Offsets are doc_id watermarks
+    (``{"next": n}``) — replayable: ``readBetweenOffsets`` regenerates any
+    offset range bit-identically (generation is a pure function of doc_id),
+    which is exactly the contract Structured Streaming needs for
+    exactly-once recovery after a checkpoint restore."""
+
+    def __init__(self, options: dict):
+        self.batch = int(options.get("batch_size", 100))
+        self.max_docs = int(options.get("n_docs", 1000))
+        self.seed = int(options.get("seed", 0))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        lo = start["next"]
+        hi = min(lo + self.batch, self.max_docs)
+        return iter([_doc(i, self.seed) for i in range(lo, hi)]), {"next": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_doc(i, self.seed) for i in range(start["next"], end["next"])])
+
+
 class SyntheticDocsDataSource(DataSource):
     """``spark.read.format("synthetic_docs").option("n_docs", N).load()``
-    after ``spark.dataSource.register(SyntheticDocsDataSource)``."""
+    after ``spark.dataSource.register(SyntheticDocsDataSource)``; also a
+    streaming source via ``spark.readStream.format("synthetic_docs")``."""
 
     @classmethod
     def name(cls) -> str:
@@ -142,4 +177,11 @@ class SyntheticDocsDataSource(DataSource):
         return _SCHEMA
 
     def reader(self, schema) -> SyntheticDocsReader:
-        return SyntheticDocsReader(self.options)
+        # pushdown needs spark.sql.python.filterPushdown.enabled=true;
+        # option("pushdown", "false") opts out for unconfigured sessions
+        if self.options.get("pushdown", "true").lower() == "false":
+            return SyntheticDocsReader(self.options)
+        return SyntheticDocsPushdownReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticDocsStreamReader:
+        return SyntheticDocsStreamReader(self.options)

@@ -245,7 +245,7 @@ def test_synthetic_docs_datasource(spark):
     with doc_id range pushdown narrowing the partitions themselves."""
     from map_reduce_group_spark.sources.synthetic import (
         SyntheticDocsDataSource,
-        SyntheticDocsReader,
+        SyntheticDocsPushdownReader,
     )
 
     spark.dataSource.register(SyntheticDocsDataSource)
@@ -276,7 +276,7 @@ def test_synthetic_docs_datasource(spark):
     # generation bounds and the partition set; others are yielded back
     from pyspark.sql.datasource import GreaterThanOrEqual, LessThan, StringContains
 
-    r = SyntheticDocsReader({"n_docs": "1000", "n_partitions": "8"})
+    r = SyntheticDocsPushdownReader({"n_docs": "1000", "n_partitions": "8"})
     leftover = list(
         r.pushFilters(
             [

@@ -193,3 +193,48 @@ def test_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
     result = spark.read.parquet(out)
     assert result.count() == events.count()  # exactly once: no dupes, no loss
     assert result.select("event_id").distinct().count() == events.count()
+
+
+def test_custom_python_streaming_source(spark, tmp_path):
+    """The synthetic corpus as a custom STREAMING source (Spark 4
+    SimpleDataSourceStreamReader): batch_size docs per micro-batch with
+    doc_id-watermark offsets; the streamed corpus must equal the batch scan
+    exactly (offsets are replayable — generation is pure), and a windowed
+    aggregation over the stream must match the batch groupBy."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_group_spark.sources.synthetic import SyntheticDocsDataSource
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    opts = {"n_docs": "300", "batch_size": "75", "seed": "9"}
+    stream = spark.readStream.format("synthetic_docs").options(**opts).load()
+
+    # each run consumes the reader's next offset range and commits it to
+    # the checkpoint; restarting against the SAME checkpoint resumes from
+    # the committed offset — 4 runs drain the 300-doc corpus into a file
+    # sink, proving offset recovery across restarts on the way
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for _ in range(4):
+        run_once()
+    got = spark.read.parquet(out)
+    batch = (
+        spark.read.format("synthetic_docs")
+        .options(**opts).option("pushdown", "false").load()
+    )
+    assert got.count() == 300
+    assert got.exceptAll(batch).count() == 0 and batch.exceptAll(got).count() == 0
+    # per-lang counts agree with the batch twin
+    a = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    b = {r["lang"]: r["n"] for r in batch.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert a == b
