@@ -61,18 +61,19 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # a secondary sort key so a time-budgeted driver sweep gets through the cheap
 # tail before committing to the heavy queries.
 COST_HINT = {
-    "doc_repetition_signals": 1.5, "doc_winnow_fingerprints": 1.7,
-    "multimodal_video_frame_sample": 1.8, "corpus_span_dedup": 2.2,
-    "corpus_contamination_check": 4.8, "embed_kmeans_assign": 4.0,
-    "embed_semdedup_prune": 5.0,
-    "pipeline_corpus_prep_v2": 5.0,
-    "q8_market_share": 1.4, "join_range_price_bands": 1.7, "text_tfidf_top_terms": 2.0,
-    "q2_min_cost_supplier": 2.0, "stream_tumbling_hourly": 2.0, "q21_waiting_suppliers": 2.1,
-    "agg_approx_sketches": 2.2, "agg_cube_returns": 2.6, "dedup_ngram_jaccard_capped": 2.5,
-    "embed_ann_ivf": 2.5, "stream_static_enrich": 2.0, "stream_running_totals": 2.6,
-    "udf_cogroup_in_pandas": 3.2, "stream_dedup_redelivery": 3.2, "dedup_minhash_lsh": 3.4,
-    "dedup_simhash": 3.5, "stream_sessionization": 4.9, "pipeline_corpus_prep": 7.5,
-    "stream_purchase_attribution": 7.6, "dedup_clusters": 10.0,
+    "agg_approx_sketches": 2.0, "agg_cube_returns": 2.6, "agg_distinct_counts": 1.2,
+    "agg_stats_exact": 1.5, "corpus_contamination_check": 4.1, "corpus_mixture_rebalance": 1.2,
+    "corpus_sequence_pack": 3.3, "corpus_span_dedup": 2.0, "dedup_clusters": 10.1,
+    "dedup_minhash_lsh": 7.5, "dedup_ngram_jaccard": 3.0, "dedup_ngram_jaccard_capped": 2.8,
+    "dedup_simhash": 3.5, "doc_repetition_signals": 1.2, "doc_unicode_normalize": 2.0,
+    "doc_winnow_fingerprints": 1.3, "embed_ann_ivf": 1.4, "embed_kmeans_assign": 1.1,
+    "embed_semdedup_prune": 1.1, "mr_wordcount_pipe": 1.3, "multimodal_video_frame_sample": 1.1,
+    "pipeline_corpus_prep": 6.4, "pipeline_corpus_prep_v2": 2.6, "q18_large_volume_customers": 1.6,
+    "q1_pricing_summary": 1.4, "q20_excess_suppliers": 1.1, "q21_waiting_suppliers": 2.2,
+    "q2_min_cost_supplier": 1.7, "q8_market_share": 1.5, "q9_product_profit": 1.2,
+    "stream_dedup_redelivery": 3.0, "stream_purchase_attribution": 6.6, "stream_running_totals": 5.5,
+    "stream_sessionization": 3.5, "stream_static_enrich": 3.4, "stream_tumbling_hourly": 4.2,
+    "text_tfidf_top_terms": 1.6, "udf_cogroup_in_pandas": 3.8,
 }
 
 
