@@ -1,0 +1,94 @@
+"""Incremental maintenance: rollup refresh and keyed upsert must equal
+their full-recompute twins while touching only affected partitions."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+
+from map_reduce_group_spark.catalog import load_table
+from map_reduce_group_spark.operators import incremental as inc
+
+
+def _mtimes(path: str) -> dict[str, float]:
+    return {
+        d: os.path.getmtime(os.path.join(path, d))
+        for d in os.listdir(path)
+        if "=" in d
+    }
+
+
+def test_refresh_rollup_touches_only_affected_partitions(spark, sf_dir, tmp_path):
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    rollup = f"{tmp_path}/rollup"
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+    ]
+    # initial full build
+    full = events.groupBy("day", "event_type").agg(*aggs)
+    from map_reduce_group_spark.sources.io import overwrite_partitions
+
+    overwrite_partitions(full, rollup, ["day"])
+    before = _mtimes(rollup)
+
+    # a "new batch" lands on the two most recent days
+    days = sorted(r["day"] for r in events.select("day").distinct().collect())
+    batch = events.filter(F.col("day").isin(days[-2:]))
+    touched = inc.refresh_rollup(
+        events, batch, rollup, "day", ["event_type"], aggs
+    )
+    assert touched == days[-2:]
+
+    after = _mtimes(rollup)
+    rewritten = {d for d in after if after[d] != before.get(d)}
+    assert rewritten == {f"day={d.isoformat()}" for d in days[-2:]}
+
+    # and the refreshed table equals the full recompute
+    got = spark.read.parquet(rollup).select(*full.columns)
+    assert got.exceptAll(full).count() == 0 and full.exceptAll(got).count() == 0
+
+
+def test_upsert_by_key_merges_and_preserves(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    table = f"{tmp_path}/orders_keyed"
+    from map_reduce_group_spark.sources.io import overwrite_partitions
+
+    overwrite_partitions(orders, table, ["o_orderstatus"])
+    before = _mtimes(table)
+
+    # update 50 existing F-partition orders and insert 5 brand-new ones
+    updates_existing = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .limit(50)
+        .withColumn("o_totalprice", F.lit(-1.0))
+    )
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    inserts = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .limit(5)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(max_key + 1000))
+        .withColumn("o_totalprice", F.lit(-2.0))
+    )
+    updates = updates_existing.unionByName(inserts)
+    touched = inc.upsert_by_key(updates, table, ["o_orderkey"], "o_orderstatus")
+    assert touched == ["F"]
+
+    after = _mtimes(table)
+    assert {d for d in after if after[d] != before.get(d)} == {"o_orderstatus=F"}
+
+    got = spark.read.parquet(table)
+    assert got.count() == orders.count() + 5
+    assert got.filter(F.col("o_totalprice") == -1.0).count() == 50
+    assert got.filter(F.col("o_totalprice") == -2.0).count() == 5
+    # untouched rows identical to the original (outside the updated keys)
+    upd_keys = [r["o_orderkey"] for r in updates.select("o_orderkey").collect()]
+    want_rest = orders.filter(~F.col("o_orderkey").isin(upd_keys))
+    got_rest = got.filter(~F.col("o_orderkey").isin(upd_keys)).select(
+        *want_rest.columns
+    )
+    assert got_rest.exceptAll(want_rest).count() == 0
+    assert want_rest.exceptAll(got_rest).count() == 0
