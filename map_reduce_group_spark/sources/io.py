@@ -86,6 +86,63 @@ def overwrite_partitions(df: DataFrame, path: str, partition_cols: list[str]) ->
             spark.conf.set(key, prev)
 
 
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    num_files: int = 16,
+    bits: int = 10,
+) -> None:
+    """Z-order (Morton) clustered parquet write: interleave the bit-codes
+    of ``cols`` and range-partition + sort the rows by that curve before
+    writing. Each output file then covers a small HYPER-RECTANGLE of the
+    column space instead of a thin slice of one column, so parquet min/max
+    footer stats prune files for predicates on ANY of the clustered columns
+    — the data-skipping layout for tables queried along several axes (a
+    plain sort prunes only its leading column). Entirely expression-level:
+    per-column range bucketing from one tiny min/max aggregate, bit
+    interleaving via shift/and — codegen end to end, one range shuffle.
+
+    The min/max bucketing is value-uniform (quantile bucketing would need a
+    global sort of its own); heavy value skew degrades bucket balance, not
+    correctness — at 100 TB compute buckets from approxQuantile cutpoints
+    instead if the axes are skewed.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in cols],
+        *[F.max(c).alias(f"mx_{c}") for c in cols],
+    ).collect()[0]
+    levels = (1 << bits) - 1
+    bucketed = []
+    for c in cols:
+        mn, mx = float(stats[f"mn_{c}"]), float(stats[f"mx_{c}"])
+        rng = (mx - mn) or 1.0
+        b = F.least(
+            F.lit(levels),
+            F.floor((F.col(c).cast("double") - F.lit(mn)) / F.lit(rng) * levels),
+        ).cast("long")
+        bucketed.append(b)
+    morton = F.lit(0)
+    for bit in range(bits):
+        for i, b in enumerate(bucketed):
+            morton = morton.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(b, bit).bitwiseAND(F.lit(1)),
+                    bit * len(cols) + i,
+                )
+            )
+    (
+        df.withColumn("__z", morton)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def read_json_permissive(
     spark: SparkSession, path: str, schema: str, corrupt_col: str = "_corrupt_record"
 ) -> DataFrame:

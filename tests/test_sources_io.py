@@ -290,3 +290,51 @@ def test_synthetic_docs_datasource(spark):
     parts = r.partitions()
     assert sum(p.end - p.start for p in parts) == 50  # O(selected), not O(n_docs)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
+
+
+def test_zorder_write_improves_two_axis_skipping(spark, sf_dir, tmp_path):
+    """Z-order layout: every output file must cover a small hyper-rectangle
+    of (o_custkey, o_totalprice) — measured from real parquet footer stats —
+    so min/max skipping prunes files for predicates on EITHER column. A
+    single-column sort gives narrow ranges on its leading column only."""
+    import pyarrow.parquet as pq
+
+    orders = load_table(spark, sf_dir, "orders")
+    zpath, spath = f"{tmp_path}/z", f"{tmp_path}/s"
+    sio.write_zordered(orders, zpath, ["o_custkey", "o_totalprice"], num_files=16)
+    # baseline: lexicographic sort by custkey only
+    (
+        orders.repartitionByRange(16, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite").parquet(spath)
+    )
+
+    def mean_file_spread(path: str, col: str) -> float:
+        spreads, lo, hi = [], None, None
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            mns, mxs = [], []
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and c.statistics is not None:
+                        mns.append(c.statistics.min)
+                        mxs.append(c.statistics.max)
+            if mns:
+                spreads.append(max(mxs) - min(mns))
+                lo = min(mns) if lo is None else min(lo, min(mns))
+                hi = max(mxs) if hi is None else max(hi, max(mxs))
+        return sum(spreads) / len(spreads) / ((hi - lo) or 1)
+
+    # on the custkey axis the plain sort is optimal; z-order must still be
+    # far better than "every file spans everything" (spread ~1.0)
+    assert mean_file_spread(zpath, "o_custkey") < 0.5
+    # on the SECOND axis the plain sort cannot skip at all (~full spread),
+    # z-order must retain real pruning power there too
+    z2 = mean_file_spread(zpath, "o_totalprice")
+    s2 = mean_file_spread(spath, "o_totalprice")
+    assert z2 < 0.5 < s2, (z2, s2)
+    # layout change must not lose rows
+    assert spark.read.parquet(zpath).count() == orders.count()
