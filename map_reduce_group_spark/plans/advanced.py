@@ -407,3 +407,63 @@ def sample_hash_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(F.substring(F.md5(col("text").cast("binary")), 1, 1).isin("0", "1")).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+def _synthetic_oracle() -> str:
+    from map_reduce_group_spark.sources.synthetic import _LANGS, _WORDS
+
+    words_sql = "[" + ",".join(f"'{w}'" for w in _WORDS) + "]"
+    langs_sql = "[" + ",".join(f"'{l}'" for l in _LANGS) + "]"
+    n = len(_WORDS)
+    return f"""
+    WITH ids AS (SELECT unnest(range(0, 2000)) AS doc_id),
+    h AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('42:' || doc_id), 1, 2)) AS INT) AS b0,
+               CAST(('0x' || substr(md5('42:' || doc_id), 3, 2)) AS INT) AS b1,
+               CAST(('0x' || substr(md5('42:' || doc_id), 5, 2)) AS INT) AS b2
+        FROM ids
+    ),
+    words AS (
+        SELECT doc_id, i,
+               {words_sql}[CAST(('0x' || substr(md5('42:' || doc_id || ':' || i), 1, 2)) AS INT)
+                           % {n} + 1] AS w
+        FROM h, unnest(range(0, 5 + b0 % 20)) AS t(i)
+    ),
+    texts AS (
+        SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS text FROM words GROUP BY doc_id
+    )
+    SELECT {langs_sql}[b1 % 4 + 1] AS lang,
+           'src' || (b2 % 8)       AS source,
+           count(*)                AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM h JOIN texts USING (doc_id)
+    GROUP BY 1, 2
+    """
+
+
+@register("source_synthetic_docs", oracle=_synthetic_oracle())
+def source_synthetic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python DataSource (sources/synthetic.py) under the full
+    driver oracle gate: scan 2,000 generated docs (partition-parallel Arrow
+    batches, seed 42) and aggregate per (lang, source). The DuckDB oracle
+    REGENERATES the corpus from the same md5 derivations in pure SQL — a
+    cross-engine proof that the source's content contract (pure function of
+    doc_id and seed) holds, which is what makes golden tests and
+    EXCEPT-diff pipeline testing on generated data sound. The fixed size is
+    inherent to a generator query (nothing here reads sf_dir)."""
+    from map_reduce_group_spark.sources.synthetic import SyntheticDocsDataSource
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    d = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 2000)
+        .option("n_partitions", 8)
+        .option("seed", 42)
+        .option("pushdown", "false")  # vanilla sessions lack the pushdown conf
+        .load()
+    )
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
