@@ -1,0 +1,86 @@
+"""Distributed BPE-merge learning — tokenizer training as a Spark job.
+
+Byte-pair encoding (Sennrich et al. 2016) learns a subword vocabulary by
+repeatedly merging the most frequent adjacent symbol pair. The classic
+implementation is a single-machine loop over a word-frequency dict; the
+100 TB shape here exploits the same compression it does:
+
+1. ONE corpus-sized aggregation up front: tokenize and reduce to the
+   DISTINCT-WORD frequency table (vocab ≪ corpus — the only pass whose
+   cost scales with the data);
+2. each merge iteration then runs on the compact vocab table only:
+   overlapping symbol pairs are extracted with a lookahead regex
+   (``(?=(\\S+ \\S+))`` — codegen JVM path, no interpreted per-element
+   lambdas, no Python), weighted by word frequency, and reduced to the
+   argmax pair — one vocab-sized aggregation per iteration;
+3. the winning pair (a scalar — the ONLY driver traffic per round, same
+   O(1) class as the connected-components convergence check) is applied
+   with a literal ``replace`` on the space-joined symbol string, which is
+   exactly the left-to-right non-overlapping merge semantics of the
+   reference BPE implementations.
+
+Determinism: ties break (count DESC, pair ASC) — byte-identical merge
+tables on any engine and any partitioning, which is what makes the
+unrolled-CTE DuckDB oracle possible (plans/llm.py:doc_bpe_merges).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.functions import col
+
+_PAIR_RE = r"(?=(\S+ \S+))"
+
+
+def bpe_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 4,
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges over the corpus; returns the merge
+    table (merge_rank, pair, merged, pair_count) — the artifact a tokenizer
+    ships. Symbols start as single characters of the lowercased a-z word
+    tokens (the repo-standard tokenizer)."""
+    from map_reduce_group_spark.operators.text import tokens
+
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    # "h e l l o" symbol representation; cache — every iteration starts here
+    spaced = words.select(
+        F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("s"), "wc"
+    ).cache()
+
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for k in range(1, n_merges + 1):
+            best = (
+                spaced.select(
+                    F.explode(
+                        F.regexp_extract_all("s", F.lit(_PAIR_RE), 1)
+                    ).alias("pair"),
+                    "wc",
+                )
+                .groupBy("pair")
+                .agg(F.sum("wc").cast("long").alias("pair_count"))
+                .orderBy(col("pair_count").desc(), "pair")
+                .limit(1)
+                .collect()[0]
+            )
+            pair, merged = best["pair"], best["pair"].replace(" ", "")
+            merges.append((k, pair, merged, best["pair_count"]))
+            # left-to-right non-overlapping merge == literal replace on the
+            # space-joined form (the standard BPE apply step); map-only, so
+            # the k-step lineage stays a single narrow stage over the cache
+            spaced = spaced.select(
+                F.replace(col("s"), F.lit(pair), F.lit(merged)).alias("s"), "wc"
+            )
+    finally:
+        pass  # cache freed with the session; spaced lineage roots at it
+    return spark.createDataFrame(
+        merges, "merge_rank bigint, pair string, merged string, pair_count bigint"
+    )

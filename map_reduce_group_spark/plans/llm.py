@@ -748,6 +748,56 @@ def doc_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled-CTE DuckDB twin of operators/bpe.py:bpe_merges: each merge
+    iteration is one (pairs → best → replace) CTE stage; ``replace`` on the
+    space-joined form gives identical left-to-right non-overlapping merge
+    semantics in both engines."""
+    sql = f"""
+    WITH toks AS (
+        SELECT unnest({_TOKS_SQL}) AS word FROM documents
+    ), words0 AS (
+        SELECT word, count(*) AS wc FROM toks GROUP BY word
+    ), spaced0 AS (
+        SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s, wc FROM words0
+    )"""
+    prev = "spaced0"
+    selects = []
+    for k in range(1, n_merges + 1):
+        sql += f""",
+    pairs{k} AS (
+        SELECT sp[i] || ' ' || sp[i+1] AS pair, wc
+        FROM (SELECT string_split(s, ' ') AS sp, wc FROM {prev}),
+             unnest(range(1, len(sp))) AS t(i)
+    ), best{k} AS (
+        SELECT pair, CAST(sum(wc) AS BIGINT) AS pair_count
+        FROM pairs{k} GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 1
+    ), spaced{k} AS (
+        SELECT replace(s, b.pair, replace(b.pair, ' ', '')) AS s, wc
+        FROM {prev} CROSS JOIN best{k} b
+    )"""
+        prev = f"spaced{k}"
+        selects.append(
+            f"SELECT CAST({k} AS BIGINT) AS merge_rank, pair, "
+            f"replace(pair, ' ', '') AS merged, pair_count FROM best{k}"
+        )
+    return sql + "\n    " + " UNION ALL ".join(selects)
+
+
+@register("doc_bpe_merges", oracle=_bpe_oracle(4))
+def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): learn the
+    first 4 merges over the corpus. One corpus-sized aggregation compresses
+    to the distinct-word table; every iteration after that is vocab-sized
+    (lookahead-regex pair extraction, argmax, literal-replace merge) with a
+    single scalar per round reaching the driver. Byte-identical to the
+    DuckDB unrolled-CTE replay — tie-breaks are (count DESC, pair ASC)."""
+    from map_reduce_group_spark.operators.bpe import bpe_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_merges(d, "text", n_merges=4)
+
+
 @register("embed_kmeans_assign")  # float-sum order is engine-private -> rows-only
 def embed_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd k-means assignment over the embeddings table
