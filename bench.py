@@ -31,8 +31,14 @@ def main() -> None:
     spark = get_session("mrg-spark-bench")
     qs = queries()
 
-    # warm the JVM + parquet footers with a trivial action
+    # warm the JVM + parquet footers with a trivial action, and the Python
+    # worker pool + Arrow serializers with a tiny mapInPandas — otherwise
+    # the first Arrow-heavy query pays ~5-8 s of daemon/fork cold-start and
+    # the recorded number measures warmup, not the operator
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

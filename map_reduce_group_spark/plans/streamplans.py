@@ -172,6 +172,38 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synthetic_oracle_ref() -> str:
+    from map_reduce_group_spark.plans.advanced import _synthetic_oracle
+
+    return _synthetic_oracle()
+
+
+@register("stream_synthetic_source", oracle=_synthetic_oracle_ref())
+def stream_synthetic_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python STREAMING source under the oracle gate: ingest the
+    generated corpus through micro-batch execution (offset-tracked
+    SimpleDataSourceStreamReader, sources/synthetic.py) into a complete-mode
+    aggregation — which must equal the same DuckDB SQL that regenerates the
+    corpus (shared with the batch twin `source_synthetic_docs`). Proves the
+    batch source, the streaming source, and an independent engine all agree
+    on the source's content contract."""
+    from map_reduce_group_spark.sources.synthetic import SyntheticDocsDataSource
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    stream = (
+        spark.readStream.format("synthetic_docs")
+        .option("n_docs", 2000)
+        .option("batch_size", 2000)  # availableNow drains in one batch
+        .option("seed", 42)
+        .load()
+    )
+    agg = stream.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    return es.run_to_memory(agg, f"q_stream_synth_{next(_COUNTER)}")
+
+
 @register(
     "stream_purchase_attribution",
     oracle="""
