@@ -70,6 +70,65 @@ def refresh_rollup(
     return parts
 
 
+def scd2_init(df: DataFrame, ts_col: str) -> DataFrame:
+    """Dress a snapshot as an SCD2 history table: every row becomes the
+    current version effective from its ``ts_col``."""
+    return (
+        df.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lit(None).cast(dict(df.dtypes)[ts_col]))
+        .withColumn("is_current", F.lit(True))
+    )
+
+
+def scd2_apply(
+    updates: DataFrame,
+    table_path: str,
+    key_cols: list[str],
+    ts_col: str,
+    part_col: str,
+) -> list:
+    """Slowly-changing-dimension type-2 merge: instead of overwriting a
+    key's row (``upsert_by_key`` = SCD1), CLOSE the key's current version
+    (``valid_to`` = the update's effective timestamp, ``is_current`` =
+    false) and append the update as the new open version — the full change
+    history stays queryable ("value as of T" = ``valid_from <= T AND
+    (valid_to IS NULL OR valid_to > T)``).
+
+    Same partition-scoped shape as ``upsert_by_key``: only the ``part_col``
+    partitions the updates land in are read and rewritten (valid as long as
+    ``part_col`` is a function of the key), and the updated-key set joins
+    broadcast. History rows and current rows of untouched keys pass through
+    untouched.
+    """
+    spark = updates.sparkSession
+    parts = affected_partitions(updates, part_col)
+    if not parts:
+        return parts
+    new_ts = F.broadcast(
+        updates.groupBy(*key_cols).agg(F.min(ts_col).alias("__new_ts"))
+    )
+    existing = spark.read.parquet(table_path).filter(F.col(part_col).isin(parts))
+    closed = (
+        existing.join(new_ts, key_cols, "left")
+        .withColumn(
+            "valid_to",
+            F.when(
+                F.col("is_current") & F.col("__new_ts").isNotNull(),
+                F.col("__new_ts"),
+            ).otherwise(F.col("valid_to")),
+        )
+        .withColumn(
+            "is_current",
+            F.col("is_current") & F.col("__new_ts").isNull(),
+        )
+        .drop("__new_ts")
+    )
+    fresh = scd2_init(updates, ts_col).select(*closed.columns)
+    merged = closed.unionByName(fresh)
+    overwrite_partitions(merged, table_path, [part_col])
+    return parts
+
+
 def upsert_by_key(
     updates: DataFrame,
     table_path: str,

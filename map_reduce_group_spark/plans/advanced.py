@@ -467,3 +467,64 @@ def source_synthetic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@register(
+    "quality_checks_relational",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           CAST(sum(n - 1) AS BIGINT) AS violations,
+           CAST(sum(n) AS BIGINT) AS total,
+           sum(n - 1) = 0 AS passed
+    FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1)
+    UNION ALL
+    SELECT 'orders_custkey_fk',
+           CAST((SELECT count(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+           CAST((SELECT count(*) FROM orders) AS BIGINT),
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) = 0
+    UNION ALL
+    SELECT 'lineitem_discount_range',
+           CAST(sum(CASE WHEN l_discount IS NOT NULL
+                          AND l_discount NOT BETWEEN 0 AND 1
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           sum(CASE WHEN l_discount IS NOT NULL
+                     AND l_discount NOT BETWEEN 0 AND 1
+                    THEN 1 ELSE 0 END) = 0
+    FROM lineitem
+    UNION ALL
+    SELECT 'events_value_not_null',
+           CAST(count(*) - count(value) AS BIGINT),
+           CAST(count(*) AS BIGINT),
+           count(*) - count(value) = 0
+    FROM events
+    """,
+)
+def quality_checks_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality validation pass (operators/quality.py):
+    PK uniqueness, FK integrity (anti-join with distinct-parent-key build
+    side), semantic range rule, and null-rate — each check a pruned
+    scan-aggregate, unioned into the publish-gate report a pipeline stores
+    next to the table it validated."""
+    from map_reduce_group_spark.operators import quality as Q
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    return Q.run_checks(
+        [
+            Q.check_unique(orders, ["o_orderkey"], "orders_pk_unique"),
+            Q.check_foreign_key(
+                orders, "o_custkey", customer, "c_custkey", "orders_custkey_fk"
+            ),
+            Q.check_in_range(
+                lineitem, "l_discount", 0.0, 1.0, "lineitem_discount_range"
+            ),
+            Q.check_not_null(events, "value", "events_value_not_null"),
+        ]
+    )

@@ -92,3 +92,48 @@ def test_upsert_by_key_merges_and_preserves(spark, sf_dir, tmp_path):
     )
     assert got_rest.exceptAll(want_rest).count() == 0
     assert want_rest.exceptAll(got_rest).count() == 0
+
+
+def test_scd2_apply_tracks_history(spark, sf_dir, tmp_path):
+    """SCD2 merge: an update closes the key's current version at the
+    update's effective timestamp and opens a new current one; history and
+    untouched keys pass through; as-of queries see the right version."""
+    orders = load_table(spark, sf_dir, "orders")
+    table = f"{tmp_path}/orders_scd2"
+    from map_reduce_group_spark.sources.io import overwrite_partitions
+
+    init = inc.scd2_init(orders, "o_orderdate")
+    overwrite_partitions(init, table, ["o_orderstatus"])
+
+    upd_keys = [r["o_orderkey"] for r in
+                orders.filter(F.col("o_orderstatus") == "F").limit(20).collect()]
+    updates = (
+        orders.filter(F.col("o_orderkey").isin(upd_keys))
+        .withColumn("o_totalprice", F.lit(999.99))
+        .withColumn("o_orderdate", F.lit("2030-01-01").cast("date"))
+    )
+    touched = inc.scd2_apply(
+        updates, table, ["o_orderkey"], "o_orderdate", "o_orderstatus"
+    )
+    assert touched == ["F"]
+
+    t = spark.read.parquet(table)
+    assert t.count() == orders.count() + 20  # history kept, versions added
+    hist = t.filter(F.col("o_orderkey").isin(upd_keys))
+    closed = hist.filter(~F.col("is_current"))
+    current = hist.filter(F.col("is_current"))
+    assert closed.count() == 20 and current.count() == 20
+    assert closed.filter(F.col("valid_to") != F.lit("2030-01-01").cast("date")).count() == 0
+    assert current.filter(F.col("o_totalprice") != 999.99).count() == 0
+    assert current.filter(F.col("valid_to").isNotNull()).count() == 0
+    # untouched keys: still exactly one current open version
+    rest = t.filter(~F.col("o_orderkey").isin(upd_keys))
+    assert rest.count() == orders.count() - 20
+    assert rest.filter(~F.col("is_current") | F.col("valid_to").isNotNull()).count() == 0
+    # as-of query: before the update ts the OLD price is visible
+    asof = t.filter(
+        (F.col("valid_from") <= F.lit("2029-12-31").cast("date"))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit("2029-12-31").cast("date")))
+    ).filter(F.col("o_orderkey").isin(upd_keys))
+    assert asof.count() == 20
+    assert asof.filter(F.col("o_totalprice") == 999.99).count() == 0
