@@ -23,6 +23,70 @@ from pyspark.sql import DataFrame
 from pyspark.sql.functions import col
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list — the
+    link-centrality signal corpus curation uses for domain quality
+    (Common-Crawl-style host ranking feeds "keep high-authority domains"
+    filters). Returns (id, rank) with Σrank = 1.
+
+    Scale shape per iteration: one join (ranks ⋈ edges on src — both sides
+    pre-partitioned on the join key by the previous round's shuffle) + one
+    groupBy(dst) sum. Dangling-node mass is redistributed uniformly; the
+    only driver traffic per round is that scalar (the repo's standard
+    O(partitions) aggregate class — see connected_components and
+    kmeans_assign). ``localCheckpoint`` cuts the growing lineage.
+
+    Float summation order is partition-order-dependent, so exact rank bits
+    are engine-private — rows-only query; semantics pinned by the property
+    suite (closed-form graphs, mass conservation, determinism bounds).
+    """
+    spark = edges.sparkSession
+    e = edges.select(col(src).alias("src"), col(dst).alias("dst")).distinct()
+    vertices = (
+        e.select(col("src").alias("id"))
+        .unionByName(e.select(col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = vertices.count()
+    degrees = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # out-edges with weight 1/deg, cached — reused every iteration
+    contrib_edges = e.join(degrees, "src").select(
+        "src", "dst", (F.lit(1.0) / col("deg")).alias("w")
+    ).localCheckpoint(eager=True)
+
+    ranks = vertices.select("id", F.lit(1.0 / n).alias("rank"))
+    for _ in range(iters):
+        contribs = (
+            contrib_edges.join(ranks, contrib_edges.src == ranks.id)
+            .select("dst", (col("rank") * col("w")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        # dangling mass = rank not emitted through any out-edge
+        emitted = ranks.join(degrees, ranks.id == degrees.src, "left_semi")
+        dangling = 1.0 - emitted.agg(F.sum("rank")).collect()[0][0]
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = (
+            vertices.join(contribs, vertices.id == contribs.dst, "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def connected_components(
     pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
 ) -> DataFrame:

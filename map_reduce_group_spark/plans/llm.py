@@ -798,6 +798,27 @@ def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(d, "text", n_merges=4)
 
 
+@register("graph_pagerank_simgraph")  # float-sum order engine-private -> rows-only
+def graph_pagerank_simgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the n-gram-similarity graph
+    (operators/clusters.py:pagerank, 10 damped power iterations) — the
+    link-centrality signal corpus curation uses for authority scoring
+    (Common-Crawl-style host ranking). Similarity pairs become symmetric
+    edges; high-rank docs sit at the center of large duplicate/boilerplate
+    families — the same families dedup_clusters identifies, now with a
+    graded importance score. Rows-only: rank bits depend on float summation
+    order; semantics pinned by closed-form property tests."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.3)
+    edges = pairs.select(
+        col("id_a").alias("src"), col("id_b").alias("dst")
+    ).unionByName(pairs.select(col("id_b").alias("src"), col("id_a").alias("dst")))
+    from map_reduce_group_spark.operators.clusters import pagerank
+
+    ranks = pagerank(edges, iters=10)
+    return ranks.select("id", F.round(col("rank"), 8).alias("rank"))
+
+
 @register("embed_kmeans_assign")  # float-sum order is engine-private -> rows-only
 def embed_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd k-means assignment over the embeddings table

@@ -66,6 +66,7 @@ COST_HINT = {
     "corpus_sequence_pack": 3.3, "corpus_span_dedup": 2.0, "dedup_clusters": 10.1,
     "dedup_minhash_lsh": 7.5, "dedup_ngram_jaccard": 3.0, "dedup_ngram_jaccard_capped": 2.8,
     "dedup_simhash": 3.5, "doc_repetition_signals": 1.2, "doc_unicode_normalize": 2.0,
+    "doc_bpe_merges": 3.0, "graph_pagerank_simgraph": 8.0, "stream_synthetic_source": 2.5,
     "doc_winnow_fingerprints": 1.3, "embed_ann_ivf": 1.4, "embed_kmeans_assign": 1.1,
     "embed_semdedup_prune": 1.1, "mr_wordcount_pipe": 1.3, "multimodal_video_frame_sample": 1.1,
     "pipeline_corpus_prep": 6.4, "pipeline_corpus_prep_v2": 2.6, "q18_large_volume_customers": 1.6,

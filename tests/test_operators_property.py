@@ -535,3 +535,38 @@ def test_quantize_embeddings_roundtrip_bounds(spark):
     step = (mx - mn) / 255.0
     recon = mn + codes * step
     assert np.all(np.abs(recon - vecs) <= step / 2 + 1e-12)
+
+
+def test_pagerank_closed_forms_and_mass(spark):
+    """PageRank semantics (rows-only query): on a directed cycle every
+    vertex gets exactly 1/n; on a 2-node mutual pair plus a dangler the
+    ranks follow the analytic fixpoint; total mass is always 1."""
+    from map_reduce_group_spark.operators.clusters import pagerank
+
+    # 5-cycle: uniform fixpoint, independent of damping
+    cyc = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src long, dst long"
+    )
+    got = {r["id"]: r["rank"] for r in pagerank(cyc, iters=20).collect()}
+    assert len(got) == 5
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for v in got.values():
+        assert abs(v - 0.2) < 1e-9
+
+    # star with dangling center: a -> c, b -> c, c has no out-edges.
+    # fixpoint with d=0.85: iterate analytically to compare
+    star = spark.createDataFrame([(1, 3), (2, 3)], "src long, dst long")
+    got = {r["id"]: r["rank"] for r in pagerank(star, iters=30).collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    ra = rb = rc = 1 / 3
+    for _ in range(30):
+        dang = rc
+        base = 0.15 / 3 + 0.85 * dang / 3
+        ra2 = rb2 = base
+        rc2 = base + 0.85 * (ra + rb)
+        ra, rb, rc = ra2, rb2, rc2
+    assert abs(got[1] - ra) < 1e-9 and abs(got[3] - rc) < 1e-9
+    # determinism across partitioning (tolerance: float sum order)
+    again = {r["id"]: r["rank"] for r in pagerank(star.repartition(5), iters=30).collect()}
+    for k in got:
+        assert abs(got[k] - again[k]) < 1e-12
