@@ -47,7 +47,14 @@ def pagerank(
     suite (closed-form graphs, mass conservation, determinism bounds).
     """
     spark = edges.sparkSession
-    e = edges.select(col(src).alias("src"), col(dst).alias("dst")).distinct()
+    # materialize the (possibly expensive — e.g. a similarity join) edge
+    # list ONCE; everything the loop touches roots at checkpointed frames,
+    # or each iteration would re-run the edge-producing DAG
+    e = (
+        edges.select(col(src).alias("src"), col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     vertices = (
         e.select(col("src").alias("id"))
         .unionByName(e.select(col("dst").alias("id")))
@@ -55,8 +62,10 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = vertices.count()
-    degrees = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # out-edges with weight 1/deg, cached — reused every iteration
+    degrees = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=True
+    )
+    # out-edges with weight 1/deg — reused every iteration
     contrib_edges = e.join(degrees, "src").select(
         "src", "dst", (F.lit(1.0) / col("deg")).alias("w")
     ).localCheckpoint(eager=True)

@@ -809,13 +809,15 @@ def graph_pagerank_simgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     graded importance score. Rows-only: rank bits depend on float summation
     order; semantics pinned by closed-form property tests."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(d, "doc_id", "text", threshold=0.3)
+    pairs = dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", threshold=0.3, max_doc_freq=64
+    )
     edges = pairs.select(
         col("id_a").alias("src"), col("id_b").alias("dst")
     ).unionByName(pairs.select(col("id_b").alias("src"), col("id_a").alias("dst")))
     from map_reduce_group_spark.operators.clusters import pagerank
 
-    ranks = pagerank(edges, iters=10)
+    ranks = pagerank(edges, iters=8)
     return ranks.select("id", F.round(col("rank"), 8).alias("rank"))
 
 
