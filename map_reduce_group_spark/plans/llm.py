@@ -809,8 +809,10 @@ def graph_pagerank_simgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     graded importance score. Rows-only: rank bits depend on float summation
     order; semantics pinned by closed-form property tests."""
     d = load_table(spark, sf_dir, "documents")
+    # fractional df-cap (rule 7): an absolute cap goes empty-graph as the
+    # corpus grows (clone families push every shingle's df past it)
     pairs = dedup.ngram_jaccard_pairs(
-        d, "doc_id", "text", threshold=0.3, max_doc_freq=64
+        d, "doc_id", "text", threshold=0.3, max_doc_frac=0.02
     )
     edges = pairs.select(
         col("id_a").alias("src"), col("id_b").alias("dst")
