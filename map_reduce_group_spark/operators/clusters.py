@@ -62,6 +62,8 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = vertices.count()
+    if n == 0:  # empty graph (e.g. an over-capped similarity join) — no ranks
+        return vertices.select("id", F.lit(0.0).alias("rank"))
     degrees = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
         eager=True
     )

@@ -570,3 +570,7 @@ def test_pagerank_closed_forms_and_mass(spark):
     again = {r["id"]: r["rank"] for r in pagerank(star.repartition(5), iters=30).collect()}
     for k in got:
         assert abs(got[k] - again[k]) < 1e-12
+
+    # empty edge list (an over-capped similarity join): no rows, stable schema
+    empty = pagerank(spark.createDataFrame([], "src long, dst long"), iters=3)
+    assert empty.collect() == [] and dict(empty.dtypes) == {"id": "bigint", "rank": "double"}
