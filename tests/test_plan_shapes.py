@@ -261,3 +261,40 @@ def test_aqe_splits_skewed_join_partition(spark, tmp_path):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
+    """Runtime row-level filtering: a selective dim filter must inject a
+    bloom filter (might_contain) into the FACT side's scan stage, so
+    non-joining fact rows drop BEFORE the shuffle — at 100 TB this cuts the
+    big side's shuffle volume by the dim's selectivity, the row-level
+    sibling of dynamic partition pruning (thresholds lowered here because
+    the fixture is far below the 10 MB/10 GB production defaults)."""
+    import pyspark.sql.functions as F
+
+    keys = (
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold",
+    )
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set(keys[0], "10GB")
+        spark.conf.set(keys[1], "0")
+        spark.conf.set(keys[2], "-1")
+        spark.range(200_000).select(
+            F.col("id").alias("k"), (F.col("id") % 997).alias("v")
+        ).write.mode("overwrite").parquet(f"{tmp_path}/fact")
+        spark.range(50_000).select(
+            F.col("id").alias("k"), (F.col("id") % 13).alias("f")
+        ).write.mode("overwrite").parquet(f"{tmp_path}/dim")
+        fact = spark.read.parquet(f"{tmp_path}/fact")
+        dim = spark.read.parquet(f"{tmp_path}/dim").filter(F.col("f") == 3)
+        j = fact.join(dim, "k")
+        p = explain_str(j)
+        assert "might_contain" in p, p
+        # and values survive the filter exactly
+        assert j.count() == dim.count()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
