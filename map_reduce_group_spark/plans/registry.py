@@ -61,20 +61,20 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # a secondary sort key so a time-budgeted driver sweep gets through the cheap
 # tail before committing to the heavy queries.
 COST_HINT = {
-    "agg_approx_sketches": 2.0, "agg_cube_returns": 2.6, "agg_distinct_counts": 1.2,
-    "agg_stats_exact": 1.5, "corpus_contamination_check": 4.1, "corpus_mixture_rebalance": 1.2,
-    "corpus_sequence_pack": 3.3, "corpus_span_dedup": 2.0, "dedup_clusters": 10.1,
-    "dedup_minhash_lsh": 7.5, "dedup_ngram_jaccard": 3.0, "dedup_ngram_jaccard_capped": 2.8,
-    "dedup_simhash": 3.5, "doc_repetition_signals": 1.2, "doc_unicode_normalize": 2.0,
-    "doc_bpe_merges": 3.0, "graph_pagerank_simgraph": 8.0, "stream_synthetic_source": 2.5,
-    "doc_winnow_fingerprints": 1.3, "embed_ann_ivf": 1.4, "embed_kmeans_assign": 1.1,
-    "embed_semdedup_prune": 1.1, "mr_wordcount_pipe": 1.3, "multimodal_video_frame_sample": 1.1,
-    "pipeline_corpus_prep": 6.4, "pipeline_corpus_prep_v2": 2.6, "q18_large_volume_customers": 1.6,
-    "q1_pricing_summary": 1.4, "q20_excess_suppliers": 1.1, "q21_waiting_suppliers": 2.2,
-    "q2_min_cost_supplier": 1.7, "q8_market_share": 1.5, "q9_product_profit": 1.2,
-    "stream_dedup_redelivery": 3.0, "stream_purchase_attribution": 6.6, "stream_running_totals": 5.5,
-    "stream_sessionization": 3.5, "stream_static_enrich": 3.4, "stream_tumbling_hourly": 4.2,
-    "text_tfidf_top_terms": 1.6, "udf_cogroup_in_pandas": 3.8,
+    "agg_approx_sketches": 1.7, "agg_cube_returns": 1.8, "agg_distinct_counts": 1.2,
+    "agg_stats_exact": 1.3, "corpus_contamination_check": 3.8, "corpus_mixture_rebalance": 1.2,
+    "corpus_sequence_pack": 2.7, "corpus_span_dedup": 1.2, "dedup_clusters": 8.7,
+    "dedup_minhash_lsh": 3.2, "dedup_ngram_jaccard": 1.4, "dedup_ngram_jaccard_capped": 2.8,
+    "dedup_simhash": 3.1, "doc_bpe_merges": 1.7, "doc_repetition_signals": 1.2,
+    "doc_winnow_fingerprints": 1.2, "embed_ann_ivf": 1.0, "embed_semdedup_prune": 1.2,
+    "graph_pagerank_simgraph": 6.8, "join_left_outer_counts": 1.1, "mr_wordcount_pipe": 1.7,
+    "multimodal_video_frame_sample": 1.1, "pipeline_corpus_prep": 6.8, "pipeline_corpus_prep_v2": 2.5,
+    "q18_large_volume_customers": 1.2, "q1_pricing_summary": 1.0, "q21_waiting_suppliers": 1.9,
+    "q2_min_cost_supplier": 2.1, "q8_market_share": 1.0, "q9_product_profit": 1.0,
+    "source_synthetic_docs": 4.0, "stream_dedup_redelivery": 2.6, "stream_purchase_attribution": 6.3,
+    "stream_running_totals": 1.6, "stream_sessionization": 1.8, "stream_static_enrich": 1.2,
+    "stream_synthetic_source": 3.5, "stream_tumbling_hourly": 1.5, "text_tfidf_top_terms": 1.3,
+    "udf_cogroup_in_pandas": 3.3,
 }
 
 
