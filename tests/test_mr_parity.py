@@ -219,3 +219,40 @@ def test_tabless_line_newline_parity(spark):
         # and the part is in the reference's sort order (bytes incl. '\n':
         # 'ab\tz' < 'ab' < 'ab c' whenever they share a partition)
         assert [w[:-1] for w in sorted(x + "\n" for x in part)] == part
+
+
+# ------------------------- hypothesis fuzz of the pure parity kernels ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(min_size=0, max_size=64), st.integers(min_value=1, max_value=64))
+def test_md5_routing_matches_reference_emulation(key, r):
+    """Fuzz the partition function against an independent byte-level
+    emulation of the reference worker (md5 of UTF-8 key, hex → int % R)."""
+    import hashlib as hl
+
+    from map_reduce_group_spark.mr.job import _md5_mod
+
+    want = int.from_bytes(hl.md5(key.encode("utf-8")).digest(), "big") % r
+    assert _md5_mod(key, r) == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(max_size=32)), min_size=1, max_size=6
+    )
+)
+def test_pipe_wire_format_roundtrip_fuzz(fields):
+    """Any row of arbitrary text fields (embedded tabs, newlines,
+    backslashes, the literal NULL sentinel, empty strings) and NULLs must
+    round-trip the pipe wire format losslessly with no field shifting."""
+    from map_reduce_group_spark.mr.job import _pipe_decode, _pipe_encode
+
+    line = "\t".join(_pipe_encode(v) for v in fields)
+    assert "\n" not in line  # a row can never span lines
+    back = [_pipe_decode(f) for f in line.split("\t")]
+    assert back == [None if v is None else str(v) for v in fields]
