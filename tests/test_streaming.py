@@ -238,3 +238,60 @@ def test_custom_python_streaming_source(spark, tmp_path):
     a = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     b = {r["lang"]: r["n"] for r in batch.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert a == b
+
+
+def test_streaming_upsert_sink_idempotent(spark, tmp_path):
+    """Streaming CDC apply: foreachBatch + upsert_by_key as the sink. The
+    synthetic stream delivers the same keys across micro-batches (later
+    batches carry later versions); the keyed upsert collapses them so the
+    final table holds exactly one row per key — and REPLAYING the whole
+    stream into the same table changes nothing (idempotent end-to-end, the
+    exactly-once story without a lakehouse format)."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_group_spark.operators.incremental import upsert_by_key
+    from map_reduce_group_spark.sources.io import overwrite_partitions
+    from map_reduce_group_spark.sources.synthetic import SyntheticDocsDataSource
+
+    spark.dataSource.register(SyntheticDocsDataSource)
+    table = str(tmp_path / "docs_table")
+    # seed the table: version 0 of every key
+    base = (
+        spark.read.format("synthetic_docs")
+        .option("n_docs", 200).option("seed", 7).option("pushdown", "false").load()
+        .withColumn("version", F.lit(0))
+    )
+    overwrite_partitions(base, table, ["lang"])
+
+    def run_stream(version, ckpt):
+        stream = (
+            spark.readStream.format("synthetic_docs")
+            .option("n_docs", 200).option("batch_size", 50).option("seed", 7)
+            .load()
+            .withColumn("version", F.lit(version))
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda batch_df, _id: upsert_by_key(
+                    batch_df, table, ["doc_id"], "lang"
+                )
+            )
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for _ in range(4):  # 4 availableNow runs drain 200 docs at batch_size 50
+        run_stream(1, "ckpt_a")
+    t = spark.read.parquet(table)
+    assert t.count() == 200  # one row per key, no dup keys from 4 batches
+    assert t.filter(F.col("version") != 1).count() == 0  # all upserted
+
+    # REDELIVER the whole stream (fresh checkpoint = at-least-once replay):
+    # the keyed upsert must leave the table byte-identical
+    before = sorted(map(tuple, t.collect()))
+    for _ in range(4):
+        run_stream(1, "ckpt_b")
+    after = sorted(map(tuple, spark.read.parquet(table).collect()))
+    assert after == before
