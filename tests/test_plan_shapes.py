@@ -298,3 +298,41 @@ def test_runtime_bloom_filter_join_pruning(spark, tmp_path):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """Per-join strategy control: when the optimizer's default is wrong for
+    a workload the user must be able to force the strategy per join — hints
+    are that control surface (broadcast / merge / shuffle_hash)."""
+    from map_reduce_group_spark.catalog import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = explain_str(o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey))
+    assert "ShuffledHashJoin" in p, p
+    p = explain_str(o.join(c.hint("merge"), o.o_custkey == c.c_custkey))
+    assert "SortMergeJoin" in p, p
+    p = explain_str(o.join(c.hint("broadcast"), o.o_custkey == c.c_custkey))
+    assert "BroadcastHashJoin" in p, p
+
+
+def test_observe_metrics_single_pass(spark, sf_dir):
+    """df.observe: pipeline metrics (row counts, sums for reconciliation)
+    accumulate DURING the action — no second scan of a 100 TB input just to
+    count what passed the filter."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    from map_reduce_group_spark.catalog import load_table
+
+    obs = Observation("q6_metrics")
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = li.filter(F.col("l_discount") > 0.05).observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_kept"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty_kept"),
+    )
+    out = filtered.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+    m = obs.get
+    assert m["rows_kept"] == out
+    assert m["qty_kept"] is not None and m["qty_kept"] > 0
