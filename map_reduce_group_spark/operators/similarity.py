@@ -300,6 +300,65 @@ def cosine_neardup_pairs(
     )
 
 
+def dimension_envelope(
+    df: DataFrame, vec_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Global per-dimension (min, max) arrays for a vector column, via one
+    Arrow pass emitting ONE partial row per batch (executor-side reduce;
+    only partitions × 2·D doubles reach the driver). Exact regardless of
+    partitioning — min/max are order-insensitive. None on an empty frame."""
+
+    def partial_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _matrix(pdf[vec_col])
+            yield pd.DataFrame(
+                {"mins": [m.min(axis=0).tolist()], "maxs": [m.max(axis=0).tolist()]}
+            )
+
+    partials = df.select(vec_col).mapInPandas(
+        partial_stats, "mins array<double>, maxs array<double>"
+    ).collect()
+    if not partials:
+        return None
+    return (
+        np.min([r["mins"] for r in partials], axis=0),
+        np.max([r["maxs"] for r in partials], axis=0),
+    )
+
+
+def dequantize_embeddings(
+    codes_df: DataFrame,
+    mn: np.ndarray,
+    mx: np.ndarray,
+    id_col: str = "id",
+    codes_col: str = "codes",
+    vec_col: str = "v",
+    levels: int = 256,
+) -> DataFrame:
+    """Reconstruct float vectors from integer codes: ``mn + code · step``
+    with ``step = (mx-mn)/(levels-1)`` — the fixed IEEE op sequence the
+    DuckDB oracle replays, so reconstructed values are bit-identical
+    cross-engine. Map-only with broadcast scales."""
+    rng = mx - mn
+    rng = np.where(rng == 0, 1.0, rng)
+    step = rng / float(levels - 1)
+    bc = codes_df.sparkSession.sparkContext.broadcast((mn, step))
+
+    def deq(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_mn, b_step = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf[codes_col].to_numpy()).astype(np.float64)
+            vecs = b_mn + codes * b_step
+            yield pd.DataFrame({"id": pdf[id_col], "v": list(vecs)})
+
+    id_t = _id_type(codes_df, id_col)
+    return codes_df.mapInPandas(deq, f"id {id_t}, {vec_col} array<double>")
+
+
 def quantize_embeddings(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -331,24 +390,12 @@ def quantize_embeddings(
     """
     flat = df.select(col(id_col).alias("id"), col(vec_col).alias("v"))
 
-    def partial_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            m = _matrix(pdf["v"])
-            yield pd.DataFrame(
-                {"mins": [m.min(axis=0).tolist()], "maxs": [m.max(axis=0).tolist()]}
-            )
-
-    partials = flat.select("v").mapInPandas(
-        partial_stats, "mins array<double>, maxs array<double>"
-    ).collect()
-    if not partials:
+    env = dimension_envelope(df, vec_col)
+    if env is None:
         return df.sparkSession.createDataFrame(
             [], f"id {_id_type(df, id_col)}, codes array<int>"
         )
-    mn = np.min([r["mins"] for r in partials], axis=0)
-    mx = np.max([r["maxs"] for r in partials], axis=0)
+    mn, mx = env
     rng = mx - mn
     rng[rng == 0] = 1.0  # degenerate dims: x == mn everywhere -> code 0
     scale = float(levels - 1)

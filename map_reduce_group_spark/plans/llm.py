@@ -867,6 +867,87 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_embeddings(e, "vec_id", "embedding", levels=256)
 
 
+@register(
+    "embed_quantized_topk_agreement",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), u AS (
+        SELECT id, i, v[i] AS x FROM e, unnest(range(1, len(v)+1)) AS t(i)
+    ), stats AS (
+        SELECT i, min(x) AS mn, max(x) AS mx FROM u GROUP BY i
+    ), codes AS (
+        SELECT id, i, floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS code, mn, mx
+        FROM u JOIN stats USING (i)
+    ), deq AS (
+        SELECT id, list(mn + code * ((mx - mn) / 255.0) ORDER BY i) AS v
+        FROM codes GROUP BY id
+    ), te AS (
+        SELECT q_id, c_id FROM (
+            SELECT q.id AS q_id, c.id AS c_id,
+                   row_number() OVER (
+                       PARTITION BY q.id
+                       ORDER BY round(list_dot_product(q.v, c.v)
+                                / (sqrt(list_dot_product(q.v, q.v))
+                                   * sqrt(list_dot_product(c.v, c.v))), 5) DESC,
+                                c.id
+                   ) AS rnk
+            FROM e q CROSS JOIN e c
+            WHERE q.id % 50 = 0 AND c.id <> q.id
+        ) WHERE rnk <= 5
+    ), tq AS (
+        SELECT q_id, c_id FROM (
+            SELECT q.id AS q_id, c.id AS c_id,
+                   row_number() OVER (
+                       PARTITION BY q.id
+                       ORDER BY round(list_dot_product(q.v, c.v)
+                                / (sqrt(list_dot_product(q.v, q.v))
+                                   * sqrt(list_dot_product(c.v, c.v))), 5) DESC,
+                                c.id
+                   ) AS rnk
+            FROM deq q CROSS JOIN deq c
+            WHERE q.id % 50 = 0 AND c.id <> q.id
+        ) WHERE rnk <= 5
+    )
+    SELECT te.q_id,
+           CAST(sum(CASE WHEN tq.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree
+    FROM te LEFT JOIN tq ON te.q_id = tq.q_id AND te.c_id = tq.c_id
+    GROUP BY te.q_id
+    """,
+)
+def embed_quantized_topk_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantization-quality capstone: per query, how many of the exact
+    cosine top-5 survive when search runs on int8-DEQUANTIZED vectors
+    (quantize → mn + code·step → brute-force top-k). This is the
+    measurement that justifies shipping a 4×-smaller corpus — recall@5 of
+    quantized search, computed distributed and byte-agreed with a DuckDB
+    replay of the whole pipeline (quantize, reconstruct, rank, intersect:
+    every stage a fixed IEEE op sequence). Output (q_id, n_agree ∈ 0..5)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    env = similarity.dimension_envelope(e)
+    mn, mx = env
+    exact = similarity.cosine_topk(e.filter(col("vec_id") % 50 == 0), e, k=5)
+    codes = similarity.quantize_embeddings(e)
+    deq = similarity.dequantize_embeddings(codes, mn, mx)
+    quant = similarity.cosine_topk(
+        deq.filter(col("id") % 50 == 0), deq, id_col="id", vec_col="v", k=5
+    )
+    te = exact.select("q_id", "c_id")
+    tq = quant.select(col("q_id").alias("tq_q"), col("c_id").alias("tq_c"))
+    return (
+        te.join(
+            tq, (te.q_id == tq.tq_q) & (te.c_id == tq.tq_c), "left"
+        )
+        .groupBy("q_id")
+        .agg(
+            F.sum(F.when(col("tq_c").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_agree")
+        )
+    )
+
+
 @register("embed_semdedup_prune")  # kmeans centroids engine-private -> rows-only
 def embed_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic pruning (operators/similarity.py:semdedup_prune):
