@@ -66,7 +66,7 @@ COST_HINT = {
     "corpus_sequence_pack": 2.7, "corpus_span_dedup": 1.2, "dedup_clusters": 8.7,
     "dedup_minhash_lsh": 3.2, "dedup_ngram_jaccard": 1.4, "dedup_ngram_jaccard_capped": 2.8,
     "dedup_simhash": 3.1, "doc_bpe_merges": 1.7, "doc_repetition_signals": 1.2,
-    "doc_winnow_fingerprints": 1.2, "embed_ann_ivf": 1.0, "embed_semdedup_prune": 1.2,
+    "doc_winnow_fingerprints": 1.2, "embed_ann_ivf": 1.0, "embed_quantized_topk_agreement": 2.5, "embed_semdedup_prune": 1.2,
     "graph_pagerank_simgraph": 6.8, "join_left_outer_counts": 1.1, "mr_wordcount_pipe": 1.7,
     "multimodal_video_frame_sample": 1.1, "pipeline_corpus_prep": 6.8, "pipeline_corpus_prep_v2": 2.5,
     "q18_large_volume_customers": 1.2, "q1_pricing_summary": 1.0, "q21_waiting_suppliers": 1.9,
