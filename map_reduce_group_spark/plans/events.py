@@ -274,3 +274,49 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("retained_next_week"),
     )
+
+
+@register(
+    "events_ohlc_resample",
+    oracle="""
+    SELECT user_id,
+           time_bucket(INTERVAL 15 MINUTES, ts) AS bucket_start,
+           CAST(count(*) AS BIGINT)   AS n_ticks,
+           arg_min(value, ts)         AS open_v,
+           max(value)                 AS high_v,
+           min(value)                 AS low_v,
+           arg_max(value, ts)         AS close_v,
+           CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+               AS total_v
+    FROM (
+        SELECT user_id, value, ts,
+               row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    GROUP BY 1, 2
+    """,
+)
+def events_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to 15-minute OHLC bars per user — the
+    hypertable-rollup / financial-bars shape: open/close via
+    min_by/max_by(value, ts) (one shuffle keyed by (user, bucket), all
+    JVM-side; the continuous aggregate a time-series store would maintain
+    incrementally — compose with operators/incremental.py:refresh_rollup
+    for that). Ties on ts are broken to the lowest event_id BEFORE the
+    aggregate (both engines), making arg_min/arg_max deterministic; money
+    totals follow the exact-decimal policy."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy("event_id")
+    dedup = (
+        e.withColumn("rn", F.row_number().over(w)).filter(col("rn") == 1)
+    )
+    return dedup.groupBy(
+        "user_id", F.window("ts", "15 minutes").start.alias("bucket_start")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        F.min_by("value", "ts").alias("open_v"),
+        F.max("value").alias("high_v"),
+        F.min("value").alias("low_v"),
+        F.max_by("value", "ts").alias("close_v"),
+        dsum("value").alias("total_v"),
+    )
