@@ -265,6 +265,38 @@ def wav_features(df: DataFrame, id_col: str = "id", payload_col: str = "payload"
     return flat.mapInPandas(featurize, WAV_FEATURE_SCHEMA)
 
 
+def wav_frame_energy(
+    df: DataFrame,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    window_frames: int = 160,
+) -> DataFrame:
+    """Windowed audio energy: decode PCM WAV and emit one row per
+    ``window_frames``-frame window (the 20 ms-at-8 kHz hop speech pipelines
+    use for VAD/silence trimming) with the exact int64 sum of squared
+    samples across the window's frames and all channels (tail window
+    partial). Integer arithmetic end-to-end, so the closed-form oracle is
+    exact. Same Arrow ``mapInPandas`` shape as :func:`wav_features`; output
+    grows ×(frames/window) but stays long-and-narrow."""
+
+    def energize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widx, energy = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                _, _, samples = decode_wav_pcm16(bytes(payload))
+                sq = samples.astype(np.int64) ** 2  # (frames, ch)
+                frames = sq.shape[0]
+                for w in range(0, (frames + window_frames - 1) // window_frames):
+                    lo, hi = w * window_frames, min((w + 1) * window_frames, frames)
+                    ids.append(doc_id)
+                    widx.append(w)
+                    energy.append(int(sq[lo:hi].sum()))
+            yield pd.DataFrame({"id": ids, "window_idx": widx, "energy": energy})
+
+    flat = df.select(col(id_col).alias(id_col), col(payload_col).alias(payload_col))
+    return flat.mapInPandas(energize, "id bigint, window_idx bigint, energy bigint")
+
+
 VIDEO_FEATURE_SCHEMA = (
     "id bigint, width bigint, height bigint, n_frames bigint, "
     "usec_per_frame bigint, duration_s double, n_sampled bigint, "

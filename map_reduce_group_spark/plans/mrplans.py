@@ -202,6 +202,15 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-alignment, or de-interleaves wrongly hash-mismatches. Compressed
     audio (MP3/AAC) stays import-gated as documented in
     operators/multimodal.py."""
+    clips = _render_wav_clips(spark, sf_dir)
+    return multimodal.wav_features(clips)
+
+
+def _render_wav_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One genuine RIFF/WAVE file per document (16-bit PCM, deterministic
+    interleaved samples v(i,c) = ((doc_id·7 + 13i + 101c) mod 4096) − 2048,
+    frame/channel/rate varying per doc, LIST chunk between fmt and data) —
+    the shared fixture for the WAV decode/feature queries."""
     import numpy as np
     import pandas as pd
 
@@ -222,8 +231,31 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(multimodal.encode_wav_pcm16(v, int(rate)))
             yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
 
-    clips = d.mapInPandas(render, "id bigint, payload binary")
-    return multimodal.wav_features(clips)
+    return d.mapInPandas(render, "id bigint, payload binary")
+
+
+@register(
+    "multimodal_wav_frame_energy",
+    oracle=f"""
+    SELECT doc_id AS id, w AS window_idx,
+           CAST(list_sum(list_transform(
+               range(w * 160 * {_WAV_CH},
+                     least((w + 1) * 160, {_WAV_FRAMES}) * {_WAV_CH}),
+               k -> ({_WAV_SAMPLE}) * ({_WAV_SAMPLE})
+           )) AS BIGINT) AS energy
+    FROM documents,
+         unnest(range(0, ({_WAV_FRAMES} + 159) // 160)) AS t(w)
+    """,
+)
+def multimodal_wav_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio energy over REAL WAV decode
+    (operators/multimodal.py:wav_frame_energy): 160-frame windows (20 ms at
+    8 kHz — the speech-pipeline VAD hop), exact int64 sum of squared
+    samples per window across channels. The oracle recomputes each window's
+    energy from the closed-form sample formula, so a window-boundary or
+    interleave bug hash-mismatches. Integer math end-to-end."""
+    clips = _render_wav_clips(spark, sf_dir)
+    return multimodal.wav_frame_energy(clips)
 
 
 _VID_W = "(8 + doc_id % 5)"
