@@ -336,3 +336,34 @@ def test_observe_metrics_single_pass(spark, sf_dir):
     m = obs.get
     assert m["rows_kept"] == out
     assert m["qty_kept"] is not None and m["qty_kept"] > 0
+
+
+def test_cbo_statistics_after_analyze(spark, sf_dir):
+    """Cost-based optimization inputs: ANALYZE TABLE COMPUTE STATISTICS
+    must surface exact rowCount (and column NDV/min/max) to the optimizer —
+    the statistics CBO join-reordering and broadcast decisions read. At
+    100 TB, stale or missing stats are why a 5-way join picks the wrong
+    build side."""
+    from map_reduce_group_spark.catalog import load_table
+
+    spark.sql("DROP TABLE IF EXISTS stats_nation")
+    load_table(spark, sf_dir, "nation").write.saveAsTable("stats_nation")
+    prev_cbo = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try:
+        spark.sql(
+            "ANALYZE TABLE stats_nation COMPUTE STATISTICS FOR COLUMNS n_nationkey"
+        )
+        stats = spark.table("stats_nation")._jdf.queryExecution().optimizedPlan().stats()
+        assert stats.rowCount().isDefined()
+        assert stats.rowCount().get() == 25
+        desc = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(
+                "DESCRIBE EXTENDED stats_nation n_nationkey"
+            ).collect()
+        }
+        assert desc.get("distinct_count") == "25", desc
+    finally:
+        spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
+        spark.sql("DROP TABLE IF EXISTS stats_nation")
