@@ -84,3 +84,54 @@ def bpe_merges(
     return spark.createDataFrame(
         merges, "merge_rank bigint, pair string, merged string, pair_count bigint"
     )
+
+
+def bpe_token_counts(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 4,
+) -> DataFrame:
+    """APPLY side of BPE: learn ``n_merges`` merges, segment every word
+    under that vocabulary, and return per-document subword counts —
+    the token-budget accounting a training pipeline runs before packing
+    (sequence lengths under the REAL tokenizer, not a whitespace proxy).
+
+    Scale shape: segmentation happens on the DISTINCT-word table (the merge
+    chain is a map-only sequence of literal replaces on the space-joined
+    form), then one join maps (doc, word, occurrences) through the
+    word → n_subwords table and a groupBy sums per document. The corpus is
+    tokenized once; everything vocabulary-sized stays vocabulary-sized.
+
+    Returns (id, n_words, n_subwords): whitespace tokens vs BPE subwords —
+    the compression the learned merges bought."""
+    from map_reduce_group_spark.operators.text import tokens
+
+    merges = [
+        r["pair"]
+        for r in bpe_merges(docs, text_col, n_merges)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    doc_words = docs.select(
+        col(id_col).alias("id"), F.explode(tokens(text_col)).alias("word")
+    )
+    word_counts = doc_words.groupBy("id", "word").agg(
+        F.count(F.lit(1)).alias("occ")
+    )
+    seg = F.trim(F.regexp_replace("word", "(.)", "$1 "))
+    for pair in merges:
+        seg = F.replace(seg, F.lit(pair), F.lit(pair.replace(" ", "")))
+    vocab = (
+        word_counts.select("word")
+        .distinct()
+        .withColumn("n_sub", F.size(F.split(seg, " ")).cast("long"))
+    )
+    return (
+        word_counts.join(vocab, "word")
+        .groupBy("id")
+        .agg(
+            F.sum("occ").cast("long").alias("n_words"),
+            F.sum(col("occ") * col("n_sub")).cast("long").alias("n_subwords"),
+        )
+    )

@@ -784,6 +784,62 @@ def _bpe_oracle(n_merges: int) -> str:
     return sql + "\n    " + " UNION ALL ".join(selects)
 
 
+def _bpe_apply_oracle(n_merges: int) -> str:
+    """DuckDB twin of operators/bpe.py:bpe_token_counts: the learning CTE
+    chain (carrying ``word`` through each merge stage) followed by the
+    apply/count join."""
+    sql = f"""
+    WITH dtoks AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS word FROM documents
+    ), wcounts AS (
+        SELECT doc_id AS id, word, count(*) AS occ FROM dtoks GROUP BY 1, 2
+    ), words0 AS (
+        SELECT word, count(*) AS wc FROM dtoks GROUP BY word
+    ), spaced0 AS (
+        SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s, wc
+        FROM words0
+    )"""
+    prev = "spaced0"
+    for k in range(1, n_merges + 1):
+        sql += f""",
+    pairs{k} AS (
+        SELECT sp[i] || ' ' || sp[i+1] AS pair, wc
+        FROM (SELECT string_split(s, ' ') AS sp, wc FROM {prev}),
+             unnest(range(1, len(sp))) AS t(i)
+    ), best{k} AS (
+        SELECT pair FROM pairs{k} GROUP BY pair
+        ORDER BY sum(wc) DESC, pair LIMIT 1
+    ), spaced{k} AS (
+        SELECT word, replace(s, b.pair, replace(b.pair, ' ', '')) AS s, wc
+        FROM {prev} CROSS JOIN best{k} b
+    )"""
+        prev = f"spaced{k}"
+    return sql + f""",
+    vocab AS (
+        SELECT word, len(string_split(s, ' ')) AS n_sub FROM {prev}
+    )
+    SELECT id,
+           CAST(sum(occ) AS BIGINT)         AS n_words,
+           CAST(sum(occ * n_sub) AS BIGINT) AS n_subwords
+    FROM wcounts JOIN vocab USING (word)
+    GROUP BY id
+    """
+
+
+@register("doc_bpe_token_count", oracle=_bpe_apply_oracle(4))
+def doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY: per-document subword counts under the learned 4-merge
+    vocabulary (operators/bpe.py:bpe_token_counts) — token-budget
+    accounting with the real tokenizer instead of a whitespace proxy.
+    Segmentation runs on the distinct-word table (map-only literal-replace
+    chain); one join + groupBy rolls it up per document. Exact integers —
+    the DuckDB oracle replays learn + apply end-to-end."""
+    from map_reduce_group_spark.operators.bpe import bpe_token_counts
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_token_counts(d, "doc_id", "text", n_merges=4)
+
+
 @register("doc_bpe_merges", oracle=_bpe_oracle(4))
 def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators/bpe.py): learn the

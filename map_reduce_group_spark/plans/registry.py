@@ -65,7 +65,7 @@ COST_HINT = {
     "agg_stats_exact": 1.4, "corpus_contamination_check": 3.7, "corpus_sequence_pack": 2.6,
     "corpus_span_dedup": 1.2, "dedup_clusters": 6.7, "dedup_minhash_lsh": 2.7,
     "dedup_ngram_jaccard": 1.6, "dedup_ngram_jaccard_capped": 2.6, "dedup_simhash": 2.8,
-    "doc_bpe_merges": 1.5, "doc_repetition_signals": 2.7, "doc_token_stats": 1.1,
+    "doc_bpe_merges": 1.5, "doc_bpe_token_count": 3.0, "doc_repetition_signals": 2.7, "doc_token_stats": 1.1,
     "doc_unicode_normalize": 1.3, "doc_winnow_fingerprints": 2.8, "embed_ann_ivf": 2.1,
     "embed_cosine_neardup": 2.0, "embed_kmeans_assign": 2.0, "embed_quantize_int8": 1.2,
     "embed_quantized_topk_agreement": 1.9, "embed_semdedup_prune": 1.4, "events_ohlc_resample": 1.0,
