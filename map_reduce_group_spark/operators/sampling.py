@@ -89,3 +89,32 @@ def mixture_rebalance(
             ),
         )
     )
+
+
+def stratified_cap(
+    df,
+    id_col: str,
+    stratum_col: str,
+    cap: int,
+    salt: str = "cap",
+):
+    """Balanced downsampling: keep AT MOST ``cap`` rows per stratum,
+    selected by deterministic md5 order (hash_uniform, tie-broken by id) —
+    the "no domain may dominate" cap a mixture builder applies after
+    rebalancing rates. Content-hash selection means the kept set is
+    re-derivable on any engine/partitioning (same property as
+    sample_hash_deterministic); one shuffle keyed by the stratum, and
+    Spark's WindowGroupLimit pushes the rank<=cap predicate map-side so the
+    shuffle carries at most cap rows per stratum per map task.
+
+    Returns the capped rows with their selection rank (1..cap).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(
+        hash_uniform(F.col(id_col), salt), F.col(id_col)
+    )
+    return (
+        df.withColumn("sel_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sel_rank") <= cap)
+    )

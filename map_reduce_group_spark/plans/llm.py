@@ -1316,3 +1316,33 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the identical selection."""
     d = load_table(spark, sf_dir, "documents")
     return text.winnow_fingerprints(d, "doc_id", "text", k=3, w=4)
+
+
+@register(
+    "sample_stratified_cap",
+    oracle="""
+    SELECT doc_id, source, sel_rank
+    FROM (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY CAST(('0x' || substr(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 8))
+                                 AS UBIGINT) / 4294967296.0,
+                            doc_id
+               ) AS sel_rank
+        FROM documents
+    ) WHERE sel_rank <= 40
+    """,
+)
+def sample_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-source cap (operators/sampling.py:stratified_cap): at
+    most 40 docs per source, chosen by deterministic content-hash order —
+    the anti-domination cap of a mixture builder, re-derivable on any
+    engine (the DuckDB oracle replays the same md5-uniform ranking).
+    WindowGroupLimit bounds the shuffle to cap rows per stratum per task."""
+    from map_reduce_group_spark.operators.sampling import stratified_cap
+
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_cap(d, "doc_id", "source", cap=40).select(
+        "doc_id", "source", F.col("sel_rank").cast("long").alias("sel_rank")
+    )
