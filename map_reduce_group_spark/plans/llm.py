@@ -1346,3 +1346,19 @@ def sample_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_cap(d, "doc_id", "source", cap=40).select(
         "doc_id", "source", F.col("sel_rank").cast("long").alias("sel_rank")
     )
+
+
+@register("sketch_heavy_hitter_tokens")  # batch-local candidates -> rows-only
+def sketch_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over the corpus token stream
+    (operators/sketches.py:cms_heavy_hitters): top-10 tokens from a merged
+    4×1024 sketch — the frequent-items kernel for key spaces (n-grams,
+    URLs) too large to group exactly. Rows-only: the candidate pool is
+    Arrow-batch-local so the tail of the ranking can vary with
+    partitioning; the property suite pins the guarantees (estimate ≥ true,
+    planted hitters recovered in order)."""
+    from map_reduce_group_spark.operators.sketches import cms_heavy_hitters
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("tok"))
+    return cms_heavy_hitters(toks, "tok", k=10)

@@ -574,3 +574,26 @@ def test_pagerank_closed_forms_and_mass(spark):
     # empty edge list (an over-capped similarity join): no rows, stable schema
     empty = pagerank(spark.createDataFrame([], "src long, dst long"), iters=3)
     assert empty.collect() == [] and dict(empty.dtypes) == {"id": "bigint", "rank": "double"}
+
+
+def test_cms_heavy_hitters_guarantees(spark):
+    """Count-min guarantees (rows-only query contract): planted heavy
+    hitters are recovered in frequency order, every estimate upper-bounds
+    the true count, and heavy estimates are within the epsilon*N bound."""
+    from map_reduce_group_spark.operators.sketches import cms_heavy_hitters
+
+    rows = []
+    heavy = {"alpha": 3000, "beta": 2000, "gamma": 1200}
+    for key, n in heavy.items():
+        rows += [(key,)] * n
+    rows += [(f"tail{i % 500}",) for i in range(4000)]  # 500 keys x 8
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+
+    got = cms_heavy_hitters(df, "k", k=3, depth=4, width=1024).collect()
+    assert [r["key"] for r in got] == ["alpha", "beta", "gamma"]
+    n_total = len(rows)
+    eps_n = (2.718 / 1024) * n_total
+    for r in got:
+        true = heavy[r["key"]]
+        assert r["est_count"] >= true  # CMS never underestimates
+        assert r["est_count"] <= true + eps_n
