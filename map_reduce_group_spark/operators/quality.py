@@ -80,3 +80,11 @@ def run_checks(checks: list[DataFrame]) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def violations_df(df: DataFrame, bad: Column, limit: int = 1000) -> DataFrame:
+    """The rows a check flagged, capped for quarantine/inspection — the
+    companion to the aggregate report when a gate fails and someone needs
+    to SEE the offending rows (capped: at 100 TB an unbounded violation
+    dump can be the table)."""
+    return df.filter(bad).limit(limit)

@@ -137,3 +137,16 @@ def test_scd2_apply_tracks_history(spark, sf_dir, tmp_path):
     ).filter(F.col("o_orderkey").isin(upd_keys))
     assert asof.count() == 20
     assert asof.filter(F.col("o_totalprice") == 999.99).count() == 0
+
+
+def test_quality_violations_df(spark, sf_dir):
+    """violations_df returns the capped offending rows for quarantine."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_group_spark.operators.quality import violations_df
+
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = F.col("l_discount") > 0.05  # stand-in "violation" predicate
+    rows = violations_df(li, bad, limit=10)
+    assert rows.count() == 10
+    assert rows.filter(~bad).count() == 0
