@@ -1362,3 +1362,23 @@ def sketch_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(tokens("text")).alias("tok"))
     return cms_heavy_hitters(toks, "tok", k=10)
+
+
+@register("embed_ann_ivf_quantized")  # LSH bucketing -> rows-only (as embed_ann_ivf)
+def embed_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized ANN end-to-end: the corpus lives as int8 codes (4× smaller
+    — operators/similarity.py:quantize_embeddings), vectors are
+    reconstructed on the fly (dequantize, map-only with broadcast scales),
+    and IVF/LSH bucketed search runs over the reconstruction — the
+    composition a memory-bound 100 TB vector store actually deploys
+    (store codes, search reconstructions; recall cost of int8 measured at
+    ~2% by embed_quantized_topk_agreement). Rows-only for the same reason
+    as embed_ann_ivf (LSH bucket geometry is engine-private)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    env = similarity.dimension_envelope(e)
+    mn, mx = env
+    deq = similarity.dequantize_embeddings(
+        similarity.quantize_embeddings(e), mn, mx
+    )
+    q = deq.filter(col("id") % 50 == 0)
+    return similarity.ivf_topk(q, deq, id_col="id", vec_col="v", k=5)
