@@ -150,3 +150,51 @@ def test_quality_violations_df(spark, sf_dir):
     rows = violations_df(li, bad, limit=10)
     assert rows.count() == 10
     assert rows.filter(~bad).count() == 0
+
+
+def test_refresh_rollup_empty_batch_is_noop(spark, sf_dir, tmp_path):
+    """An empty increment must touch nothing and return no partitions."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_group_spark.operators import incremental as inc
+    from map_reduce_group_spark.sources.io import overwrite_partitions
+
+    events = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    rollup = f"{tmp_path}/rollup"
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    overwrite_partitions(events.groupBy("day").agg(*aggs), rollup, ["day"])
+    before = _mtimes(rollup)
+    touched = inc.refresh_rollup(
+        events, events.filter(F.lit(False)), rollup, "day", [], aggs
+    )
+    assert touched == []
+    assert _mtimes(rollup) == before
+
+
+def test_upsert_creates_new_partition(spark, sf_dir, tmp_path):
+    """Upserting keys whose partition value doesn't exist yet must create
+    the partition without touching siblings."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_group_spark.operators import incremental as inc
+    from map_reduce_group_spark.sources.io import overwrite_partitions
+
+    orders = load_table(spark, sf_dir, "orders")
+    table = f"{tmp_path}/orders_grow"
+    overwrite_partitions(orders, table, ["o_orderstatus"])
+    before = _mtimes(table)
+
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    newbies = (
+        orders.limit(7)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(max_key + 10))
+        .withColumn("o_orderstatus", F.lit("X"))
+    )
+    touched = inc.upsert_by_key(newbies, table, ["o_orderkey"], "o_orderstatus")
+    assert touched == ["X"]
+    after = _mtimes(table)
+    assert "o_orderstatus=X" in after
+    assert all(after[d] == before[d] for d in before)  # siblings untouched
+    got = spark.read.parquet(table)
+    assert got.filter(F.col("o_orderstatus") == "X").count() == 7
+    assert got.count() == orders.count() + 7

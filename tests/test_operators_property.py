@@ -597,3 +597,28 @@ def test_cms_heavy_hitters_guarantees(spark):
         true = heavy[r["key"]]
         assert r["est_count"] >= true  # CMS never underestimates
         assert r["est_count"] <= true + eps_n
+
+
+def test_stratified_cap_partitioning_invariance(spark, sf_dir):
+    """The kept set is a pure function of content (md5 order), so any
+    repartitioning yields the identical selection and ranks."""
+    from map_reduce_group_spark.catalog import load_table
+    from map_reduce_group_spark.operators.sampling import stratified_cap
+
+    d = load_table(spark, sf_dir, "documents")
+    a = {
+        (r["doc_id"], r["sel_rank"])
+        for r in stratified_cap(d, "doc_id", "source", cap=15).collect()
+    }
+    b = {
+        (r["doc_id"], r["sel_rank"])
+        for r in stratified_cap(d.repartition(13), "doc_id", "source", cap=15).collect()
+    }
+    assert a == b and len(a) > 0
+    # cap respected per stratum
+    import collections
+
+    per = collections.Counter()
+    for r in stratified_cap(d, "doc_id", "source", cap=15).collect():
+        per[r["source"]] += 1
+    assert all(v <= 15 for v in per.values())
