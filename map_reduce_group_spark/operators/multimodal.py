@@ -138,17 +138,29 @@ def to_media_column(df: DataFrame, id_col: str, payload_col: str, media_type: st
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub by design
-    """Decode an image payload. STUB: image codecs are not available in this
-    environment; a real deployment plugs PIL/torchvision here."""
-    try:
-        import PIL.Image  # noqa: F401
+def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode an image payload to (width, height, pixel array).
+
+    Uncompressed 24-bit BMP decodes NATIVELY (:func:`decode_bmp24` parses
+    the container — no codec library involved; this is the path the
+    oracle-checked `multimodal_bmp_decode` query exercises). Codec formats
+    (JPEG/PNG/WebP…) need an actual codec: import-gated on PIL, which this
+    environment does not ship — a deployment that installs Pillow gets the
+    full format set through the same call."""
+    if payload[:2] == b"BM":
+        return decode_bmp24(payload)
+    try:  # pragma: no cover - codec libraries absent in this environment
+        import io as _io
+
+        import PIL.Image
     except ImportError as exc:
         raise NotImplementedError(
-            "image decode requires PIL, not available in this environment; "
-            "use fake_features() for plumbing tests"
+            "non-BMP image decode requires PIL (not available in this "
+            "environment); BMP decodes natively via decode_bmp24"
         ) from exc
-    raise NotImplementedError("real decode path not implemented in this build")
+    img = PIL.Image.open(_io.BytesIO(payload))  # pragma: no cover
+    arr = np.asarray(img.convert("RGB"))
+    return img.width, img.height, arr
 
 
 def fake_features(df: DataFrame) -> DataFrame:

@@ -622,3 +622,21 @@ def test_stratified_cap_partitioning_invariance(spark, sf_dir):
     for r in stratified_cap(d, "doc_id", "source", cap=15).collect():
         per[r["source"]] += 1
     assert all(v <= 15 for v in per.values())
+
+
+def test_decode_image_routes_bmp_natively():
+    """decode_image: BMP payloads decode through the native parser (no
+    codec import); non-BMP without PIL raises the documented gate."""
+    import numpy as np
+    import pytest
+
+    from map_reduce_group_spark.operators.multimodal import (
+        decode_image,
+        encode_bmp24,
+    )
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    w, h, arr = decode_image(encode_bmp24(px))
+    assert (w, h) == (3, 2) and np.array_equal(arr, px)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG\r\n\x1a\n....")
