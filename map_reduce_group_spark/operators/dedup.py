@@ -398,3 +398,57 @@ def benchmark_contamination(
         F.round(shared / F.greatest(col("n_grams"), F.lit(1)), 6).alias("overlap_frac"),
         (shared > 0).alias("contaminated"),
     )
+
+
+def duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Exact-substring duplicated spans at n-token granularity — the
+    Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better") pass re-expressed relationally: any n-token gram occurring
+    2+ times ANYWHERE in the corpus marks its positions, and overlapping
+    marked windows merge into maximal duplicated spans per document (the
+    text a substring-dedup pass would cut). The suffix-array machinery of
+    the paper exists to find variable-length repeats; at fixed granularity
+    the same spans fall out of three shuffles, each carrying compact keys:
+
+    1. gram fingerprints: posexplode + a (0, n-1) rows window per doc —
+       shuffle keyed by doc, payload (pos, md5 16 bytes), never raw text;
+    2. duplicate fingerprints: groupBy(fp) HAVING count>1 — partial-agg
+       combines map-side, shuffle carries (fp, count);
+    3. span merge: gaps-and-islands per doc (new island when the gap
+       exceeds n), min/max per island.
+
+    Returns (id, span_start, span_end, span_len) in token positions
+    (0-based inclusive)."""
+    t = df.select(
+        col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    wg = Window.partitionBy("id").orderBy("pos").rowsBetween(0, n - 1)
+    grams = (
+        t.select(
+            "id",
+            "pos",
+            F.md5(F.concat_ws(" ", F.collect_list("tok").over(wg)).cast("binary")).alias("fp"),
+            F.count("tok").over(wg).alias("glen"),
+        )
+        .filter(col("glen") == n)
+        .drop("glen")
+    )
+    dup = grams.groupBy("fp").agg(F.count(F.lit(1)).alias("c")).filter(col("c") > 1)
+    hits = grams.join(dup.select("fp"), "fp").select("id", "pos")
+    wi = Window.partitionBy("id").orderBy("pos")
+    flagged = hits.withColumn(
+        "ni",
+        F.when(
+            F.lag("pos").over(wi).isNull() | (col("pos") - F.lag("pos").over(wi) > n),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "island", F.sum("ni").over(wi.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return flagged.groupBy("id", "island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + n - 1).cast("long").alias("span_end"),
+        (F.max("pos") + n - F.min("pos")).cast("long").alias("span_len"),
+    ).select("id", "span_start", "span_end", "span_len")

@@ -1382,3 +1382,47 @@ def embed_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = deq.filter(col("id") % 50 == 0)
     return similarity.ivf_topk(q, deq, id_col="id", vec_col="v", k=5)
+
+
+@register(
+    "corpus_duplicated_spans",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), g AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(list_aggregate(toks[i:i+7], 'string_agg', ' ')) AS fp
+        FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+    ), dup AS (
+        SELECT fp FROM g GROUP BY fp HAVING count(*) > 1
+    ), hits AS (
+        SELECT doc_id, pos FROM g JOIN dup USING (fp)
+    ), isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 8
+                    THEN 1 ELSE 0 END AS ni
+        FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ), isl2 AS (
+        SELECT doc_id, pos,
+               sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS island
+        FROM isl
+    )
+    SELECT doc_id AS id,
+           CAST(min(pos) AS BIGINT)          AS span_start,
+           CAST(max(pos) + 7 AS BIGINT)      AS span_end,
+           CAST(max(pos) + 8 - min(pos) AS BIGINT) AS span_len
+    FROM isl2 GROUP BY doc_id, island
+    """,
+)
+def corpus_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicated spans (operators/dedup.py:duplicated_spans,
+    8-token grams): the Lee-et-al substring-dedup pass at fixed granularity
+    — positions of any 8-gram occurring twice anywhere, merged into maximal
+    per-doc spans. Three compact-key shuffles (doc-keyed gram windows,
+    fingerprint counts, per-doc island merge); the corpus text never
+    shuffles. ~4.5% of fixture 8-grams are natural duplicates (boilerplate
+    phrasing), so the result is non-degenerate and grows with clone
+    families (rule 7)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.duplicated_spans(d, "doc_id", "text", n=8)
