@@ -61,21 +61,22 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 # a secondary sort key so a time-budgeted driver sweep gets through the cheap
 # tail before committing to the heavy queries.
 COST_HINT = {
-    "agg_approx_sketches": 2.1, "agg_cube_returns": 2.0, "agg_distinct_counts": 1.3,
-    "agg_stats_exact": 1.6, "corpus_contamination_check": 3.9, "corpus_mixture_rebalance": 1.1,
-    "corpus_sequence_pack": 2.9, "corpus_span_dedup": 1.3, "dedup_clusters": 6.8,
-    "dedup_minhash_lsh": 3.2, "dedup_ngram_jaccard": 1.2, "dedup_ngram_jaccard_capped": 2.5,
-    "dedup_simhash": 3.0, "doc_bpe_merges": 1.7, "doc_bpe_token_count": 2.2,
-    "doc_repetition_signals": 1.2, "doc_winnow_fingerprints": 1.2, "embed_ann_ivf_quantized": 1.4,
-    "embed_kmeans_assign": 1.0, "embed_quantized_topk_agreement": 1.7, "embed_semdedup_prune": 1.6,
-    "events_ohlc_resample": 1.1, "graph_pagerank_simgraph": 7.1, "mr_wordcount_pipe": 1.1,
-    "multimodal_video_frame_sample": 1.1, "pipeline_corpus_prep": 6.9, "pipeline_corpus_prep_v2": 2.5,
-    "q18_large_volume_customers": 1.4, "q1_pricing_summary": 1.1, "q20_excess_suppliers": 1.0,
-    "q21_waiting_suppliers": 2.0, "q2_min_cost_supplier": 1.7, "q8_market_share": 1.1,
-    "q9_product_profit": 1.1, "source_synthetic_docs": 3.8, "stream_dedup_redelivery": 3.0,
-    "stream_purchase_attribution": 6.8, "stream_running_totals": 1.7, "stream_sessionization": 2.0,
-    "stream_static_enrich": 1.4, "stream_synthetic_source": 3.4, "stream_tumbling_hourly": 1.4,
-    "text_tfidf_top_terms": 1.1, "udf_cogroup_in_pandas": 4.6,
+    "agg_approx_sketches": 1.6, "agg_cube_returns": 1.8, "agg_distinct_counts": 1.2,
+    "agg_stats_exact": 1.4, "corpus_contamination_check": 3.7, "corpus_duplicated_spans": 3.2,
+    "corpus_mixture_rebalance": 1.1, "corpus_sequence_pack": 3.1, "corpus_span_dedup": 1.4,
+    "dedup_clusters": 6.7, "dedup_minhash_lsh": 3.2, "dedup_ngram_jaccard": 1.9,
+    "dedup_ngram_jaccard_capped": 3.3, "dedup_simhash": 3.3, "doc_bpe_merges": 1.9,
+    "doc_bpe_token_count": 2.7, "doc_repetition_signals": 1.2, "doc_winnow_fingerprints": 1.2,
+    "embed_ann_ivf_quantized": 1.4, "embed_quantized_topk_agreement": 1.8, "embed_semdedup_prune": 1.2,
+    "events_ohlc_resample": 1.1, "graph_pagerank_simgraph": 8.3, "mr_wordcount_pipe": 2.0,
+    "multimodal_bmp_decode": 1.0, "multimodal_video_frame_sample": 2.1, "multimodal_wav_decode": 1.1,
+    "multimodal_wav_frame_energy": 1.2, "pipeline_corpus_prep": 7.8, "pipeline_corpus_prep_v2": 3.1,
+    "q11_important_stock": 1.1, "q18_large_volume_customers": 1.7, "q1_pricing_summary": 1.1,
+    "q20_excess_suppliers": 1.1, "q21_waiting_suppliers": 2.3, "q2_min_cost_supplier": 1.9,
+    "q8_market_share": 1.1, "q9_product_profit": 1.2, "source_synthetic_docs": 4.0,
+    "stream_dedup_redelivery": 3.5, "stream_purchase_attribution": 7.3, "stream_running_totals": 3.5,
+    "stream_sessionization": 2.7, "stream_static_enrich": 1.2, "stream_synthetic_source": 3.1,
+    "stream_tumbling_hourly": 1.4, "text_tfidf_top_terms": 1.2, "udf_cogroup_in_pandas": 3.4,
 }
 
 
