@@ -9,15 +9,21 @@ implementation is a single-machine loop over a word-frequency dict; the
    DISTINCT-WORD frequency table (vocab ≪ corpus — the only pass whose
    cost scales with the data);
 2. each merge iteration then runs on the compact vocab table only:
-   overlapping symbol pairs are extracted with a lookahead regex
-   (``(?=(\\S+ \\S+))`` — codegen JVM path, no interpreted per-element
-   lambdas, no Python), weighted by word frequency, and reduced to the
-   argmax pair — one vocab-sized aggregation per iteration;
+   overlapping symbol pairs are extracted with a boundary-anchored
+   lookahead regex (``(?:^|(?<= ))(?=(\\S+ \\S+))`` — zero-width match at
+   SYMBOL starts only, so multi-char symbols never contribute bogus
+   mid-symbol pairs; codegen JVM path, no interpreted per-element lambdas,
+   no Python), weighted by word frequency, and reduced to the argmax
+   pair — one vocab-sized aggregation per iteration;
 3. the winning pair (a scalar — the ONLY driver traffic per round, same
    O(1) class as the connected-components convergence check) is applied
-   with a literal ``replace`` on the space-joined symbol string, which is
-   exactly the left-to-right non-overlapping merge semantics of the
-   reference BPE implementations.
+   with a boundary-guarded literal replace: double the separators
+   (``' a  b '`` can only match WHOLE symbols a,b — a trailing fragment
+   like the ``h`` of ``th`` has no space on its left), literal-replace the
+   doubled pair, collapse back.  Literal ``replace`` is left-to-right
+   non-overlapping in both engines (the reference BPE merge semantics,
+   Sennrich et al. 2016 guard merges with ``(?<!\\S)…(?!\\S)`` — RE2/DuckDB
+   has no lookbehind, the doubling trick is the engine-neutral equivalent).
 
 Determinism: ties break (count DESC, pair ASC) — byte-identical merge
 tables on any engine and any partitioning, which is what makes the
@@ -30,7 +36,27 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 from pyspark.sql.functions import col
 
-_PAIR_RE = r"(?=(\S+ \S+))"
+_PAIR_RE = r"(?:^|(?<= ))(?=(\S+ \S+))"
+
+
+def _merge_pair(s, pair: str):
+    """Boundary-guarded merge of ``pair`` ("a b") everywhere it occurs as
+    ADJACENT WHOLE SYMBOLS in the single-spaced symbol string ``s``.
+
+    Doubling the separators gives every symbol a private space on each
+    side, so the literal pattern ``' a  b '`` cannot match a symbol
+    fragment ('h e' no longer fires inside 'th e'), and consecutive
+    occurrences ('c a b a b c') still all merge because neighbouring
+    matches never share a space. Literal replace (not regexp) so the
+    DuckDB oracle replays the byte-identical operation."""
+    merged = pair.replace(" ", "")
+    doubled = F.concat(F.lit(" "), F.replace(s, F.lit(" "), F.lit("  ")), F.lit(" "))
+    applied = F.replace(
+        doubled,
+        F.lit(" " + pair.replace(" ", "  ") + " "),
+        F.lit(" " + merged + " "),
+    )
+    return F.trim(F.replace(applied, F.lit("  "), F.lit(" ")))
 
 
 def bpe_merges(
@@ -56,31 +82,28 @@ def bpe_merges(
     ).cache()
 
     merges: list[tuple[int, str, str, int]] = []
-    try:
-        for k in range(1, n_merges + 1):
-            best = (
-                spaced.select(
-                    F.explode(
-                        F.regexp_extract_all("s", F.lit(_PAIR_RE), 1)
-                    ).alias("pair"),
-                    "wc",
-                )
-                .groupBy("pair")
-                .agg(F.sum("wc").cast("long").alias("pair_count"))
-                .orderBy(col("pair_count").desc(), "pair")
-                .limit(1)
-                .collect()[0]
+    for k in range(1, n_merges + 1):
+        rows = (
+            spaced.select(
+                F.explode(
+                    F.regexp_extract_all("s", F.lit(_PAIR_RE), 1)
+                ).alias("pair"),
+                "wc",
             )
-            pair, merged = best["pair"], best["pair"].replace(" ", "")
-            merges.append((k, pair, merged, best["pair_count"]))
-            # left-to-right non-overlapping merge == literal replace on the
-            # space-joined form (the standard BPE apply step); map-only, so
-            # the k-step lineage stays a single narrow stage over the cache
-            spaced = spaced.select(
-                F.replace(col("s"), F.lit(pair), F.lit(merged)).alias("s"), "wc"
-            )
-    finally:
-        pass  # cache freed with the session; spaced lineage roots at it
+            .groupBy("pair")
+            .agg(F.sum("wc").cast("long").alias("pair_count"))
+            .orderBy(col("pair_count").desc(), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not rows:  # vocab fully merged / single-symbol words: no pairs left
+            break
+        best = rows[0]
+        pair, merged = best["pair"], best["pair"].replace(" ", "")
+        merges.append((k, pair, merged, best["pair_count"]))
+        # boundary-guarded whole-symbol merge; map-only, so the k-step
+        # lineage stays a single narrow stage over the cache
+        spaced = spaced.select(_merge_pair(col("s"), pair).alias("s"), "wc")
     return spark.createDataFrame(
         merges, "merge_rank bigint, pair string, merged string, pair_count bigint"
     )
@@ -121,7 +144,7 @@ def bpe_token_counts(
     )
     seg = F.trim(F.regexp_replace("word", "(.)", "$1 "))
     for pair in merges:
-        seg = F.replace(seg, F.lit(pair), F.lit(pair.replace(" ", "")))
+        seg = _merge_pair(seg, pair)
     vocab = (
         word_counts.select("word")
         .distinct()

@@ -26,7 +26,7 @@ cascading refreshes (raw → hourly → daily) touching only what changed.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from map_reduce_group_spark.sources.io import overwrite_partitions
 
@@ -99,15 +99,47 @@ def scd2_apply(
     ``part_col`` is a function of the key), and the updated-key set joins
     broadcast. History rows and current rows of untouched keys pass through
     untouched.
+
+    Multiple updates for one key in a single batch CHAIN: each version's
+    ``valid_to`` is the next update's timestamp (``lead`` over the key's
+    ts order) and only the latest is ``is_current`` — N same-key updates
+    previously left N simultaneously-open versions (round-2 ADVICE).
+    Rejected with ``ValueError`` (cheap O(batch) checks on the
+    broadcast-sized increment, caught before any partition is rewritten):
+    duplicate ``(key, ts)`` rows — no deterministic chain order exists —
+    and backdated updates (``ts <= `` the open version's ``valid_from``),
+    which would interleave with already-closed history.
     """
     spark = updates.sparkSession
     parts = affected_partitions(updates, part_col)
     if not parts:
         return parts
+    n_dup = (
+        updates.groupBy(*key_cols, ts_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    if n_dup:
+        raise ValueError(
+            f"scd2_apply: {n_dup} duplicate (key, {ts_col}) groups in batch — "
+            "version chain order would be ambiguous"
+        )
     new_ts = F.broadcast(
         updates.groupBy(*key_cols).agg(F.min(ts_col).alias("__new_ts"))
     )
     existing = spark.read.parquet(table_path).filter(F.col(part_col).isin(parts))
+    n_backdated = (
+        existing.filter(F.col("is_current"))
+        .join(new_ts, key_cols)
+        .filter(F.col("__new_ts") <= F.col("valid_from"))
+        .count()
+    )
+    if n_backdated:
+        raise ValueError(
+            f"scd2_apply: {n_backdated} keys have updates at or before the "
+            "open version's valid_from — backdated merges would corrupt history"
+        )
     closed = (
         existing.join(new_ts, key_cols, "left")
         .withColumn(
@@ -123,7 +155,13 @@ def scd2_apply(
         )
         .drop("__new_ts")
     )
-    fresh = scd2_init(updates, ts_col).select(*closed.columns)
+    chain = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
+    fresh = (
+        scd2_init(updates, ts_col)
+        .withColumn("valid_to", F.lead("valid_from").over(chain))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(*closed.columns)
+    )
     merged = closed.unionByName(fresh)
     overwrite_partitions(merged, table_path, [part_col])
     return parts

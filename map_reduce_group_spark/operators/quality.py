@@ -62,8 +62,14 @@ def check_foreign_key(
 ) -> DataFrame:
     """Orphaned children (anti-join against the parent key set). The parent
     side projects to its key column only, so the join build side is the
-    DISTINCT parent keys — broadcastable for dimension parents."""
-    orphans = child.select(F.col(child_col).alias("k")).join(
+    DISTINCT parent keys — broadcastable for dimension parents.
+
+    NULL child keys are NOT violations (standard SQL FK semantics: a null
+    reference references nothing) — pair with ``check_not_null`` when an
+    optional FK must also be present. ``total`` still counts all child rows."""
+    orphans = child.filter(F.col(child_col).isNotNull()).select(
+        F.col(child_col).alias("k")
+    ).join(
         parent.select(F.col(parent_col).alias("k")).distinct(),
         "k",
         "left_anti",

@@ -479,12 +479,16 @@ def source_synthetic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1)
     UNION ALL
     SELECT 'orders_custkey_fk',
+           -- NULL child keys are not FK violations (standard SQL semantics,
+           -- mirrored in operators/quality.py:check_foreign_key)
            CAST((SELECT count(*) FROM orders o
-                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                 WHERE o.o_custkey IS NOT NULL
+                   AND NOT EXISTS (SELECT 1 FROM customer c
                                    WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
            CAST((SELECT count(*) FROM orders) AS BIGINT),
            (SELECT count(*) FROM orders o
-            WHERE NOT EXISTS (SELECT 1 FROM customer c
+            WHERE o.o_custkey IS NOT NULL
+              AND NOT EXISTS (SELECT 1 FROM customer c
                               WHERE c.c_custkey = o.o_custkey)) = 0
     UNION ALL
     SELECT 'lineitem_discount_range',

@@ -773,7 +773,13 @@ def _bpe_oracle(n_merges: int) -> str:
         SELECT pair, CAST(sum(wc) AS BIGINT) AS pair_count
         FROM pairs{k} GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 1
     ), spaced{k} AS (
-        SELECT replace(s, b.pair, replace(b.pair, ' ', '')) AS s, wc
+        -- boundary-guarded whole-symbol merge (operators/bpe.py:_merge_pair):
+        -- double separators, literal-replace ' a  b ' -> ' ab ', collapse
+        SELECT trim(replace(
+                   replace(' ' || replace(s, ' ', '  ') || ' ',
+                           ' ' || replace(b.pair, ' ', '  ') || ' ',
+                           ' ' || replace(b.pair, ' ', '') || ' '),
+                   '  ', ' ')) AS s, wc
         FROM {prev} CROSS JOIN best{k} b
     )"""
         prev = f"spaced{k}"
@@ -810,7 +816,12 @@ def _bpe_apply_oracle(n_merges: int) -> str:
         SELECT pair FROM pairs{k} GROUP BY pair
         ORDER BY sum(wc) DESC, pair LIMIT 1
     ), spaced{k} AS (
-        SELECT word, replace(s, b.pair, replace(b.pair, ' ', '')) AS s, wc
+        SELECT word,
+               trim(replace(
+                   replace(' ' || replace(s, ' ', '  ') || ' ',
+                           ' ' || replace(b.pair, ' ', '  ') || ' ',
+                           ' ' || replace(b.pair, ' ', '') || ' '),
+                   '  ', ' ')) AS s, wc
         FROM {prev} CROSS JOIN best{k} b
     )"""
         prev = f"spaced{k}"
@@ -905,8 +916,11 @@ def embed_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT i, min(x) AS mn, max(x) AS mx FROM u GROUP BY i
     )
     SELECT id,
-           list(CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS INT) ORDER BY i)
-               AS codes
+           string_agg(
+               CAST(CAST(floor((x - mn) * 255.0
+                    / (CASE WHEN mx = mn THEN 1.0 ELSE mx - mn END) + 0.5)
+                    AS INT) AS VARCHAR), ',' ORDER BY i)
+               AS codes_csv
     FROM u JOIN stats USING (i)
     GROUP BY id
     """,
@@ -918,9 +932,13 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow batch; quantize pass is map-only with broadcast scales; codes are
     exact integers (min/max are order-insensitive and the quantize arithmetic
     is a fixed IEEE-double op sequence), so the DuckDB oracle hash-matches
-    bit-for-bit."""
+    bit-for-bit. Codes surface as a CSV string — the driver's canonicalizer
+    sorts the result frame and crashes on unhashable array cells
+    (CORRECTNESS_r02 ERR), so no registered query exposes a top-level
+    array/map column."""
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.quantize_embeddings(e, "vec_id", "embedding", levels=256)
+    q = similarity.quantize_embeddings(e, "vec_id", "embedding", levels=256)
+    return q.select("id", F.concat_ws(",", col("codes")).alias("codes_csv"))
 
 
 @register(
@@ -933,7 +951,13 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), stats AS (
         SELECT i, min(x) AS mn, max(x) AS mx FROM u GROUP BY i
     ), codes AS (
-        SELECT id, i, floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS code, mn, mx
+        -- rng guard mirrors similarity.quantize_embeddings: degenerate
+        -- dimensions (mx = mn) code to 0 instead of dividing by zero
+        SELECT id, i,
+               floor((x - mn) * 255.0
+                     / (CASE WHEN mx = mn THEN 1.0 ELSE mx - mn END) + 0.5) AS code,
+               mn,
+               CASE WHEN mx = mn THEN mn + 1.0 ELSE mx END AS mx
         FROM u JOIN stats USING (i)
     ), deq AS (
         SELECT id, list(mn + code * ((mx - mn) / 255.0) ORDER BY i) AS v
@@ -1247,12 +1271,14 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, gram, count(*) AS c FROM grams
         WHERE gram IS NOT NULL GROUP BY 1, 2
     ), ts AS (
-        SELECT doc_id, sum(c) AS n_tokens,
+        -- CAST: DuckDB sum(BIGINT) -> HUGEINT -> pandas float64, which the
+        -- driver stringifies as "N.0" vs Spark's int "N" (q12 failure class)
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
                round((sum(c) - count(*)) / greatest(sum(c), 1), 6) AS dup_token_frac,
                round(max(c) / greatest(sum(c), 1), 6) AS top_token_frac
         FROM tokc GROUP BY 1
     ), gs AS (
-        SELECT doc_id, sum(c) AS n_2grams,
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
                round((sum(c) - count(*)) / greatest(sum(c), 1), 6) AS dup_2gram_frac,
                round(max(c) / greatest(sum(c), 1), 6) AS top_2gram_frac
         FROM gramc GROUP BY 1

@@ -47,6 +47,24 @@ def _canon_value(v) -> str:
     return str(v)
 
 
+def dtype_skew(got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
+    """Columns where one engine yields integer dtype and the other float.
+
+    The external driver stringifies values WITHOUT normalizing numeric
+    dtype, so DuckDB's sum(INTEGER) -> HUGEINT -> pandas float64 ("413.0")
+    hash-mismatches Spark's int64 ("413") even when values are equal
+    (q12, CORRECTNESS_r02). Our rounded canon hides that class; this check
+    surfaces it locally. Only the int-vs-float axis is flagged — other kind
+    differences (date object vs datetime64) are normalized by the driver too
+    (date-outputting queries pass its sweeps)."""
+    bad = []
+    for c in set(got.columns) & set(want.columns):
+        a, b = got[c].dtype.kind, want[c].dtype.kind
+        if {a, b} <= {"i", "u", "f"} and ("f" in (a, b)) != (a == b == "f"):
+            bad.append(f"{c}: spark={got[c].dtype} oracle={want[c].dtype}")
+    return bad
+
+
 def canonicalize(df: pd.DataFrame) -> list[tuple[str, ...]]:
     cols = sorted(df.columns)
     out = []
@@ -64,6 +82,8 @@ def assert_matches_oracle(spark_df, sql: str, sf_dir: str, name: str = "") -> No
         f"{name}: column names differ: spark={sorted(got_pdf.columns)} "
         f"oracle={sorted(want_pdf.columns)}"
     )
+    skew = dtype_skew(got_pdf, want_pdf)
+    assert not skew, f"{name}: int-vs-float dtype skew (driver would HASH_FAIL): {skew}"
     got = canonicalize(got_pdf)
     want = canonicalize(want_pdf)
     assert len(got) == len(want), f"{name}: row count {len(got)} != oracle {len(want)}"

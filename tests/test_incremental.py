@@ -198,3 +198,69 @@ def test_upsert_creates_new_partition(spark, sf_dir, tmp_path):
     got = spark.read.parquet(table)
     assert got.filter(F.col("o_orderstatus") == "X").count() == 7
     assert got.count() == orders.count() + 7
+
+
+def test_scd2_apply_chains_multiple_updates_per_key(spark, sf_dir, tmp_path):
+    """N same-key updates in ONE batch chain into N versions (valid_to =
+    next update's ts) with exactly one current — round-2 ADVICE: the old
+    code left N simultaneously-open versions."""
+    orders = load_table(spark, sf_dir, "orders")
+    table = f"{tmp_path}/orders_scd2_chain"
+    from map_reduce_group_spark.sources.io import overwrite_partitions
+
+    init = inc.scd2_init(orders, "o_orderdate")
+    overwrite_partitions(init, table, ["o_orderstatus"])
+
+    key = orders.filter(F.col("o_orderstatus") == "F").first()["o_orderkey"]
+    base = orders.filter(F.col("o_orderkey") == key)
+    updates = None
+    for i, day in enumerate(["2030-01-01", "2030-02-01", "2030-03-01"]):
+        u = base.withColumn("o_totalprice", F.lit(100.0 + i)).withColumn(
+            "o_orderdate", F.lit(day).cast("date")
+        )
+        updates = u if updates is None else updates.unionByName(u)
+    inc.scd2_apply(updates, table, ["o_orderkey"], "o_orderdate", "o_orderstatus")
+
+    hist = (
+        spark.read.parquet(table)
+        .filter(F.col("o_orderkey") == key)
+        .orderBy("valid_from")
+        .collect()
+    )
+    assert len(hist) == 4  # original + 3 chained versions
+    assert [bool(r["is_current"]) for r in hist] == [False, False, False, True]
+    # each version closes exactly where the next opens
+    for a, b in zip(hist, hist[1:]):
+        assert a["valid_to"] == b["valid_from"]
+    assert hist[-1]["valid_to"] is None and hist[-1]["o_totalprice"] == 102.0
+
+
+def test_scd2_apply_rejects_ambiguous_and_backdated(spark, sf_dir, tmp_path):
+    """Duplicate (key, ts) rows and updates at/before the open version's
+    valid_from raise before any partition is rewritten."""
+    import pytest
+
+    orders = load_table(spark, sf_dir, "orders")
+    table = f"{tmp_path}/orders_scd2_guard"
+    from map_reduce_group_spark.sources.io import overwrite_partitions
+
+    init = inc.scd2_init(orders, "o_orderdate")
+    overwrite_partitions(init, table, ["o_orderstatus"])
+    before = spark.read.parquet(table).count()
+
+    row = orders.filter(F.col("o_orderstatus") == "F").first()
+    key = row["o_orderkey"]
+    base = orders.filter(F.col("o_orderkey") == key)
+
+    dup = base.withColumn("o_orderdate", F.lit("2030-01-01").cast("date"))
+    with pytest.raises(ValueError, match="duplicate"):
+        inc.scd2_apply(
+            dup.unionByName(dup), table, ["o_orderkey"], "o_orderdate", "o_orderstatus"
+        )
+
+    backdated = base.withColumn("o_orderdate", F.col("o_orderdate") - F.expr("INTERVAL 1 DAY"))
+    with pytest.raises(ValueError, match="backdated"):
+        inc.scd2_apply(
+            backdated, table, ["o_orderkey"], "o_orderdate", "o_orderstatus"
+        )
+    assert spark.read.parquet(table).count() == before  # nothing rewritten

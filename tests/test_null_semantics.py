@@ -62,3 +62,20 @@ def test_null_ordering_explicit(spark, tmp_path):
         return [tuple(None if x is None or x != x else x for x in r) for r in rows]
 
     assert norm(got) == norm(want)
+
+
+def test_foreign_key_check_ignores_null_child_keys(spark):
+    """Standard SQL FK semantics: a NULL reference references nothing, so
+    it is not an orphan (round-2 ADVICE) — but it still counts in total."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_group_spark.operators.quality import check_foreign_key
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, None), (4, 99), (5, None)], "id int, fk int"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "k int")
+    row = check_foreign_key(child, "fk", parent, "k", "fk").collect()[0]
+    assert row["violations"] == 1  # only fk=99; the two NULLs pass
+    assert row["total"] == 5
+    assert row["passed"] is False

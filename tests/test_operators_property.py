@@ -640,3 +640,111 @@ def test_decode_image_routes_bmp_natively():
     assert (w, h) == (3, 2) and np.array_equal(arr, px)
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def _ref_bpe_merges(corpus: list[str], n_merges: int):
+    """Straight-line reference BPE (Sennrich et al. 2016): whole-symbol
+    adjacent pair counts over the distinct-word frequency table, argmax with
+    (count DESC, pair ASC) ties, boundary-guarded merge of every occurrence.
+    Deliberately structured nothing like the Spark operator."""
+    import collections
+    import re
+
+    wc = collections.Counter(
+        t for line in corpus for t in re.split("[^a-z]+", line.lower()) if t
+    )
+    vocab = {tuple(w): c for w, c in wc.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs = collections.Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((rank, f"{a} {b}", a + b, cnt))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_merges_match_reference_model(spark):
+    """Multi-char-symbol corpus where round-2's bugs diverge: the unanchored
+    lookahead counted mid-symbol pairs ('h e' inside 'th e') and the
+    unguarded literal replace merged them ('th e' -> 'the')."""
+    from map_reduce_group_spark.operators.bpe import bpe_merges
+
+    corpus = [
+        "the them theme mother other ttthhheee",
+        "the the the them them other mother ether",
+        "aaa aa a b ab aab abb",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+    got = [
+        (r["merge_rank"], r["pair"], r["merged"], r["pair_count"])
+        for r in bpe_merges(docs, "text", n_merges=6).orderBy("merge_rank").collect()
+    ]
+    want = _ref_bpe_merges(corpus, 6)
+    assert got == want
+
+
+def test_bpe_merges_exhausted_pairs_stop_early(spark):
+    """Single-char words run out of adjacent pairs before n_merges: the
+    merge loop must stop, not IndexError on an empty argmax (ADVICE r2)."""
+    from map_reduce_group_spark.operators.bpe import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(0, "a b c a b"), (1, "c a ab")], "doc_id long, text string"
+    )
+    got = bpe_merges(docs, "text", n_merges=10).collect()
+    want = _ref_bpe_merges(["a b c a b", "c a ab"], 10)
+    assert len(got) == len(want) < 10
+    assert [(r["merge_rank"], r["pair"], r["merged"], r["pair_count"]) for r in got] == want
+
+
+def test_bpe_token_counts_match_reference_model(spark):
+    """Apply side: per-doc subword counts under the learned merges equal the
+    reference segmentation (greedy in-order merge application per word)."""
+    from map_reduce_group_spark.operators.bpe import bpe_token_counts
+
+    corpus = ["the them other mother", "the theme mothers", "ab aab abb the"]
+    merges = _ref_bpe_merges(corpus, 4)
+    import re
+
+    def seg_len(word: str) -> int:
+        syms = list(word)
+        for _, pair, merged, _ in merges:
+            a, b = pair.split(" ")
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return len(syms)
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = {
+        r["id"]: (r["n_words"], r["n_subwords"])
+        for r in bpe_token_counts(docs, "doc_id", "text", n_merges=4).collect()
+    }
+    for i, line in enumerate(corpus):
+        toks = [t for t in re.split("[^a-z]+", line.lower()) if t]
+        want = (len(toks), sum(seg_len(t) for t in toks))
+        assert got[i] == want, (i, got[i], want)

@@ -30,7 +30,7 @@ spark = (
 )
 
 import __spark_entry__ as e
-from tests.helpers import canonicalize, run_oracle
+from tests.helpers import canonicalize, dtype_skew, run_oracle
 
 df = e.entry(spark)
 rows = df.collect()
@@ -51,10 +51,13 @@ for name in list(qs)[:CAP]:
         got = canonicalize(sdf)
         want = canonicalize(ddf)
         # the real driver checks schema too (CLAUDE.md rule 4)
-        ok = got == want and sorted(sdf.columns) == sorted(ddf.columns)
+        skew = dtype_skew(sdf, ddf)
+        ok = got == want and sorted(sdf.columns) == sorted(ddf.columns) and not skew
         status = "MATCH" if ok else "MISMATCH"
         if not ok:
             fails.append(name)
+            if skew:
+                print(f"  dtype skew: {skew}")
             print(f"  rows spark={len(got)} duck={len(want)}")
             if len(got) == len(want):
                 diff = [(a, b) for a, b in zip(got, want) if a != b][:2]
