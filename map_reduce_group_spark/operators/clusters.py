@@ -103,10 +103,17 @@ def connected_components(
 ) -> DataFrame:
     """(id, cluster_id) for every vertex appearing in ``pairs``;
     cluster_id = min vertex id of the component."""
+    from pyspark.sql import Observation
+
+    # repartition by src BEFORE the iteration: the per-round join keys on
+    # src, and localCheckpoint preserves partitioning — so the EDGE table
+    # (the big side at 100 TB) is shuffled exactly once for the whole
+    # algorithm; each round only moves the label table
     edges = (
         pairs.select(col(src).alias("src"), col(dst).alias("dst"))
         .unionByName(pairs.select(col(dst).alias("src"), col(src).alias("dst")))
         .distinct()
+        .repartition(col("src"))
         .localCheckpoint(eager=True)
     )
     labels = (
@@ -116,7 +123,9 @@ def connected_components(
     # label SUM is a strictly-decreasing-until-fixpoint potential function:
     # convergence detection is one cheap aggregate, not a self-join diff.
     # (summed as decimal(38,0): int64 ids could overflow a LongType sum)
-    prev_sum = labels.agg(F.sum(col("label").cast("decimal(38,0)"))).collect()[0][0]
+    # prev_sum starts as None — no round-0 job; the first round can only
+    # "converge" against None when the graph is empty, which is correct
+    prev_sum = None
     converged = False
     for it in range(max_iter):
         neighbor_min = (
@@ -128,21 +137,26 @@ def connected_components(
             "id",
             F.least(col("label"), F.coalesce(col("nmin"), col("label"))).alias("label"),
         )
-        if it >= 2:
+        if it >= 1:
             # pointer jumping: follow label -> label(label) once per round,
             # halving label chains — O(log diameter) on path graphs. Engaged
-            # from round 3 only: shallow graphs (the common near-dup star
-            # families) converge by then without paying the extra join,
-            # while deep chains still get the logarithmic behavior. Labels
-            # stay ≥ the component minimum and monotone non-increasing, so
-            # the fixpoint argument is unchanged.
+            # from round 2: round 1 labels are still mostly self-pointers
+            # (nothing to jump through), after that the extra join trades
+            # one label-sized shuffle for whole saved rounds. Labels stay
+            # ≥ the component minimum and monotone non-increasing, so the
+            # fixpoint argument is unchanged.
             lookup = stepped.select(col("id").alias("l_id"), col("label").alias("l_label"))
             stepped = stepped.join(lookup, stepped.label == lookup.l_id, "left").select(
                 "id",
                 F.least(col("label"), F.coalesce(col("l_label"), col("label"))).alias("label"),
             )
-        labels = stepped.localCheckpoint(eager=True)
-        cur_sum = labels.agg(F.sum(col("label").cast("decimal(38,0)"))).collect()[0][0]
+        # the convergence aggregate rides the checkpoint materialization via
+        # observe() — one Spark job per round, not two
+        obs = Observation()
+        labels = stepped.observe(
+            obs, F.sum(col("label").cast("decimal(38,0)")).alias("label_sum")
+        ).localCheckpoint(eager=True)
+        cur_sum = obs.get["label_sum"]
         if cur_sum == prev_sum:
             converged = True
             break
