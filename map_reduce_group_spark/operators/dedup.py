@@ -452,3 +452,66 @@ def duplicated_spans(
         (F.max("pos") + n - 1).cast("long").alias("span_end"),
         (F.max("pos") + n - F.min("pos")).cast("long").alias("span_len"),
     ).select("id", "span_start", "span_end", "span_len")
+
+
+def cut_duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """The APPLY step of exact-substring dedup (Lee et al. 2022 §3): remove
+    every token covered by a duplicated n-gram and reassemble the surviving
+    text. ``duplicated_spans`` reports where the corpus repeats itself; this
+    pass actually cuts those spans (all occurrences — the paper's
+    remove-all-copies variant, which is the deterministic one: keeping "the
+    first" occurrence requires a global document order).
+
+    Scale shape (100 TB): the only wide exchanges carry compact keys —
+    (1) gram fingerprints (16-byte md5 + int pos), (2) fingerprint counts
+    (map-side combined), (3) covered-position sets built by exploding each
+    hit into ≤ n (id, pos) int pairs (never text), (4) per-doc reassembly
+    via array_sort(collect_list(struct(pos,tok))) whose field extraction
+    (``arr.tok`` → GetArrayStructFields) and array_join are native codegen
+    expressions — zero interpreted lambdas per CLAUDE.md rule 2.
+
+    Returns (id, n_tokens, n_cut, clean_md5): token counts plus the md5 of
+    the space-joined surviving tokens (digest, not raw text, so the result
+    stays driver-friendly at any corpus size; precedent doc_unicode_normalize).
+    """
+    from map_reduce_group_spark.operators.text import tokens
+
+    base = df.select(col(id_col).alias("id"), tokens(text_col).alias("toks"))
+    t = base.select("id", F.posexplode("toks").alias("pos", "tok"))
+    wg = Window.partitionBy("id").orderBy("pos").rowsBetween(0, n - 1)
+    grams = (
+        t.select(
+            "id",
+            "pos",
+            F.md5(F.concat_ws(" ", F.collect_list("tok").over(wg)).cast("binary")).alias("fp"),
+            F.count("tok").over(wg).alias("glen"),
+        )
+        .filter(col("glen") == n)
+        .drop("glen")
+    )
+    dup = grams.groupBy("fp").agg(F.count(F.lit(1)).alias("c")).filter(col("c") > 1)
+    cov = (
+        grams.join(dup.select("fp"), "fp")
+        .select("id", F.explode(F.sequence(col("pos"), col("pos") + n - 1)).alias("pos"))
+        .distinct()
+    )
+    kept = t.join(cov, ["id", "pos"], "left_anti")
+    clean = (
+        kept.groupBy("id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("a"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .select("id", F.array_join(col("a.tok"), " ").alias("clean_text"), "n_kept")
+    )
+    return (
+        base.join(clean, "id", "left")
+        .select(
+            "id",
+            F.size("toks").cast("long").alias("n_tokens"),
+            (F.size("toks") - F.coalesce(col("n_kept"), F.lit(0))).cast("long").alias("n_cut"),
+            F.md5(F.coalesce(col("clean_text"), F.lit(""))).alias("clean_md5"),
+        )
+    )

@@ -1452,3 +1452,101 @@ def corpus_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     families (rule 7)."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.duplicated_spans(d, "doc_id", "text", n=8)
+
+
+@register(
+    "corpus_span_cut",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), tok AS (
+        SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        FROM t, unnest(range(1, len(toks) + 1)) AS u(i)
+    ), g AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(list_aggregate(toks[i:i+7], 'string_agg', ' ')) AS fp
+        FROM t, unnest(range(1, len(toks) - 6)) AS u(i)
+    ), dup AS (
+        SELECT fp FROM g GROUP BY fp HAVING count(*) > 1
+    ), cov AS (
+        SELECT DISTINCT doc_id, g.pos + v AS pos
+        FROM g JOIN dup USING (fp), unnest(range(0, 8)) AS w(v)
+    ), kept AS (
+        SELECT tok.doc_id, tok.pos, tok.tok
+        FROM tok ANTI JOIN cov USING (doc_id, pos)
+    ), agg AS (
+        SELECT doc_id,
+               string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+               count(*)                          AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id                                        AS id,
+           CAST(len(toks) AS BIGINT)                       AS n_tokens,
+           CAST(len(toks) - coalesce(n_kept, 0) AS BIGINT) AS n_cut,
+           md5(coalesce(clean_text, ''))                   AS clean_md5
+    FROM t LEFT JOIN agg USING (doc_id)
+    """,
+)
+def corpus_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of substring dedup (operators/dedup.py:
+    cut_duplicated_spans): corpus_duplicated_spans finds where the corpus
+    repeats itself; this pass cuts every covered token and digests the
+    surviving text (remove-all-copies variant — the deterministic one).
+    Compact-key shuffles only; reassembly is native-codegen
+    array_sort + GetArrayStructFields + array_join, zero interpreted
+    lambdas. Cut fraction is duplication-relative, so non-degenerate at
+    every scale (rule 7)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.cut_duplicated_spans(d, "doc_id", "text", n=8)
+
+
+@register(
+    "text_topk_bigrams_by_lang",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang, {_TOKS_SQL} AS toks FROM documents
+    ), big AS (
+        SELECT lang, toks[i] || ' ' || toks[i+1] AS bigram
+        FROM t, unnest(range(1, len(toks))) AS u(i)
+    ), c AS (
+        SELECT lang, bigram, count(*) AS n_occurrences
+        FROM big GROUP BY lang, bigram
+    ), r AS (
+        SELECT lang, bigram, n_occurrences,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n_occurrences DESC, bigram ASC) AS rnk
+        FROM c
+    )
+    SELECT lang, bigram, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+           CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 5
+    """,
+)
+def text_topk_bigrams_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 bigrams per language — per-group heavy hitters, exact, the
+    corpus-inspection primitive behind boilerplate mining and n-gram LM
+    stats. posexplode + lead window builds bigrams (rule 2 shape, no
+    interpreted lambdas), partial-agg count, WindowGroupLimit-prunable
+    row_number top-k with a deterministic (count DESC, bigram ASC)
+    tie-break. Top-k is data-relative (rule 7)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "lang", F.posexplode(tokens("text")).alias("pos", "tok"))
+    per_doc = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        t.select(
+            "lang",
+            F.concat_ws(" ", "tok", F.lead("tok", 1).over(per_doc)).alias("bigram"),
+            F.lead("tok", 1).over(per_doc).alias("nxt"),
+        )
+        .filter(col("nxt").isNotNull())
+        .drop("nxt")
+    )
+    c = big.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    w = Window.partitionBy("lang").orderBy(col("n_occurrences").desc(), col("bigram").asc())
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select("lang", "bigram", "n_occurrences", col("rnk").cast("long").alias("rnk"))
+    )

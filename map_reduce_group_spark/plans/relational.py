@@ -14,7 +14,7 @@ worker/__main__.py:137-144, 174-181).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast, col
 
 from map_reduce_group_spark.catalog import load_table
@@ -578,3 +578,112 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     ).filter(col("value").isNotNull())  # DuckDB UNPIVOT drops NULLs; pin that semantic
+
+
+@register(
+    "agg_listagg_nations",
+    oracle="""
+    SELECT r_name,
+           CAST(count(*) AS BIGINT)                 AS n_nations,
+           string_agg(n_name, ',' ORDER BY n_name)  AS nations_csv
+    FROM region JOIN nation ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def agg_listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/string_agg) — collect_list has no
+    deterministic order in a distributed engine, so the portable shape is
+    array_sort(collect_list(...)) + array_join: the sort pins the result
+    regardless of partitioning/shuffle arrival order (CLAUDE.md rule 1
+    discipline applied to strings). Broadcast join on the 5-row dim."""
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_regionkey", "n_name")
+    return (
+        n.join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations_csv"),
+        )
+    )
+
+
+@register(
+    "agg_mode_median_quantity",
+    oracle="""
+    WITH counts AS (
+        SELECT l_returnflag, l_quantity, count(*) AS c
+        FROM lineitem GROUP BY l_returnflag, l_quantity
+    ), ranked AS (
+        SELECT l_returnflag, l_quantity,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY c DESC, l_quantity ASC) AS rn
+        FROM counts
+    )
+    SELECT r.l_returnflag,
+           r.l_quantity                       AS mode_qty,
+           m.med                              AS median_qty
+    FROM ranked r
+    JOIN (SELECT l_returnflag, median(l_quantity) AS med
+          FROM lineitem GROUP BY l_returnflag) m USING (l_returnflag)
+    WHERE rn = 1
+    """,
+)
+def agg_mode_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregates: mode with a DETERMINISTIC tie-break and exact
+    median per group. Native mode() is free to pick any modal value on ties
+    in both engines, so the portable plan derives it relationally —
+    groupBy(group, value).count() then row_number ordered (count DESC, value
+    ASC): two partial-agg shuffles on compact keys, no whole-group collect.
+    Exact median of a value column whose domain is integral-valued doubles
+    (avg of the two middles is representable — no float-sum hazard, rule 1).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("l_returnflag").orderBy(col("c").desc(), col("l_quantity").asc())
+    mode = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(col("rn") == 1)
+        .select("l_returnflag", col("l_quantity").alias("mode_qty"))
+    )
+    med = li.groupBy("l_returnflag").agg(F.median("l_quantity").alias("median_qty"))
+    return mode.join(med, "l_returnflag").select("l_returnflag", "mode_qty", "median_qty")
+
+
+@register(
+    "agg_price_histogram",
+    oracle="""
+    WITH env AS (
+        SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+    ), b AS (
+        SELECT least(CAST(floor(((o_totalprice - mn) /
+                     (CASE WHEN mx = mn THEN 1.0 ELSE mx - mn END)) * 10) AS BIGINT),
+                     9) AS bucket
+        FROM orders, env
+    )
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders
+    FROM b GROUP BY bucket
+    """,
+)
+def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram with DATA-DERIVED edges (rule 7: bucket bounds
+    come from the global min/max, so the query stays non-degenerate at any
+    scale). Two-pass envelope: a 1-row min/max aggregate broadcast-cross-
+    joined onto the fact scan, then floor-bucket + count — the same
+    ((x-mn)/(mx-mn))*10 expression text in both engines so IEEE evaluation
+    order is identical. Degenerate mx==mn guarded to bucket 0 (ADVICE r2
+    precedent). Clamped so x==mx lands in the top bucket."""
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    env = o.agg(F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx"))
+    rng = F.when(col("mx") == col("mn"), F.lit(1.0)).otherwise(col("mx") - col("mn"))
+    return (
+        o.crossJoin(broadcast(env))
+        .select(
+            F.least(
+                F.floor(((col("o_totalprice") - col("mn")) / rng) * 10).cast("long"),
+                F.lit(9).cast("long"),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )

@@ -748,3 +748,65 @@ def test_bpe_token_counts_match_reference_model(spark):
         toks = [t for t in re.split("[^a-z]+", line.lower()) if t]
         want = (len(toks), sum(seg_len(t) for t in toks))
         assert got[i] == want, (i, got[i], want)
+
+
+def test_cut_duplicated_spans_reference_model(spark):
+    """Span-cut apply step vs a serial reference model: for each doc, a token
+    is cut iff it is covered by some n-gram occurring 2+ times anywhere in
+    the corpus; surviving tokens rejoin in position order. Checks counts AND
+    the clean-text digest, on a corpus with planted cross-doc duplicate runs,
+    a clean doc, a short (<n tokens) doc, and a fully-duplicated doc pair."""
+    import hashlib
+    import random
+    import re
+
+    from map_reduce_group_spark.operators.dedup import cut_duplicated_spans
+
+    n = 4
+    rng = random.Random(7)
+    # letter-only vocab: the engine tokenizer splits on [^a-z]+
+    vocab = [a + b for a in "abcdef" for b in "uvwxy"]
+    shared = [rng.choice(vocab) for _ in range(9)]  # > n so it marks spans
+    docs = []
+    for i in range(12):
+        toks = [rng.choice(vocab) for _ in range(rng.randrange(1, 25))]
+        if i % 3 == 0:
+            at = rng.randrange(0, len(toks) + 1)
+            toks = toks[:at] + shared + toks[at:]
+        docs.append((i, " ".join(toks)))
+    docs.append((100, "xx yy"))                      # shorter than n: never cut
+    docs.append((101, "q r s t u v q r s t u v q"))  # self-repeating
+    docs.append((102, "q r s t u v q r s t u v q"))  # exact clone of 101
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["id"]: (r["n_tokens"], r["n_cut"], r["clean_md5"])
+        for r in cut_duplicated_spans(df, "doc_id", "text", n=n).collect()
+    }
+
+    toks_by_id = {
+        i: [t for t in re.split("[^a-z0-9]+", text_.lower()) if t] for i, text_ in docs
+    }
+    from collections import Counter
+
+    gram_counts = Counter(
+        tuple(t[p : p + n])
+        for t in toks_by_id.values()
+        for p in range(len(t) - n + 1)
+    )
+    for i, toks in toks_by_id.items():
+        covered = set()
+        for p in range(len(toks) - n + 1):
+            if gram_counts[tuple(toks[p : p + n])] > 1:
+                covered.update(range(p, p + n))
+        kept = [t for p, t in enumerate(toks) if p not in covered]
+        want = (
+            len(toks),
+            len(toks) - len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+        assert got[i] == want, (i, got[i], want)
+
+    assert got[100][1] == 0, "short doc must be untouched"
+    assert got[101][1] == got[101][0], "cloned doc must be fully cut"
+    assert got[102] == got[101]
