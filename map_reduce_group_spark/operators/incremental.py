@@ -140,6 +140,29 @@ def scd2_apply(
             f"scd2_apply: {n_backdated} keys have updates at or before the "
             "open version's valid_from — backdated merges would corrupt history"
         )
+    merged = scd2_merge(existing, updates, key_cols, ts_col)
+    overwrite_partitions(merged, table_path, [part_col])
+    return parts
+
+
+def scd2_merge(
+    existing: DataFrame, updates: DataFrame, key_cols: list[str], ts_col: str
+) -> DataFrame:
+    """The pure-relational core of the SCD2 merge (no I/O, no actions):
+    close each updated key's open version at its first update timestamp,
+    chain same-key updates into consecutive versions (``valid_to`` =
+    ``lead(valid_from)`` over the key's ts order, only the last open), and
+    union. ``existing`` must carry ``valid_from``/``valid_to``/``is_current``
+    (``scd2_init``); ``updates`` carries the new attribute values + ``ts_col``.
+
+    Shape at scale: one broadcastable min-ts aggregate of the increment
+    joined onto the history slice, one window over the increment — history
+    rows of untouched keys pass through untouched. ``scd2_apply`` wraps this
+    with partition pruning, batch validation, and the dynamic-overwrite sink.
+    """
+    new_ts = F.broadcast(
+        updates.groupBy(*key_cols).agg(F.min(ts_col).alias("__new_ts"))
+    )
     closed = (
         existing.join(new_ts, key_cols, "left")
         .withColumn(
@@ -162,9 +185,7 @@ def scd2_apply(
         .withColumn("is_current", F.col("valid_to").isNull())
         .select(*closed.columns)
     )
-    merged = closed.unionByName(fresh)
-    overwrite_partitions(merged, table_path, [part_col])
-    return parts
+    return closed.unionByName(fresh)
 
 
 def upsert_by_key(

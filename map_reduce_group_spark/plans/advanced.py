@@ -532,3 +532,74 @@ def quality_checks_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
             Q.check_not_null(events, "value", "events_value_not_null"),
         ]
     )
+
+
+@register(
+    "scd2_customer_balance_history",
+    oracle="""
+    WITH upd AS (
+        SELECT o_custkey AS c_custkey,
+               CAST(o_orderdate AS TIMESTAMP) AS ts,
+               max(o_totalprice)              AS balance
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate <  TIMESTAMP '1995-02-01'
+        GROUP BY 1, 2
+    ), mn AS (
+        SELECT c_custkey, min(ts) AS new_ts FROM upd GROUP BY c_custkey
+    ), existing AS (
+        SELECT c_custkey, c_acctbal AS balance,
+               TIMESTAMP '1992-01-01'    AS valid_from,
+               CAST(NULL AS TIMESTAMP)   AS valid_to,
+               true                      AS is_current
+        FROM customer
+    ), closed AS (
+        SELECT e.c_custkey, e.balance, e.valid_from,
+               CASE WHEN mn.c_custkey IS NOT NULL THEN mn.new_ts
+                    ELSE e.valid_to END                          AS valid_to,
+               CASE WHEN mn.c_custkey IS NOT NULL THEN false
+                    ELSE e.is_current END                        AS is_current
+        FROM existing e LEFT JOIN mn USING (c_custkey)
+    ), fresh AS (
+        SELECT c_custkey, balance, ts AS valid_from,
+               lead(ts) OVER w                AS valid_to,
+               lead(ts) OVER w IS NULL        AS is_current
+        FROM upd WINDOW w AS (PARTITION BY c_custkey ORDER BY ts)
+    )
+    SELECT * FROM closed
+    UNION ALL
+    SELECT * FROM fresh
+    """,
+)
+def scd2_customer_balance_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 MERGE as a pure relational plan
+    (operators/incremental.py:scd2_merge — the same core scd2_apply wraps
+    with partition pruning + the dynamic-overwrite sink): the customer
+    snapshot is the open history, one month of orders is the update batch
+    (balance := that day's max order price; multiple updates per key CHAIN
+    into consecutive versions, round-2 ADVICE semantics). Shape: one
+    broadcast min-ts aggregate of the increment joined onto history + one
+    window over the increment — untouched keys stream through, so the merge
+    scales with the increment, not the table. The one-month slice is a
+    fixed fraction of the fixture's fixed 1992-1998 date span (rule 7)."""
+    from map_reduce_group_spark.operators.incremental import scd2_init, scd2_merge
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    existing = scd2_init(
+        cust.select(
+            "c_custkey",
+            col("c_acctbal").alias("balance"),
+            F.lit("1992-01-01").cast("timestamp").alias("ts"),
+        ),
+        "ts",
+    ).drop("ts")
+    upd = (
+        orders.filter(
+            (col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (col("o_orderdate") < F.lit("1995-02-01").cast("timestamp"))
+        )
+        .groupBy(col("o_custkey").alias("c_custkey"), col("o_orderdate").alias("ts"))
+        .agg(F.max("o_totalprice").alias("balance"))
+    )
+    return scd2_merge(existing, upd, ["c_custkey"], "ts")
