@@ -35,44 +35,62 @@ def pagerank(
     (Common-Crawl-style host ranking feeds "keep high-authority domains"
     filters). Returns (id, rank) with Σrank = 1.
 
-    Scale shape per iteration: one join (ranks ⋈ edges on src — both sides
-    pre-partitioned on the join key by the previous round's shuffle) + one
-    groupBy(dst) sum. Dangling-node mass is redistributed uniformly; the
-    only driver traffic per round is that scalar (the repo's standard
-    O(partitions) aggregate class — see connected_components and
-    kmeans_assign). ``localCheckpoint`` cuts the growing lineage.
+    Scale shape per iteration: one join (ranks ⋈ edges on src) + one
+    groupBy(dst) sum + one join back onto the vertex table. The edge and
+    vertex tables are hash-partitioned on their join keys ONCE before the
+    loop (``localCheckpoint`` preserves partitioning — the
+    connected_components trick), so the per-round joins are all
+    co-partitioned: the only exchange each round is the contribution
+    groupBy's own partial→final shuffle. Dangling-node mass is
+    redistributed uniformly; its sum rides each round's checkpoint
+    materialization via ``observe()`` over a precomputed ``has_out`` flag
+    (one Spark job per round, not two — no separate aggregate action).
+    ``localCheckpoint`` also cuts the growing lineage.
 
     Float summation order is partition-order-dependent, so exact rank bits
     are engine-private — rows-only query; semantics pinned by the property
     suite (closed-form graphs, mass conservation, determinism bounds).
     """
-    spark = edges.sparkSession
+    from pyspark.sql import Observation
+
     # materialize the (possibly expensive — e.g. a similarity join) edge
-    # list ONCE; everything the loop touches roots at checkpointed frames,
-    # or each iteration would re-run the edge-producing DAG
+    # list ONCE, pre-partitioned by src; everything the loop touches roots
+    # at checkpointed frames, or each iteration would re-run the
+    # edge-producing DAG
     e = (
         edges.select(col(src).alias("src"), col(dst).alias("dst"))
         .distinct()
+        .repartition(col("src"))
         .localCheckpoint(eager=True)
     )
+    # degrees/contrib_edges group and join on src — no exchange, and the
+    # src partitioning carries into contrib_edges through the checkpoint
+    degrees = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    contrib_edges = (
+        e.join(degrees, "src")
+        .select("src", "dst", (F.lit(1.0) / col("deg")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    # vertex table with a dangling flag, hash-partitioned by id so the
+    # per-round contribution join (id = dst) and rank join (src = id) are
+    # both co-partitioned with their shuffled counterparts
+    out_ids = e.select("src").distinct().withColumn("has_out", F.lit(True))
     vertices = (
         e.select(col("src").alias("id"))
         .unionByName(e.select(col("dst").alias("id")))
         .distinct()
+        .join(out_ids, F.col("id") == out_ids.src, "left")
+        .select("id", F.coalesce("has_out", F.lit(False)).alias("has_out"))
+        .repartition(col("id"))
         .localCheckpoint(eager=True)
     )
     n = vertices.count()
     if n == 0:  # empty graph (e.g. an over-capped similarity join) — no ranks
         return vertices.select("id", F.lit(0.0).alias("rank"))
-    degrees = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
-        eager=True
-    )
-    # out-edges with weight 1/deg — reused every iteration
-    contrib_edges = e.join(degrees, "src").select(
-        "src", "dst", (F.lit(1.0) / col("deg")).alias("w")
-    ).localCheckpoint(eager=True)
+    n_dangling = vertices.filter(~col("has_out")).count()
 
-    ranks = vertices.select("id", F.lit(1.0 / n).alias("rank"))
+    ranks = vertices.select("id", "has_out", F.lit(1.0 / n).alias("rank"))
+    dangling = n_dangling * (1.0 / n)  # Σ rank over dangling vertices
     for _ in range(iters):
         contribs = (
             contrib_edges.join(ranks, contrib_edges.src == ranks.id)
@@ -80,22 +98,28 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        # dangling mass = rank not emitted through any out-edge
-        emitted = ranks.join(degrees, ranks.id == degrees.src, "left_semi")
-        dangling = 1.0 - emitted.agg(F.sum("rank")).collect()[0][0]
         base = (1.0 - damping) / n + damping * dangling / n
+        obs = Observation()
         ranks = (
             vertices.join(contribs, vertices.id == contribs.dst, "left")
             .select(
                 "id",
+                "has_out",
                 (
                     F.lit(base)
                     + F.lit(damping) * F.coalesce(col("contrib"), F.lit(0.0))
                 ).alias("rank"),
             )
+            .observe(
+                obs,
+                F.sum(F.when(~col("has_out"), col("rank")).otherwise(F.lit(0.0))).alias(
+                    "dangling"
+                ),
+            )
             .localCheckpoint(eager=True)
         )
-    return ranks
+        dangling = obs.get["dangling"]
+    return ranks.select("id", "rank")
 
 
 def connected_components(
