@@ -320,3 +320,68 @@ def events_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("value", "ts").alias("close_v"),
         dsum("value").alias("total_v"),
     )
+
+
+@register(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ), active AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(date_diff('day', f.cohort_week,
+                              date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_offset
+        FROM events e JOIN firsts f USING (user_id)
+    ), cohort_sizes AS (
+        SELECT cohort_week, count(*) AS n_cohort FROM firsts GROUP BY cohort_week
+    )
+    SELECT a.cohort_week, a.week_offset,
+           CAST(count(*) AS BIGINT)        AS n_active,
+           CAST(s.n_cohort AS BIGINT)      AS n_cohort,
+           count(*) / CAST(s.n_cohort AS DOUBLE) AS retention
+    FROM active a JOIN cohort_sizes s USING (cohort_week)
+    GROUP BY a.cohort_week, a.week_offset, s.n_cohort
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the standard product-analytics triangle:
+    users are cohorted by the ISO week of their first event, and each
+    (cohort_week, week_offset) cell counts distinct users from that cohort
+    active offset weeks later, with the retention rate relative to cohort
+    size (rule 7: every cell is a fraction of a data-derived denominator).
+    Exact integer counts + one final division — no float aggregation.
+    Shape: one min-agg by user (map-side combined), a broadcastable
+    first-week table joined back onto the event scan, distinct on compact
+    (user, week) keys, then a count by cell — all shuffles carry keys,
+    never event payloads. Both engines truncate weeks to ISO Monday."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", col("ts")), col("cohort_week")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_cohort"))
+    return (
+        active.join(sizes, "cohort_week")
+        .groupBy("cohort_week", "week_offset", "n_cohort")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "n_cohort",
+            (col("n_active") / col("n_cohort").cast("double")).alias("retention"),
+        )
+    )

@@ -1550,3 +1550,104 @@ def text_topk_bigrams_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(col("rnk") <= 5)
         .select("lang", "bigram", "n_occurrences", col("rnk").cast("long").alias("rnk"))
     )
+
+
+@register(
+    "graph_triangle_census",
+    oracle=f"""
+    WITH sets AS (
+        SELECT doc_id AS id, {_SHINGLES_SQL} AS shingles
+        FROM documents
+        WHERE len({_TOKS_SQL}) >= 3
+    ), postings AS (
+        SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle
+        FROM sets WHERE len(shingles) > 0
+    ), pair_counts AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               a.set_size AS size_a, b.set_size AS size_b,
+               count(*) AS n_common
+        FROM postings a JOIN postings b USING (shingle)
+        WHERE a.id < b.id
+        GROUP BY 1, 2, 3, 4
+    ), edges AS (
+        SELECT id_a, id_b FROM pair_counts
+        WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= 0.05
+    ), verts AS (
+        SELECT id, count(*) AS deg FROM (
+            SELECT id_a AS id FROM edges UNION ALL SELECT id_b FROM edges
+        ) GROUP BY id
+    ), tri AS (
+        SELECT count(*) AS n_triangles
+        FROM edges e1
+        JOIN edges e2 ON e2.id_a = e1.id_b
+        JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ), wed AS (
+        SELECT sum(deg * (deg - 1) / 2) AS n_wedges,
+               count(*) AS n_vertices
+        FROM verts
+    )
+    SELECT CAST(w.n_vertices AS BIGINT)            AS n_vertices,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+           CAST(w.n_wedges AS BIGINT)              AS n_wedges,
+           CAST(t.n_triangles AS BIGINT)           AS n_triangles,
+           CASE WHEN w.n_wedges = 0 THEN 0.0
+                ELSE 3.0 * t.n_triangles / w.n_wedges END AS clustering_coeff
+    FROM tri t, wed w
+    """,
+)
+def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census + global clustering coefficient over the exact
+    3-gram-Jaccard similarity graph (the dedup_ngram_jaccard edge list at
+    the same 0.05 threshold): near-dup families form near-cliques, so
+    triangle density measures how clique-like the duplicate structure is —
+    the standard graph-quality signal before collapsing clusters. Exact
+    compact-key plan: edges stored once as (a < b) pairs, triangles by the
+    canonical two-hop join (a<b<c counted exactly once), wedges from the
+    degree table in integer arithmetic — the one division happens on two
+    exact BIGINTs at the very end (rule 1). At 100 TB the edge list is the
+    near-dup pair output (orders of magnitude smaller than the corpus);
+    the triangle join shuffles edge keys only. Single-row summary output,
+    driver-friendly at any scale."""
+    from pyspark import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents")
+    # the edge list feeds FIVE consumers (e1/e2/e3, degrees, edge count);
+    # persist so the inverted-index self-join runs once, not five times
+    # (same rationale + storage level as minhash_lsh_pairs' postings)
+    edges = (
+        dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.05)
+        .select("id_a", "id_b")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    verts = (
+        edges.select(col("id_a").alias("id"))
+        .unionByName(edges.select(col("id_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    e1 = edges.select(col("id_a").alias("a"), col("id_b").alias("b"))
+    e2 = edges.select(col("id_a").alias("b"), col("id_b").alias("c"))
+    e3 = edges.select(col("id_a").alias("a"), col("id_b").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    wed = verts.agg(
+        F.sum((col("deg") * (col("deg") - 1) / 2).cast("long")).alias("n_wedges"),
+        F.count(F.lit(1)).alias("n_vertices"),
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        tri.crossJoin(wed)
+        .crossJoin(n_edges)
+        .select(
+            col("n_vertices").cast("long").alias("n_vertices"),
+            col("n_edges").cast("long").alias("n_edges"),
+            col("n_wedges").cast("long").alias("n_wedges"),
+            col("n_triangles").cast("long").alias("n_triangles"),
+            F.when(col("n_wedges") == 0, F.lit(0.0))
+            .otherwise(F.lit(3.0) * col("n_triangles") / col("n_wedges"))
+            .alias("clustering_coeff"),
+        )
+    )

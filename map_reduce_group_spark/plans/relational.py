@@ -687,3 +687,61 @@ def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@register(
+    "agg_mad_outliers",
+    oracle="""
+    WITH med AS (
+        SELECT l_returnflag, median(l_quantity) AS med
+        FROM lineitem GROUP BY l_returnflag
+    ), dev AS (
+        SELECT l.l_returnflag, l.l_quantity, m.med,
+               abs(l.l_quantity - m.med) AS adev
+        FROM lineitem l JOIN med m USING (l_returnflag)
+    ), mad AS (
+        SELECT l_returnflag, median(adev) AS mad FROM dev GROUP BY l_returnflag
+    )
+    SELECT d.l_returnflag,
+           d.med                                                   AS median_qty,
+           a.mad                                                   AS mad_qty,
+           CAST(count(*) AS BIGINT)                                AS n_rows,
+           CAST(sum(CASE WHEN d.adev > 3 * a.mad THEN 1 ELSE 0 END)
+                AS BIGINT)                                         AS n_outliers
+    FROM dev d JOIN mad a USING (l_returnflag)
+    GROUP BY d.l_returnflag, d.med, a.mad
+    """,
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: per group,
+    med = median(x), MAD = median(|x - med|), outlier ⇔ |x - med| > 3·MAD —
+    the standard robust z-score gate (immune to the outliers it hunts,
+    unlike mean/stddev). Exact and cross-engine-stable: the value domain is
+    integral-valued doubles, so both medians land on .0/.5 exactly and the
+    3·MAD comparison is exact IEEE arithmetic, no float-sum anywhere
+    (rule 1). The 3·MAD threshold is distribution-relative (rule 7). Shape:
+    two compact medians broadcast back onto the fact scan, one counting
+    pass — three shuffles on a 3-row key."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    med = li.groupBy("l_returnflag").agg(F.median("l_quantity").alias("med"))
+    dev = li.join(broadcast(med), "l_returnflag").withColumn(
+        "adev", F.abs(col("l_quantity") - col("med"))
+    )
+    mad = dev.groupBy("l_returnflag").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(col("adev") > 3 * col("mad"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .select(
+            "l_returnflag",
+            col("med").alias("median_qty"),
+            col("mad").alias("mad_qty"),
+            "n_rows",
+            "n_outliers",
+        )
+    )
