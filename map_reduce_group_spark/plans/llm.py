@@ -1562,11 +1562,18 @@ def text_topk_bigrams_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), postings AS (
         SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle
         FROM sets WHERE len(shingles) > 0
+    ), capped AS (
+        SELECT id, set_size, shingle FROM (
+            SELECT id, set_size, shingle,
+                   count(*) OVER (PARTITION BY shingle) AS df
+            FROM postings
+        )
+        WHERE df <= greatest(CAST(ceil(0.01 * (SELECT count(*) FROM documents)) AS BIGINT), 1)
     ), pair_counts AS (
         SELECT a.id AS id_a, b.id AS id_b,
                a.set_size AS size_a, b.set_size AS size_b,
                count(*) AS n_common
-        FROM postings a JOIN postings b USING (shingle)
+        FROM capped a JOIN capped b USING (shingle)
         WHERE a.id < b.id
         GROUP BY 1, 2, 3, 4
     ), edges AS (
@@ -1596,18 +1603,19 @@ def text_topk_bigrams_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle census + global clustering coefficient over the exact
-    3-gram-Jaccard similarity graph (the dedup_ngram_jaccard edge list at
-    the same 0.05 threshold): near-dup families form near-cliques, so
-    triangle density measures how clique-like the duplicate structure is —
-    the standard graph-quality signal before collapsing clusters. Exact
-    compact-key plan: edges stored once as (a < b) pairs, triangles by the
-    canonical two-hop join (a<b<c counted exactly once), wedges from the
-    degree table in integer arithmetic — the one division happens on two
-    exact BIGINTs at the very end (rule 1). At 100 TB the edge list is the
-    near-dup pair output (orders of magnitude smaller than the corpus);
-    the triangle join shuffles edge keys only. Single-row summary output,
-    driver-friendly at any scale."""
+    """Triangle census + global clustering coefficient over the df-CAPPED
+    3-gram-Jaccard similarity graph (the dedup_ngram_jaccard_capped edge
+    list — the declared 100 TB near-dup plan; the cap is replicated in the
+    oracle, so the graph is identical in both engines): near-dup families
+    form near-cliques, so triangle density measures how clique-like the
+    duplicate structure is — the standard graph-quality signal before
+    collapsing clusters. Compact-key plan: edges stored once as (a < b)
+    pairs, triangles by the canonical two-hop join (a<b<c counted exactly
+    once), wedges from the degree table in integer arithmetic — the one
+    division happens on two exact BIGINTs at the very end (rule 1). At
+    100 TB the edge list is the near-dup pair output (orders of magnitude
+    smaller than the corpus); the triangle join shuffles edge keys only.
+    Single-row summary output, driver-friendly at any scale."""
     from pyspark import StorageLevel
 
     d = load_table(spark, sf_dir, "documents")
@@ -1615,7 +1623,9 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist so the inverted-index self-join runs once, not five times
     # (same rationale + storage level as minhash_lsh_pairs' postings)
     edges = (
-        dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.05)
+        dedup.ngram_jaccard_pairs(
+            d, "doc_id", "text", n=3, threshold=0.05, max_doc_frac=0.01
+        )
         .select("id_a", "id_b")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
