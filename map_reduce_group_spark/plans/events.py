@@ -385,3 +385,67 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             (col("n_active") / col("n_cohort").cast("double")).alias("retention"),
         )
     )
+
+
+@register(
+    "events_inter_arrival_stats",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    ), g AS (
+        SELECT event_type, gap_us,
+               row_number() OVER (PARTITION BY event_type ORDER BY gap_us) AS rn,
+               count(*)    OVER (PARTITION BY event_type)                  AS n
+        FROM d WHERE gap_us IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT)                                     AS n_gaps,
+           CAST(min(gap_us) AS BIGINT)                                AS min_gap_us,
+           CAST(min(CASE WHEN rn >= ceil(0.5 * n)  THEN gap_us END) AS BIGINT) AS p50_gap_us,
+           CAST(min(CASE WHEN rn >= ceil(0.95 * n) THEN gap_us END) AS BIGINT) AS p95_gap_us,
+           CAST(max(gap_us) AS BIGINT)                                AS max_gap_us
+    FROM g GROUP BY event_type
+    """,
+)
+def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISCONTINUOUS percentiles (p50/p95) of per-user inter-arrival
+    gaps by event type — the latency/heartbeat profile an event pipeline
+    monitors. percentile_disc is built relationally (row_number vs
+    ceil(q·n), take the first element at-or-past the rank) instead of via
+    engine builtins: both engines then pick the IDENTICAL element, where
+    percentile_cont implementations interpolate with engine-specific float
+    op order (rule 1 discipline). Gaps are exact integer microseconds
+    (unix_micros — the rule-1 interval policy); rank thresholds are the
+    only float op and ceil(q·n) is IEEE-identical for both. Shape: one
+    shuffle by (user, type) for the lag, one by type for the rank — keys
+    and a long payload only."""
+    e = load_table(spark, sf_dir, "events")
+    per_user = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    d = e.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(per_user)
+        ).alias("gap_us"),
+    ).filter(col("gap_us").isNotNull())
+    per_type = Window.partitionBy("event_type").orderBy("gap_us")
+    g = d.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(per_type).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    return g.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.min(F.when(col("rn") >= F.ceil(0.5 * col("n")), col("gap_us")))
+        .cast("long")
+        .alias("p50_gap_us"),
+        F.min(F.when(col("rn") >= F.ceil(0.95 * col("n")), col("gap_us")))
+        .cast("long")
+        .alias("p95_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
