@@ -63,7 +63,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 COST_HINT = {
     "agg_approx_sketches": 1.6, "agg_cube_returns": 1.8, "agg_distinct_counts": 1.2,
     "agg_stats_exact": 1.4, "corpus_contamination_check": 3.7, "corpus_duplicated_spans": 3.2,
-    "corpus_span_cut": 3.0, "text_topk_bigrams_by_lang": 1.4, "graph_triangle_census": 2.5,
+    "corpus_span_cut": 3.1, "text_topk_bigrams_by_lang": 0.9, "graph_triangle_census": 3.8,
+    "agg_mad_outliers": 1.5,
     "corpus_mixture_rebalance": 1.1, "corpus_sequence_pack": 3.1, "corpus_span_dedup": 1.4,
     "dedup_clusters": 6.7, "dedup_minhash_lsh": 3.2, "dedup_ngram_jaccard": 1.9,
     "dedup_ngram_jaccard_capped": 3.3, "dedup_simhash": 3.3, "doc_bpe_merges": 1.9,
