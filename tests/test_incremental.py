@@ -264,3 +264,43 @@ def test_scd2_apply_rejects_ambiguous_and_backdated(spark, sf_dir, tmp_path):
             backdated, table, ["o_orderkey"], "o_orderdate", "o_orderstatus"
         )
     assert spark.read.parquet(table).count() == before  # nothing rewritten
+
+
+def test_scd2_merge_chain_invariants(spark):
+    """Randomized batches against the SCD2 contract: after a pure merge,
+    every key's history is a valid version chain — exactly one open
+    version, closed versions link contiguously (valid_to == successor's
+    valid_from), no overlaps, and untouched keys pass through bit-identical.
+    """
+    import random
+
+    from map_reduce_group_spark.operators.incremental import scd2_init, scd2_merge
+
+    rng = random.Random(11)
+    base_rows = [(k, float(k * 10), 1000) for k in range(20)]
+    existing = scd2_init(
+        spark.createDataFrame(base_rows, "k long, val double, ts long"), "ts"
+    )
+    upd_rows = []
+    for k in range(0, 20, 2):  # update half the keys, 1-3 versions each
+        for i in range(rng.randrange(1, 4)):
+            upd_rows.append((k, float(k * 100 + i), 2000 + i * 7))
+    updates = spark.createDataFrame(upd_rows, "k long, val double, ts long")
+
+    hist = scd2_merge(existing, updates, ["k"], "ts").collect()
+    by_key = {}
+    for r in hist:
+        by_key.setdefault(r["k"], []).append(r)
+    n_upd = {k: len([1 for kk, *_ in upd_rows if kk == k]) for k in range(20)}
+    for k, rows in by_key.items():
+        rows.sort(key=lambda r: r["valid_from"])
+        opens = [r for r in rows if r["is_current"]]
+        assert len(opens) == 1, f"key {k}: {len(opens)} open versions"
+        assert rows[-1]["is_current"] and rows[-1]["valid_to"] is None
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"], f"key {k}: gap/overlap"
+            assert not a["is_current"]
+        assert len(rows) == 1 + n_upd.get(k, 0)
+    untouched = [r for r in hist if r["k"] % 2 == 1]
+    for r in untouched:
+        assert r["is_current"] and r["valid_to"] is None and r["valid_from"] == 1000
