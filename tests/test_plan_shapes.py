@@ -367,3 +367,46 @@ def test_cbo_statistics_after_analyze(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
         spark.sql("DROP TABLE IF EXISTS stats_nation")
+
+
+def test_fuzzy_join_blocking_is_hash_join(spark, sf_dir):
+    """The lossless length-band blocking exists precisely so the
+    dictionary match plans a hash join on the exploded bucket key — a
+    BroadcastNestedLoopJoin here means the blocking degraded to a theta
+    join and the dictionary match is all-pairs again."""
+    p = plan(spark, sf_dir, "join_fuzzy_name_groups")
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p, p
+    assert "NestedLoop" not in p, p
+
+
+def test_mad_medians_are_broadcast_back(spark, sf_dir):
+    """Both median tables (3 rows each) must broadcast onto the fact scan —
+    a sort-merge here shuffles 60M rows twice at 100×."""
+    p = plan(spark, sf_dir, "agg_mad_outliers")
+    assert p.count("BroadcastHashJoin") >= 2, p
+
+
+def test_histogram_envelope_is_broadcast_single_row(spark, sf_dir):
+    """The min/max envelope is a 1-row aggregate broadcast-nested-loop
+    joined onto the scan (the 2-pass envelope pattern); the bucket count
+    must partial-aggregate map-side."""
+    p = plan(spark, sf_dir, "agg_price_histogram")
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert len(re.findall(r"HashAggregate", p)) >= 2, p
+
+
+def test_span_cut_reassembly_has_no_python_stage(spark, sf_dir):
+    """corpus_span_cut's per-doc reassembly must stay native codegen
+    (array_sort + GetArrayStructFields + array_join) — any Python/Arrow
+    eval node means an interpreted hop crept into the per-token path."""
+    p = plan(spark, sf_dir, "corpus_span_cut")
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert marker not in p, p
+
+
+def test_scd2_increment_aggregate_is_broadcast(spark, sf_dir):
+    """scd2_merge's min-ts table must broadcast onto the history side:
+    the merge's promise is cost ∝ increment, and a shuffled join of the
+    full history breaks it."""
+    p = plan(spark, sf_dir, "scd2_customer_balance_history")
+    assert "BroadcastHashJoin" in p, p
