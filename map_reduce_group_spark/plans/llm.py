@@ -1661,3 +1661,114 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_coeff"),
         )
     )
+
+
+@register(
+    "corpus_data_card",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS f,
+               len({_TOKS_SQL}) AS n_tokens
+        FROM documents
+    ), base AS (
+        SELECT count(*)            AS n_docs,
+               count(DISTINCT f)   AS n_unique,
+               sum(n_tokens)       AS total_tokens,
+               count(DISTINCT lang) AS n_langs
+        FROM t
+    ), lang_top AS (
+        SELECT lang AS top_lang, count(*) AS top_lang_docs
+        FROM t GROUP BY lang
+        ORDER BY count(*) DESC, lang ASC LIMIT 1
+    ), hist AS (
+        SELECT n_tokens, count(*) AS c FROM t GROUP BY n_tokens
+    ), cum AS (
+        SELECT n_tokens,
+               sum(c) OVER (ORDER BY n_tokens ROWS UNBOUNDED PRECEDING) AS cc,
+               sum(c) OVER ()                                           AS n
+        FROM hist
+    ), pct AS (
+        SELECT min(CASE WHEN cc >= ceil(0.5 * n)  THEN n_tokens END) AS p50_tokens,
+               min(CASE WHEN cc >= ceil(0.95 * n) THEN n_tokens END) AS p95_tokens
+        FROM cum
+    )
+    SELECT CAST(b.n_docs AS BIGINT)        AS n_docs,
+           CAST(b.n_unique AS BIGINT)      AS n_unique_docs,
+           1.0 - b.n_unique / CAST(b.n_docs AS DOUBLE) AS dup_fraction,
+           CAST(b.total_tokens AS BIGINT)  AS total_tokens,
+           CAST(b.n_langs AS BIGINT)       AS n_langs,
+           l.top_lang,
+           CAST(l.top_lang_docs AS BIGINT) AS top_lang_docs,
+           CAST(p.p50_tokens AS BIGINT)    AS p50_tokens,
+           CAST(p.p95_tokens AS BIGINT)    AS p95_tokens
+    FROM base b, lang_top l, pct p
+    """,
+)
+def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datasheet — the numbers a dataset card reports before
+    training: volume (docs, tokens), exact-duplicate fraction (distinct
+    content fingerprints vs rows), language mix (count + deterministic
+    argmax: docs DESC, lang ASC), and token-length p50/p95 via an exact
+    VALUE-HISTOGRAM percentile: group by token count (distinct lengths are
+    bounded by max doc length, not corpus size), one cumulative window over
+    that tiny histogram, pick the first value at-or-past ceil(q·n) — the
+    engine-builtin-free percentile_disc of events_inter_arrival_stats
+    without its global sort, so it holds at any corpus size. Everything is
+    integer-exact with two final divisions; every statistic is
+    data-relative (rule 7). Three 1-row frames broadcast-crossed into the
+    card; single row out."""
+    from pyspark.sql import Window as W
+
+    from map_reduce_group_spark.operators.text import fingerprint, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang", fingerprint("text").alias("f"), token_count("text").alias("n_tokens")
+    )
+    base = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("f").alias("n_unique_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+    lang_top = (
+        t.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("top_lang_docs"))
+        .orderBy(col("top_lang_docs").desc(), col("lang").asc())
+        .limit(1)
+        .select(col("lang").alias("top_lang"), "top_lang_docs")
+    )
+    hist = t.groupBy("n_tokens").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.select(
+        "n_tokens",
+        F.sum("c")
+        .over(W.orderBy("n_tokens").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cc"),
+        F.sum("c").over(W.partitionBy()).alias("n"),
+    )
+    pct = cum.agg(
+        F.min(F.when(col("cc") >= F.ceil(0.5 * col("n")), col("n_tokens"))).alias(
+            "p50_tokens"
+        ),
+        F.min(F.when(col("cc") >= F.ceil(0.95 * col("n")), col("n_tokens"))).alias(
+            "p95_tokens"
+        ),
+    )
+    return (
+        base.crossJoin(lang_top)
+        .crossJoin(pct)
+        .select(
+            col("n_docs").cast("long").alias("n_docs"),
+            col("n_unique_docs").cast("long").alias("n_unique_docs"),
+            (
+                F.lit(1.0) - col("n_unique_docs") / col("n_docs").cast("double")
+            ).alias("dup_fraction"),
+            col("total_tokens").cast("long").alias("total_tokens"),
+            col("n_langs").cast("long").alias("n_langs"),
+            "top_lang",
+            col("top_lang_docs").cast("long").alias("top_lang_docs"),
+            col("p50_tokens").cast("long").alias("p50_tokens"),
+            col("p95_tokens").cast("long").alias("p95_tokens"),
+        )
+    )
