@@ -66,10 +66,17 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as fh:
         fh.write(full + "\n")
 
-    # The driver keeps only the LAST 2000 bytes of stdout; a 131-query map is
-    # ~4 KB, so the head ("metric","value") gets cut and parses as null
-    # (BENCH_r01 AND r02). Print a trimmed line, shrinking the slowest-N map
-    # until the whole line fits well inside the capture window.
+    print(compact_line(out, timings, errors))
+
+
+def compact_line(
+    out: dict, timings: dict[str, float], errors: dict[str, str], limit: int = 1800
+) -> str:
+    """The driver keeps only the LAST 2000 bytes of stdout; a 131-query map
+    is ~4 KB, so the head ("metric","value") gets cut and parses as null
+    (BENCH_r01 AND r02). Build a trimmed line, shrinking the slowest-N map
+    until the whole line fits well inside the capture window."""
+    out = dict(out)
     slow = sorted(timings.items(), key=lambda kv: kv[1], reverse=True)
     n = 20
     while True:
@@ -79,10 +86,10 @@ def main() -> None:
             out["errors"] = {k: v[:60] for k, v in list(errors.items())[:3]}
             out["n_errors"] = len(errors)
         line = json.dumps(out, separators=(",", ":"))
-        if len(line) <= 1800 or n == 0:
+        if len(line) <= limit or n == 0:
             break
         n -= 2
-    print(line)
+    return line
 
 
 if __name__ == "__main__":

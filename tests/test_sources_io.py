@@ -338,3 +338,26 @@ def test_zorder_write_improves_two_axis_skipping(spark, sf_dir, tmp_path):
     assert z2 < 0.5 < s2, (z2, s2)
     # layout change must not lose rows
     assert spark.read.parquet(zpath).count() == orders.count()
+
+
+def test_bench_line_fits_driver_capture_window():
+    """The external driver records only the last 2000 bytes of bench stdout:
+    the compact line must stay under that for any plausible query map, keep
+    valid JSON with the headline metric first, and degrade by dropping
+    slow-map entries, not by truncating mid-JSON."""
+    import json as _json
+
+    from bench import compact_line
+
+    timings = {f"query_with_a_rather_long_name_{i:03d}": i * 0.137 for i in range(400)}
+    errors = {f"broken_query_{i}": "x" * 500 for i in range(10)}
+    out = {"metric": "total_query_wall_sec", "value": 1.0, "unit": "sec", "sf": 0.1}
+    line = compact_line(out, timings, errors)
+    assert len(line) <= 1800, len(line)
+    parsed = _json.loads(line)
+    assert parsed["metric"] == "total_query_wall_sec"
+    assert parsed["n_queries_total"] == 400 and parsed["n_errors"] == 10
+    # slowest entries survive the shrink
+    assert "query_with_a_rather_long_name_399" in parsed["queries"]
+    # empty map edge: still valid and inside the window
+    assert len(compact_line(out, {}, {})) <= 1800
