@@ -810,3 +810,112 @@ def test_cut_duplicated_spans_reference_model(spark):
     assert got[100][1] == 0, "short doc must be untouched"
     assert got[101][1] == got[101][0], "cloned doc must be fully cut"
     assert got[102] == got[101]
+
+
+def test_fuzzy_blocking_is_lossless_vs_bruteforce(spark):
+    """The length-band blocking claim (|len(a)-len(b)| <= k is necessary
+    for lev <= k) checked against brute force: on random word-ish strings,
+    the blocked hash-join pipeline returns EXACTLY the pairs brute-force
+    levenshtein finds — nothing lost at band boundaries (insert/delete
+    edits that change length by exactly k are the adversarial case)."""
+    import random
+
+    from pyspark.sql import functions as SF
+
+    rng = random.Random(23)
+    alphabet = "abcd"
+    names = {"".join(rng.choice(alphabet) for _ in range(rng.randrange(2, 8)))
+             for _ in range(80)}
+    names = sorted(names)
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            curr = [i]
+            for j, cb in enumerate(b, 1):
+                curr.append(min(prev[j] + 1, curr[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = curr
+        return prev[-1]
+
+    want = {(a, b) for a in names for b in names if a < b and lev(a, b) <= 1}
+
+    d = spark.createDataFrame([(n,) for n in names], "name string")
+    a = d.select(
+        SF.col("name").alias("a_name"),
+        SF.explode(
+            SF.array(
+                SF.length("name") - 1, SF.length("name"), SF.length("name") + 1
+            )
+        ).alias("blen"),
+    )
+    b = d.select(SF.col("name").alias("b_name"), SF.length("name").alias("blen"))
+    got = {
+        (r["a_name"], r["b_name"])
+        for r in a.join(b, "blen")
+        .filter(
+            (SF.levenshtein("a_name", "b_name") <= 1)
+            & (SF.col("a_name") < SF.col("b_name"))
+        )
+        .collect()
+    }
+    assert got == want
+    assert want, "degenerate fixture: no lev<=1 pairs generated"
+
+
+def test_mode_median_histogram_match_python_models(spark):
+    """agg_mode_median_quantity's relational mode/median and
+    agg_price_histogram's floor-bucketing vs plain Python models on a
+    skewed synthetic column (ties on the modal value exercise the
+    deterministic count-DESC/value-ASC tie-break)."""
+    import statistics
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as SF
+
+    rows = [("a", float(v)) for v in [1, 1, 2, 2, 3]] + [
+        ("b", float(v)) for v in [5, 7, 7, 9, 9, 11]
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+
+    counts = df.groupBy("g", "x").agg(SF.count(SF.lit(1)).alias("c"))
+    w = W.partitionBy("g").orderBy(SF.col("c").desc(), SF.col("x").asc())
+    mode = {
+        r["g"]: r["x"]
+        for r in counts.withColumn("rn", SF.row_number().over(w))
+        .filter(SF.col("rn") == 1)
+        .collect()
+    }
+    # ties broken toward the smaller value in both groups
+    assert mode == {"a": 1.0, "b": 7.0}
+
+    med = {r["g"]: r["m"] for r in df.groupBy("g").agg(SF.median("x").alias("m")).collect()}
+    vals = {g: sorted(x for gg, x in rows if gg == g) for g in ("a", "b")}
+    for g in vals:
+        assert med[g] == statistics.median(vals[g])
+
+    # histogram: data-derived edges, top value clamps into the last bucket
+    env = df.agg(SF.min("x").alias("mn"), SF.max("x").alias("mx"))
+    rng_ = SF.when(SF.col("mx") == SF.col("mn"), SF.lit(1.0)).otherwise(
+        SF.col("mx") - SF.col("mn")
+    )
+    got = {
+        r["bucket"]: r["n"]
+        for r in df.crossJoin(SF.broadcast(env))
+        .select(
+            SF.least(
+                SF.floor(((SF.col("x") - SF.col("mn")) / rng_) * 10).cast("long"),
+                SF.lit(9).cast("long"),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(SF.count(SF.lit(1)).alias("n"))
+        .collect()
+    }
+    mn, mx = 1.0, 11.0
+    import collections
+
+    want = collections.Counter(
+        min(int((x - mn) / (mx - mn) * 10), 9) for _, x in rows
+    )
+    assert got == dict(want)
+    assert sum(got.values()) == len(rows)
