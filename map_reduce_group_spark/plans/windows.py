@@ -179,7 +179,9 @@ def secondary_sort_line_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(col("l_orderkey") % 101 == 0)
     return li.groupBy("l_orderkey").agg(
         F.array_join(
-            F.transform(F.sort_array(F.collect_list("l_linenumber")), lambda x: x.cast("string")),
+            # native cast of the whole array — no interpreted transform
+            # lambda (rule 2); int→string cast distributes over elements
+            F.sort_array(F.collect_list("l_linenumber")).cast("array<string>"),
             ",",
         ).alias("line_seq"),
         F.count(F.lit(1)).alias("n_lines"),
