@@ -361,3 +361,41 @@ def test_bench_line_fits_driver_capture_window():
     assert "query_with_a_rather_long_name_399" in parsed["queries"]
     # empty map edge: still valid and inside the window
     assert len(compact_line(out, {}, {})) <= 1800
+
+
+def test_registry_enumeration_is_cross_process_deterministic():
+    """The external driver sweeps the FIRST 50 enumerated queries — the
+    whole coverage-rotation mechanism rests on the enumeration being
+    identical in every fresh interpreter. Spawn a subprocess and compare
+    its full ordering to ours; also pin the invariant that every query
+    without a green CORRECTNESS row sits inside the front-50 window."""
+    import glob
+    import json as _json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "from map_reduce_group_spark.plans import REGISTRY; "
+        "import json; print(json.dumps(list(REGISTRY)))" % repo
+    )
+    sub = _json.loads(
+        subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, check=True
+        ).stdout
+    )
+    from map_reduce_group_spark.plans import REGISTRY
+
+    assert sub == list(REGISTRY)
+
+    recorded: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        with open(path) as fh:
+            for name, row in _json.load(fh).items():
+                ok = row.get("hash_match") is True or row.get("err") == "no_oracle"
+                recorded[name] = recorded.get(name, 0) + (1 if ok else 0)
+    zero = [n for n in sub if recorded.get(n, 0) == 0]
+    late = [n for n in zero if sub.index(n) >= 50]
+    assert not late, f"never-verified queries outside the driver's 50-query window: {late}"
