@@ -140,12 +140,16 @@ def test_q18_having_set_is_semi_join(spark, sf_dir):
     assert "TakeOrderedAndProject" in p, p
 
 
-def test_q21_exists_pair_is_semi_plus_anti(spark, sf_dir):
-    """Q21's EXISTS / NOT-EXISTS pair must realize as one left-semi and one
-    left-anti join — never a correlated re-scan or nested loop."""
+def test_q21_exists_pair_is_window_counts_single_fact_shuffle(spark, sf_dir):
+    """Q21's EXISTS / NOT-EXISTS pair is rewritten to per-order window
+    counts riding the (orderkey, suppkey) aggregate's own exchange: the
+    fact must shuffle exactly once on orderkey, the counts must be Window
+    operators (not self-joins), and the finalized-order check stays a
+    left-semi — never a correlated re-scan or nested loop."""
     p = plan(spark, sf_dir, "q21_waiting_suppliers")
+    assert "Window" in p, p
     assert "LeftSemi" in p, p
-    assert "LeftAnti" in p, p
+    assert p.count("hashpartitioning(l_orderkey") == 1, p
     assert "NestedLoop" not in p.replace("BroadcastNestedLoopJoin", ""), p
 
 
