@@ -118,3 +118,82 @@ def stratified_cap(
         df.withColumn("sel_rank", F.row_number().over(w).cast("long"))
         .filter(F.col("sel_rank") <= cap)
     )
+
+
+def mixture_temperature(
+    df: DataFrame, id_col: str, source_col: str, salt: str = "temp"
+) -> DataFrame:
+    """Temperature-scaled mixture sampling at T = 0.5: downsample so the
+    kept per-source shares are proportional to sqrt(observed share) — the
+    exponent-smoothing trick multilingual corpus builders use (mBERT /
+    XLM-R exponent-smoothed sampling, Conneau et al. 2020) to damp dominant
+    sources without flattening the mixture entirely.
+
+    The downsample-only acceptance rate collapses algebraically to
+
+        a_s = sqrt(n_min / n_s)
+
+    (kept_s = n_s · a_s ∝ sqrt(n_s) ∝ sqrt(p_s); the smallest source keeps
+    100 %). The exponent is fixed at 1/2 deliberately: sqrt is the ONE
+    power IEEE 754 requires to be correctly rounded, so the rate — and
+    therefore every keep decision — is bit-identical across engines, where
+    a general pow(p, α) can drift a ulp between libm and the JVM. Every
+    input is data-relative (counts and their min), so rates stay
+    non-degenerate at any corpus size (CLAUDE.md rule 7).
+
+    Scale shape: identical to mixture_rebalance — one count groupBy, rate
+    math over n_sources rows, broadcast back, map-side md5-uniform keep
+    predicate. Returns the per-source audit table.
+    """
+    tagged = df.select(col(id_col).alias("id"), col(source_col).alias("source"))
+    counts = tagged.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_min = F.min("n_docs").over(Window.partitionBy())
+    rates = counts.select(
+        "source",
+        "n_docs",
+        F.sqrt(n_min.cast("double") / col("n_docs")).alias("accept_rate"),
+    )
+    kept = (
+        tagged.join(F.broadcast(rates.select("source", "accept_rate")), "source")
+        .filter(hash_uniform(col("id"), salt) < col("accept_rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            col("n_docs").cast("long").alias("n_docs"),
+            F.coalesce(col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.round("accept_rate", 6).alias("accept_rate"),
+            F.round(F.coalesce(col("n_kept"), F.lit(0)) / col("n_docs"), 6).alias(
+                "kept_frac"
+            ),
+        )
+    )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    train_frac: float = 0.9,
+    val_frac: float = 0.05,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: each row's split is a
+    pure function of its id (md5-uniform thresholds), so the split is
+    reproducible on any engine, any partitioning, any run — and stable
+    under corpus growth (a document never migrates between splits when new
+    data arrives, the property hash-splits are chosen for over RNG splits
+    in every production training pipeline).
+
+    Map-only: no shuffle, no state; the split column composes with any
+    downstream filter/write. Returns the input with a ``split`` column.
+    """
+    u = hash_uniform(col(id_col), salt)
+    return df.withColumn(
+        "split",
+        F.when(u < train_frac, "train")
+        .when(u < train_frac + val_frac, "val")
+        .otherwise("test"),
+    )

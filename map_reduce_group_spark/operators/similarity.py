@@ -413,6 +413,80 @@ def quantize_embeddings(
     return flat.mapInPandas(quantize, f"id {_id_type(df, id_col)}, codes array<int>")
 
 
+def random_project_fp(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_out: int = 8,
+    dim: int = 64,
+    salt: str = "rp",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction by a Rademacher (±1)
+    random projection (Achlioptas 2003: database-friendly random
+    projections) — the cheap front-end that shrinks embedding storage and
+    ANN candidate math before exact reranking at corpus scale.
+
+    The sign matrix is content-addressed, not RNG: s(j, k) = parity of the
+    first hex digit of md5(salt‖j‖'_'‖k), so any engine rebuilds the exact
+    same projection from the data alone (same property as hash_uniform in
+    operators/sampling.py). Inputs are quantized to 1/2^20 fixed point —
+    q_j = floor(x_j · 2^20), exact in IEEE doubles since 2^20 scaling only
+    shifts the exponent — and each output code is the INTEGER sum
+    Σ_j s(j,k)·q_j: order-independent, bit-identical across engines, no
+    float-sum nondeterminism. The float value is reconstructed once at the
+    end as code / 2^20 / sqrt(k_out) (JL scaling; sqrt is IEEE
+    correctly-rounded).
+
+    Scale shape: one map-only Arrow pass — the NumPy int64 matmul
+    (N_batch × dim) @ (dim × k_out) — with zero shuffles; output is k_out
+    rows per vector in long format (id, k, code) so no array-typed column
+    ever reaches a driver/canonicalizer (VERDICT r02 lesson).
+
+    Returns (id, k, code, value).
+    """
+    import hashlib
+
+    signs = np.array(
+        [
+            [
+                1 if int(hashlib.md5(f"{salt}{j}_{k}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+                for k in range(k_out)
+            ]
+            for j in range(dim)
+        ],
+        dtype=np.int64,
+    )
+    flat = df.select(col(id_col).alias("id"), col(vec_col).alias("v"))
+    id_t = _id_type(df, id_col)
+    bc = df.sparkSession.sparkContext.broadcast(signs)
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        s = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _matrix(pdf["v"]).astype(np.float64)
+            assert m.shape[1] == s.shape[0], f"dim mismatch {m.shape[1]} != {s.shape[0]}"
+            q = np.floor(m * 1048576.0).astype(np.int64)
+            codes = q @ s  # exact int64 matmul — order-free
+            n, ko = codes.shape
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), ko),
+                    "k": np.tile(np.arange(ko, dtype=np.int64), n),
+                    "code": codes.reshape(-1),
+                }
+            )
+
+    out = flat.mapInPandas(project, f"id {id_t}, k long, code long")
+    return out.select(
+        "id",
+        "k",
+        "code",
+        F.round(col("code") / 1048576.0 / float(np.sqrt(k_out)), 6).alias("value"),
+    )
+
+
 def semdedup_prune(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -353,3 +353,60 @@ def pack_sequences(df, id_col: str, text_col: str, seq_len: int = 64, num_partit
             (last - first + 1).alias("n_seqs"),
         )
     )
+
+
+def unigram_rarity(df, id_col: str, text_col: str):
+    """Unigram-LM rarity score — the perplexity-proxy quality-filter family
+    of CCNet (Wenzek et al. 2020), realized as the mean INVERSE token
+    frequency under the corpus's own unigram model: rarity(t) = N / c_t
+    (the expected "dilution" of the token), and a document's score is the
+    token-occurrence mean. Documents of rare/garbled tokens score high,
+    stopword boilerplate scores low.
+
+    Exactness: rarity is computed in 1/1024 fixed point with INTEGER
+    division — r_t = (N * 1024) div c_t — so every per-document sum is
+    integer-exact and bit-identical across engines (Spark ``div`` is DuckDB
+    ``//`` on positive BIGINTs). A float log-prob can differ in the last
+    ulp between libm and the JVM; whole-bit log2 (bin-length) is exact but
+    too coarse to separate documents when the vocabulary is near-uniformly
+    distributed (this fixture: 30 of 31 tokens land on the same bit
+    count). Headroom: sum tf*r <= n_tokens_doc * 1024 * N — int64
+    overflows only past ~10^12 corpus tokens on fully-hapax documents;
+    shrink the 1024 scale beyond that.
+
+    Scale shape: tokenization is map-side codegen; the corpus collapses to
+    (id, token, tf) with one shuffle; the vocabulary table is a second
+    aggregation of that already-reduced relation (never the raw stream);
+    the scoring join is token-keyed — skewed on stopwords, but each hot
+    token is a single build-side row, so AQE's skew split handles the
+    probe side. N rides a one-row broadcast. Raw text never shuffles.
+
+    Returns (id, n_tokens, sum_rarity_fp, mean_rarity); zero-token
+    documents carry no mass and are excluded (both engines drop them
+    identically).
+    """
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    n_row = vocab.agg(F.sum("c").alias("n"))
+    r = F.expr("(n * 1024) div c")
+    return (
+        tf.join(vocab, "tok")
+        .join(F.broadcast(n_row))
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("tf") * r).cast("long").alias("sum_rarity_fp"),
+        )
+        .select(
+            "id",
+            "n_tokens",
+            "sum_rarity_fp",
+            F.round(
+                F.col("sum_rarity_fp").cast("double") / 1024.0 / F.col("n_tokens"), 4
+            ).alias("mean_rarity"),
+        )
+    )

@@ -1028,6 +1028,43 @@ def embed_quantized_topk_agreement(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "embed_random_projection",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) - 1 AS j
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id, j,
+               CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT) AS qx
+        FROM e
+    ), s AS (
+        SELECT j, k,
+               CASE WHEN CAST(('0x' || substr(md5('rp' || j || '_' || k), 1, 1)) AS INTEGER) % 2 = 0
+                    THEN 1 ELSE -1 END AS sgn
+        FROM (SELECT unnest(range(64)) AS j), (SELECT unnest(range(8)) AS k)
+    ), c AS (
+        SELECT vec_id AS id, k, CAST(sum(qx * sgn) AS BIGINT) AS code
+        FROM q JOIN s USING (j) GROUP BY 1, 2
+    )
+    SELECT id, CAST(k AS BIGINT) AS k, code,
+           round(code / 1048576.0 / sqrt(8.0), 6) AS value
+    FROM c
+    """,
+)
+def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss Rademacher projection 64→8 dims
+    (operators/similarity.py:random_project_fp): content-addressed md5
+    sign matrix + 1/2^20 fixed-point integer sums, so the reduced vectors
+    are bit-identical across engines — the oracle replays the projection
+    relationally (unnest + sign join) while Spark runs the map-only NumPy
+    int64 matmul. Long-format output (id, k, code, value) — no array
+    column reaches the driver."""
+    d = load_table(spark, sf_dir, "embeddings")
+    return similarity.random_project_fp(d, "vec_id", "embedding", k_out=8, dim=64)
+
+
 @register("embed_semdedup_prune")  # kmeans centroids engine-private -> rows-only
 def embed_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic pruning (operators/similarity.py:semdedup_prune):
@@ -1091,6 +1128,125 @@ def corpus_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     w = F.substring("source", 4, 10).cast("int") % 4 + 1
     return mixture_rebalance(d, "doc_id", "source", w)
+
+
+@register(
+    "corpus_mixture_temperature",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1
+    ), rates AS (
+        SELECT lang, n_docs,
+               sqrt(CAST(min(n_docs) OVER () AS DOUBLE) / n_docs) AS accept_rate
+        FROM counts
+    ), kept AS (
+        SELECT d.lang, count(*) AS n_kept
+        FROM documents d JOIN rates r USING (lang)
+        WHERE CAST(('0x' || substr(md5('temp' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+              / 4294967296.0 < r.accept_rate
+        GROUP BY 1
+    )
+    SELECT lang,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+           round(accept_rate, 6) AS accept_rate,
+           round(coalesce(n_kept, 0) / n_docs, 6) AS kept_frac
+    FROM rates LEFT JOIN kept USING (lang)
+    """,
+)
+def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling at T = 0.5
+    (operators/sampling.py:mixture_temperature), stratified by LANGUAGE —
+    the exponent-smoothing pass multilingual corpus builders run to damp
+    dominant languages (mBERT/XLM-R). The fixture's sources are exactly
+    uniform (rates would all be 1.0 — a vacuous query, rule 7) while its
+    language mix is skewed (en ~3.4× fr), so language is the stratum with
+    a non-degenerate rate spread at every scale (replication preserves
+    proportions). sqrt is IEEE-correctly-rounded in both engines, so the
+    rates (and every md5-uniform keep decision) are bit-identical
+    cross-engine; a general pow(p, alpha) would not be."""
+    from map_reduce_group_spark.operators.sampling import mixture_temperature
+
+    d = load_table(spark, sf_dir, "documents")
+    return mixture_temperature(d, "doc_id", "lang").withColumnRenamed("source", "lang")
+
+
+@register(
+    "corpus_train_val_split",
+    oracle="""
+    WITH s AS (
+        SELECT source,
+               CASE WHEN u < 0.9 THEN 'train'
+                    WHEN u < 0.95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+            SELECT source,
+                   CAST(('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+                   / 4294967296.0 AS u
+            FROM documents
+        )
+    )
+    SELECT source, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(count(*) / sum(count(*)) OVER (PARTITION BY source), 6) AS frac
+    FROM s GROUP BY 1, 2
+    """,
+)
+def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split audit
+    (operators/sampling.py:split_assign, 90/5/5): the split is a pure
+    md5-uniform function of doc_id — reproducible on any engine and stable
+    under corpus growth (documents never migrate splits as data arrives).
+    The assignment itself is map-only; this query publishes the per-source
+    split-distribution audit a data pipeline records alongside the split."""
+    from pyspark.sql import Window as W
+
+    from map_reduce_group_spark.operators.sampling import split_assign
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        split_assign(d, "doc_id")
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_source = W.partitionBy("source")
+    return counts.select(
+        "source",
+        "split",
+        col("n").cast("long").alias("n_docs"),
+        F.round(col("n") / F.sum("n").over(per_source), 6).alias("frac"),
+    )
+
+
+@register(
+    "doc_token_rarity",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), tf AS (
+        SELECT doc_id AS id, tok, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), vocab AS (
+        SELECT tok, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n FROM vocab
+    )
+    SELECT id,
+           CAST(sum(tf) AS BIGINT) AS n_tokens,
+           CAST(sum(tf * ((n * 1024) // c)) AS BIGINT) AS sum_rarity_fp,
+           round(CAST(sum(tf * ((n * 1024) // c)) AS DOUBLE)
+                 / 1024.0 / sum(tf), 4) AS mean_rarity
+    FROM tf JOIN vocab USING (tok) CROSS JOIN tot
+    GROUP BY id
+    """,
+)
+def doc_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM rarity score (operators/text.py:unigram_rarity) — the
+    CCNet-style perplexity-proxy quality filter as mean inverse token
+    frequency, computed in 1/1024 integer fixed point (Spark ``div`` ==
+    DuckDB ``//``) so the score is exact and cross-engine deterministic —
+    no float log, no order-dependent double sums."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.unigram_rarity(d, "doc_id", "text")
 
 
 @register(

@@ -919,3 +919,112 @@ def test_mode_median_histogram_match_python_models(spark):
     )
     assert got == dict(want)
     assert sum(got.values()) == len(rows)
+
+
+def test_mixture_temperature_rates_follow_sqrt_law(spark, sf_dir):
+    """accept_rate must be exactly round(sqrt(n_min / n_s), 6) and the
+    smallest stratum must keep 100% — the T=0.5 exponent-smoothing law."""
+    import math
+
+    from map_reduce_group_spark.catalog import load_table
+    from map_reduce_group_spark.operators.sampling import mixture_temperature
+
+    d = load_table(spark, sf_dir, "documents")
+    rows = mixture_temperature(d, "doc_id", "lang").collect()
+    n_min = min(r["n_docs"] for r in rows)
+    for r in rows:
+        assert r["accept_rate"] == round(math.sqrt(n_min / r["n_docs"]), 6)
+        assert 0 < r["n_kept"] <= r["n_docs"]
+    assert any(r["accept_rate"] == 1.0 for r in rows)
+    # non-degenerate on the fixture: at least one stratum actually downsampled
+    assert any(r["accept_rate"] < 1.0 for r in rows)
+
+
+def test_split_assign_is_stable_and_partition_invariant(spark, sf_dir):
+    """A document's split is a pure function of its id: repartitioning and
+    corpus growth must never migrate a document between splits."""
+    from map_reduce_group_spark.catalog import load_table
+    from map_reduce_group_spark.operators.sampling import split_assign
+
+    d = load_table(spark, sf_dir, "documents")
+    full = {r["doc_id"]: r["split"] for r in split_assign(d, "doc_id").collect()}
+    reparted = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(d.repartition(13), "doc_id").collect()
+    }
+    assert full == reparted
+    half = {
+        r["doc_id"]: r["split"]
+        for r in split_assign(d.filter("doc_id % 2 = 0"), "doc_id").collect()
+    }
+    assert all(full[k] == v for k, v in half.items())
+    assert {"train", "val", "test"} == set(full.values())
+    # 90/5/5 within statistical reason on 500 docs
+    frac_train = sum(1 for v in full.values() if v == "train") / len(full)
+    assert 0.8 < frac_train < 0.97
+
+
+def test_unigram_rarity_matches_integer_reference_model(spark):
+    """Exact fixed-point reference: tiny corpus computed by hand in Python
+    integer math must match the distributed plan bit-for-bit."""
+    from collections import Counter
+
+    from map_reduce_group_spark.operators.text import unigram_rarity
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog"),
+        (3, "zygote"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(docs, "id_in long, body string")
+    toks = {i: [t for t in body.lower().split() if t] for i, body in docs}
+    vocab = Counter(t for ts in toks.values() for t in ts)
+    n = sum(vocab.values())
+    expected = {}
+    for i, ts in toks.items():
+        if not ts:
+            continue  # zero-token docs are excluded
+        sum_fp = sum((n * 1024) // vocab[t] for t in ts)
+        expected[i] = (len(ts), sum_fp, round(sum_fp / 1024.0 / len(ts), 4))
+    got = {
+        r["id"]: (r["n_tokens"], r["sum_rarity_fp"], r["mean_rarity"])
+        for r in unigram_rarity(df, "id_in", "body").collect()
+    }
+    assert got == expected
+
+
+def test_random_projection_matches_numpy_reference(spark, sf_dir):
+    """The distributed projection must equal a driver-side NumPy replay of
+    the same fixed-point math, and be invariant to input partitioning."""
+    import hashlib
+
+    import numpy as np
+
+    from map_reduce_group_spark.catalog import load_table
+    from map_reduce_group_spark.operators.similarity import random_project_fp
+
+    d = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r["id"], r["k"]): r["code"]
+        for r in random_project_fp(d, "vec_id", "embedding").collect()
+    }
+    reparted = {
+        (r["id"], r["k"]): r["code"]
+        for r in random_project_fp(d.repartition(7), "vec_id", "embedding").collect()
+    }
+    assert got == reparted and len(got) == d.count() * 8
+    signs = np.array(
+        [
+            [1 if int(hashlib.md5(f"rp{j}_{k}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+             for k in range(8)]
+            for j in range(64)
+        ],
+        dtype=np.int64,
+    )
+    rows = d.limit(20).collect()
+    for r in rows:
+        q = np.floor(np.array(r["embedding"], dtype=np.float64) * 1048576.0).astype(np.int64)
+        expect = q @ signs
+        for k in range(8):
+            assert got[(r["vec_id"], k)] == expect[k]
