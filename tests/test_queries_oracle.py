@@ -34,3 +34,28 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_no_driver_facing_array_or_map_columns(spark, sf_dir):
+    """The driver's canonicalizer sorts result frames with pandas, which
+    crashes on unhashable ndarray cells (CORRECTNESS_r02:
+    embed_quantize_int8 ERR) — no registered query may expose a top-level
+    array or map column; nested data must leave as exploded long format
+    or delimited strings. Streaming queries are skipped only because their
+    builders execute the full micro-batch pipeline (their outputs are
+    checked by the oracle tests anyway)."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    bad = {}
+    for name, spec in REGISTRY.items():
+        if name.startswith("stream_"):
+            continue
+        schema = spec.builder(spark, sf_dir).schema
+        offenders = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType))
+        ]
+        if offenders:
+            bad[name] = offenders
+    assert not bad, f"array/map-typed driver-facing columns: {bad}"
