@@ -366,12 +366,16 @@ def sample_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
 def udtf_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (one row in → n rows out) — the typed, vectorizable
     analog of the reference's fan-out mapper executable (SURVEY §2B
-    "row UDF / UDTF"). The lateralJoin form keeps the expansion declarative."""
+    "row UDF / UDTF"). The lateralJoin form keeps the expansion declarative.
+    useArrow=True: without it the plan carries a row-at-a-time
+    BatchEvalPythonUDTF (pickled row hop per document — the one Python
+    eval mode banned by CLAUDE.md rule 2); with it the input batches
+    cross as Arrow record batches like every other Python stage here."""
     from pyspark.sql.functions import udtf
 
     import re as _re
 
-    @udtf(returnType="tok: string")
+    @udtf(returnType="tok: string", useArrow=True)
     class TokenizeUDTF:
         def eval(self, text: str):
             for t in _re.split(r"[^a-z]+", (text or "").lower()):

@@ -414,3 +414,55 @@ def test_scd2_increment_aggregate_is_broadcast(spark, sf_dir):
     full history breaks it."""
     p = plan(spark, sf_dir, "scd2_customer_balance_history")
     assert "BroadcastHashJoin" in p, p
+
+
+# Queries whose plans legitimately contain a BroadcastNestedLoopJoin: each is
+# either the deliberate 25x5 cross join, a non-equi (range/band) join whose
+# build side is a dimension table, or a crossJoin of a broadcast ONE-ROW
+# global aggregate (envelope / threshold / corpus-total scalars). Before
+# adding a name here, verify the broadcast side is O(1) rows or a bounded
+# dimension — a BNLJ over two fact tables is quadratic at 100 TB.
+BNLJ_ALLOWED = {
+    "agg_price_histogram",          # one-row min/max envelope
+    "corpus_data_card",             # one-row corpus totals
+    "dedup_ngram_jaccard_capped",   # one-row n_docs scalar for the df cap
+    "doc_token_rarity",             # one-row corpus token total
+    "graph_triangle_census",        # one-row edge-count scalar
+    "join_cross_region_nation",     # the deliberate cross join (5x25)
+    "join_range_price_bands",       # non-equi band join, broadcast band dim
+    "q11_important_stock",          # one-row value threshold
+    "q20_excess_suppliers",         # one-row availqty threshold scalar
+    "q22_global_sales_opportunity", # one-row avg balance scalar
+    "quality_checks_relational",    # one-row expected-count scalars
+    "text_tfidf_top_terms",         # one-row doc-count scalar
+}
+
+
+def test_registry_wide_no_scale_antipatterns(spark, sf_dir):
+    """Global guard over EVERY registered query's physical plan: no
+    row-at-a-time Python eval (BatchEvalPython — Arrow-batched nodes only,
+    CLAUDE.md rule 2), no CartesianProduct anywhere, and
+    BroadcastNestedLoopJoin only in the audited allowlist above. The
+    per-query pins earlier in this file catch regressions in specific
+    plans; this sweep catches a NEW query shipping with an anti-pattern
+    the pins never heard of. Builders that execute eagerly during build
+    (iterative convergence loops) still return a final DataFrame whose
+    plan is checked; pure-streaming builders are exercised by
+    tests/test_streaming.py instead."""
+    violations = []
+    for name, spec in sorted(REGISTRY.items()):
+        try:
+            df = spec.builder(spark, sf_dir)
+            if df.isStreaming:
+                continue
+            p = explain_str(df)
+        except Exception as exc:  # pragma: no cover - surface as violation
+            violations.append(f"{name}: builder/explain failed: {exc}")
+            continue
+        if "BatchEvalPython" in p:
+            violations.append(f"{name}: row-at-a-time BatchEvalPython in plan")
+        if "CartesianProduct" in p:
+            violations.append(f"{name}: CartesianProduct in plan")
+        if "BroadcastNestedLoopJoin" in p and name not in BNLJ_ALLOWED:
+            violations.append(f"{name}: unaudited BroadcastNestedLoopJoin")
+    assert not violations, "\n".join(violations)
