@@ -285,6 +285,42 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_jaccard_prefix",
+    oracle=f"""
+    WITH sets AS (
+        SELECT doc_id AS id, {_SHINGLES_SQL} AS shingles
+        FROM documents
+        WHERE len({_TOKS_SQL}) >= 3
+    ), postings AS (
+        SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle
+        FROM sets WHERE len(shingles) > 0
+    ), pair_counts AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               a.set_size AS size_a, b.set_size AS size_b,
+               count(*) AS n_common
+        FROM postings a JOIN postings b USING (shingle)
+        WHERE a.id < b.id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, n_common,
+           round(CAST(n_common AS DOUBLE) / (size_a + size_b - n_common), 6) AS jaccard
+    FROM pair_counts
+    WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= 0.5
+    """,
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard ≥ 0.5 pairs via PPJoin-style prefix filtering
+    (operators/dedup.py:jaccard_prefix_filter_pairs — candidates only from
+    each doc's |d|−⌈t·|d|⌉+1 rarest shingles, provably lossless). The
+    oracle is plain all-pairs Jaccard: prefix pruning cannot change the
+    answer, and the oracle verifies exactly that. This is the exact-mode
+    100 TB near-dup plan; the df-capped sibling trades a little recall for
+    a hard df bound, MinHash for probabilistic recall at fixed cost."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_prefix_filter_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
 @register("dedup_minhash_lsh")  # xxhash64-based — not SQL-expressible; rows-only check
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) candidates verified by exact Jaccard

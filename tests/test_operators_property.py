@@ -150,6 +150,41 @@ def test_jaccard_df_cap_precision(spark, sf_dir):
     assert planted <= capped, f"planted exact dups lost: {planted - capped}"
 
 
+def test_jaccard_prefix_filter_exactness(spark, sf_dir):
+    """Prefix filtering is lossless: the PPJoin-style result must be
+    SET-EQUAL (pairs and jaccard values) to the exact inverted-index join
+    at the same threshold — on real docs plus planted near-dups (one-word
+    suffix edit) and planted exact clones. Guards the prefix-length lemma
+    (|d|-ceil(t*|d|)+1) and the (df, shingle) total order."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_group_spark.catalog import load_table
+    from map_reduce_group_spark.operators.dedup import (
+        jaccard_prefix_filter_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    near = d.select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzzz qqqq")).alias("text"),
+    )
+    exact_clones = d.select((F.col("doc_id") + 800000).alias("doc_id"), "text")
+    both = d.select("doc_id", "text").unionByName(near).unionByName(exact_clones)
+
+    want = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(both, "doc_id", "text", threshold=0.5).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in jaccard_prefix_filter_pairs(both, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert got == want, f"missed: {want - got}; extra: {got - want}"
+    planted = {(i, i + 800000) for i in range(60)}
+    assert planted <= {(a, b) for a, b, _ in got}
+
+
 def test_ivf_recall_floor(spark, sf_dir):
     """IVF (4 hyperplanes) must recover a sane fraction of the true top-5
     neighbors — documents the approximation quality, guards bucketing bugs
