@@ -57,14 +57,34 @@ def join_left_outer_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= (SELECT max(o_orderdate) - INTERVAL 365 DAYS FROM orders)
+    )
     """,
 )
 def join_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left anti join (MR: reducer emits left rows iff right group empty)."""
+    """Left anti join (MR: reducer emits left rows iff right group empty):
+    customers with NO orders in the final 365 days of the dataset.
+
+    The cutoff is DERIVED (max(o_orderdate) − 365 days, a broadcast 1-row
+    scalar) per CLAUDE.md rule 7: the synthetic fixture gives (nearly)
+    every customer at least one order ever, so the original unrestricted
+    "no orders at all" form returned 0 rows at every sf — a vacuous 0=0
+    oracle match that never exercised the anti join. The lapsed-window form
+    keeps ~21% of customers at every scale."""
     cust = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    cutoff = orders.agg(
+        (F.max("o_orderdate") - F.expr("INTERVAL 365 DAYS")).alias("cutoff")
+    )
+    recent = (
+        orders.join(F.broadcast(cutoff))
+        .filter(col("o_orderdate") >= col("cutoff"))
+        .select("o_custkey")
+    )
+    return cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
 
@@ -314,15 +334,30 @@ def setop_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
     EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT c_nationkey FROM (
+        SELECT c_nationkey FROM customer
+        ORDER BY c_acctbal DESC, c_custkey
+        LIMIT 10
+    )
     """,
 )
 def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT — nations with customers but no suppliers (distinct semantics:
-    ``subtract`` == EXCEPT DISTINCT on both engines)."""
-    c = load_table(spark, sf_dir, "customer").select(col("c_nationkey").alias("nationkey"))
-    s = load_table(spark, sf_dir, "supplier").select(col("s_nationkey").alias("nationkey"))
-    return c.subtract(s)
+    """EXCEPT — customer nations with nobody in the global top-10 by account
+    balance (distinct semantics: ``subtract`` == EXCEPT DISTINCT on both
+    engines; deterministic top-k tiebreak on c_custkey).
+
+    The subtrahend is a top-k set per CLAUDE.md rule 7: the original
+    "customer nations EXCEPT supplier nations" went 0-row from sf0.01 up
+    (suppliers cover all 25 nations as data grows — a vacuous 0=0 oracle
+    match). Top-10 customers span ≤10 nations, so the difference keeps
+    ≥15 nations at every scale."""
+    c = load_table(spark, sf_dir, "customer")
+    top = (
+        c.orderBy(col("c_acctbal").desc(), col("c_custkey"))
+        .limit(10)
+        .select(col("c_nationkey").alias("nationkey"))
+    )
+    return c.select(col("c_nationkey").alias("nationkey")).subtract(top)
 
 
 @register(

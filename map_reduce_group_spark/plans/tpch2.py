@@ -579,7 +579,11 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c_acctbal > (
         SELECT avg(c_acctbal) FROM eligible WHERE c_acctbal > 0
       )
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = e.c_custkey)
+      AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = e.c_custkey
+              AND o_orderdate >= (SELECT max(o_orderdate) - INTERVAL 365 DAYS FROM orders)
+      )
     GROUP BY cntrycode
     ORDER BY cntrycode
     """,
@@ -589,7 +593,15 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     group by a computed code. No c_phone in the fixture, so the country code
     is c_custkey % 7 with an IN-list — same computed-key semantics. The
     average is over the eligible set computed once (broadcast 1-row), the
-    NOT EXISTS is a left-anti join against orders on custkey."""
+    NOT EXISTS is a left-anti join against orders on custkey.
+
+    Q22's spirit is "well-funded customers who HAVEN'T bought recently" —
+    and in this fixture nearly every customer has ordered at some point, so
+    the literal no-orders-ever anti join returned 0 rows at every sf (a
+    vacuous 0=0 oracle match, CLAUDE.md rule 7). The anti-join right side
+    is therefore orders in the final 365 days of the dataset (cutoff
+    derived from max(o_orderdate), broadcast 1-row) — ~850 qualifying
+    customers at sf0.1, stable fraction across scales."""
     cust = (
         load_table(spark, sf_dir, "customer")
         .withColumn("cntrycode", col("c_custkey") % 7)
@@ -597,11 +609,19 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_acctbal", "cntrycode")
     )
     avg_bal = cust.filter(col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
-    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    cutoff = orders.agg(
+        (F.max("o_orderdate") - F.expr("INTERVAL 365 DAYS")).alias("cutoff")
+    )
+    recent = (
+        orders.join(broadcast(cutoff))
+        .filter(col("o_orderdate") >= col("cutoff"))
+        .select("o_custkey")
+    )
     return (
         cust.join(broadcast(avg_bal))
         .filter(col("c_acctbal") > col("avg_bal"))
-        .join(orders, col("c_custkey") == col("o_custkey"), "left_anti")
+        .join(recent, col("c_custkey") == col("o_custkey"), "left_anti")
         .groupBy("cntrycode")
         .agg(
             F.count(F.lit(1)).alias("numcust"),

@@ -428,6 +428,7 @@ BNLJ_ALLOWED = {
     "dedup_ngram_jaccard_capped",   # one-row n_docs scalar for the df cap
     "doc_token_rarity",             # one-row corpus token total
     "graph_triangle_census",        # one-row edge-count scalar
+    "join_anti_inactive_customers", # one-row derived date cutoff
     "join_cross_region_nation",     # the deliberate cross join (5x25)
     "join_range_price_bands",       # non-equi band join, broadcast band dim
     "q11_important_stock",          # one-row value threshold
