@@ -59,3 +59,22 @@ def test_no_driver_facing_array_or_map_columns(spark, sf_dir):
         if offenders:
             bad[name] = offenders
     assert not bad, f"array/map-typed driver-facing columns: {bad}"
+
+
+def test_no_vacuous_oracles_at_driver_scale():
+    """Every DuckDB oracle must return at least one row at sf0.01 — the
+    scale the external driver hash-compares at. A 0-row oracle makes the
+    driver's MATCH vacuous (0=0 verifies nothing): join_anti_inactive,
+    q22, and setop_except_nations all carried green-but-empty records for
+    two rounds before the round-3 sweep caught them (CLAUDE.md rule 7).
+    DuckDB-only, ~20 s; Spark agreement is the per-query oracle tests'
+    job."""
+    from tests.helpers import run_oracle
+
+    zero = [
+        name
+        for name, spec in REGISTRY.items()
+        if spec.oracle is not None
+        and len(run_oracle(spec.oracle, "/root/testdata/sf0.01")) == 0
+    ]
+    assert not zero, f"vacuous (0-row) oracles at sf0.01: {zero}"

@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Scale-differential oracle sweep: run every oracle-checked query on a
+REPLICATED fixture (tools/scale_fixture.py output) and hash-compare Spark
+vs DuckDB there — the defense against coincidental fixture matches (a
+query can MATCH at sf0.01 while computing the wrong statistic; the r2 BPE
+pair-counting bug was exactly this class, caught only by eye).
+
+Oracles whose SQL is inherently quadratic at scale (all-pairs joins) are
+skipped with a SKIP line — their Spark sides have separate wall-ratio
+measurements in SCALING.md; everything else gets full value verification.
+A watchdog interrupts any DuckDB oracle running past --oracle-timeout so
+one heavy CTE can't hang the sweep.
+
+Usage: python tools/diff_scale.py [sf_dir=/tmp/sf10x] [name_prefix_filter]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+from tests.helpers import TABLES, canonicalize, dtype_skew  # noqa: E402
+
+# all-pairs / iterative-CTE oracles: value-correct but quadratic or
+# unroll-bound in DuckDB at 10x — Spark-side scale behavior for these is
+# measured in SCALING.md instead
+SKIP_AT_SCALE = {
+    "dedup_ngram_jaccard",        # exact all-pairs on 10-way clone families
+    "dedup_jaccard_prefix",       # oracle side is the same all-pairs join
+    "dedup_clusters",             # recursive CTE over the quadratic pair set
+    "embed_cosine_topk",          # 10k x 50k pairwise dots in SQL
+    "embed_quantized_topk_agreement",
+    "embed_semdedup_prune",       # within-cluster all-pairs
+    "graph_triangle_census",      # triangle join over the clone-pair graph
+    "graph_pagerank_simgraph",    # unrolled iteration CTE over pair graph
+    "corpus_contamination_check", # bench x corpus n-gram join, clone-inflated
+}
+
+
+def run_oracle_guarded(sql: str, sf_dir: str, timeout_s: float) -> "object":
+    con = duckdb.connect()
+    try:
+        for t in TABLES:
+            path = os.path.join(sf_dir, f"{t}.parquet")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        timer = threading.Timer(timeout_s, con.interrupt)
+        timer.start()
+        try:
+            return con.execute(sql).fetchdf()
+        finally:
+            timer.cancel()
+    finally:
+        con.close()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10x"
+    prefix = sys.argv[2] if len(sys.argv) > 2 else ""
+    oracle_timeout = float(os.environ.get("DIFF_ORACLE_TIMEOUT", "240"))
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("diff-scale")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", os.environ.get("DIFF_DRIVER_MEM", "48g"))
+        .getOrCreate()
+    )
+    import __spark_entry__ as e
+
+    qs, osql = e.queries(), e.oracle_sql()
+    fails, skips, errs = [], [], []
+    for name in qs:
+        if not name.startswith(prefix) or name not in osql:
+            continue
+        if name in SKIP_AT_SCALE:
+            print(f"{name:36s}SKIP (all-pairs oracle; see SCALING.md)", flush=True)
+            skips.append(name)
+            continue
+        t0 = time.perf_counter()
+        try:
+            sdf = qs[name](spark, sf_dir).toPandas()
+            t_spark = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            ddf = run_oracle_guarded(osql[name], sf_dir, oracle_timeout)
+            t_duck = time.perf_counter() - t0
+        except KeyboardInterrupt:
+            raise
+        except Exception as exc:
+            msg = (str(exc).splitlines() or [repr(exc)])[0][:160]
+            kind = "ORACLE_TIMEOUT" if "INTERRUPT" in msg.upper() else "ERR"
+            print(f"{name:36s}{kind}: {msg}", flush=True)
+            (skips if kind == "ORACLE_TIMEOUT" else errs).append(name)
+            continue
+        skew = dtype_skew(sdf, ddf)
+        ok = (
+            canonicalize(sdf) == canonicalize(ddf)
+            and sorted(sdf.columns) == sorted(ddf.columns)
+            and not skew
+        )
+        status = "MATCH" if ok else "MISMATCH"
+        if not ok:
+            fails.append(name)
+        print(
+            f"{name:36s}{status:10s}rows={len(sdf)}  spark={t_spark:.1f}s duck={t_duck:.1f}s",
+            flush=True,
+        )
+    print(f"FAILURES: {fails or 'none'}")
+    print(f"ERRORS: {errs or 'none'}")
+    print(f"SKIPPED: {len(skips)}")
+
+
+if __name__ == "__main__":
+    main()

@@ -53,7 +53,8 @@ for name in list(qs)[:CAP]:
         # the real driver checks schema too (CLAUDE.md rule 4)
         skew = dtype_skew(sdf, ddf)
         ok = got == want and sorted(sdf.columns) == sorted(ddf.columns) and not skew
-        status = "MATCH" if ok else "MISMATCH"
+        # a 0=0 match verifies nothing (CLAUDE.md rule 7) — flag it loudly
+        status = ("VACUOUS(0=0)" if ok and not got else "MATCH") if ok else "MISMATCH"
         if not ok:
             fails.append(name)
             if skew:
@@ -68,7 +69,7 @@ for name in list(qs)[:CAP]:
                 print(f"  spark-only: {only_s}\n  duck-only: {only_d}")
     else:
         status = f"rows-only({len(sdf)})"
-    print(f"{name:35s} {status:12s} {time.perf_counter()-t0:6.2f}s")
+    print(f"{name:35s} {status:12s} rows={len(sdf):<8d}{time.perf_counter()-t0:6.2f}s")
 
 print("FAILURES:", fails if fails else "none")
 sys.exit(1 if fails else 0)
