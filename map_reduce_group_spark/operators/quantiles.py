@@ -1,0 +1,86 @@
+"""Exact distributed percentiles over integer values — the two-phase
+bucket-histogram algorithm (the classic exact-quantile shape used by
+distributed engines, e.g. Hive's bucketed percentile and map-reduce
+median literature).
+
+Why: ``percentile_disc`` built as ``row_number() OVER (PARTITION BY grp
+ORDER BY v)`` caps parallelism at the number of groups — with 5 event
+types and 10M gaps that is a 5-partition sort of 2M rows each (measured
+30 s at the 100× fixture), and at 100 TB it is a straight scale-killer.
+
+Two phases, both fully parallel:
+
+1. **Histogram**: bucket = ``v >> bucket_bits`` (power-of-two ranges keep
+   the bucketing a pure bit shift); count per (group, bucket). The
+   cumulative window runs over BUCKETS per group — bounded by
+   value_range / 2^bucket_bits, independent of row count.
+2. **Target bucket only**: for each requested rank r = ceil(q·n) the
+   unique bucket with ``cum_before < r <= cum`` is located (tiny frame,
+   broadcast); only THAT bucket's rows are ranked (``row_number`` within
+   (group, q, bucket)), and the answer is the first value whose global
+   rank ``cum_before + local_rank`` reaches r.
+
+The selected element is identical to the single-window formulation: the
+value at a given sorted rank is unique given the multiset, so tie order
+inside ``row_number`` cannot change the answer. Worst case is extreme
+value concentration (most rows in one bucket) — phase 2 then degrades
+toward the single-window cost for that group; lower ``bucket_bits``
+splits finer at the price of a larger (still count-only) histogram.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.functions import col
+
+
+def grouped_percentile_disc(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: list[float],
+    bucket_bits: int = 20,
+) -> DataFrame:
+    """Exact discontinuous percentiles of a non-negative integer column per
+    group: returns one row per group with a ``p{q}`` column per requested
+    quantile (first element at-or-past rank ceil(q·n) — percentile_disc).
+
+    ``value_col`` must be integral and ≥ 0 (shift-based bucketing).
+    """
+    d = df.select(col(group_col).alias("g"), col(value_col).alias("v"))
+    bucketed = d.select("g", "v", F.shiftright(col("v"), bucket_bits).alias("b"))
+    hist = bucketed.groupBy("g", "b").agg(F.count(F.lit(1)).alias("c"))
+    w_cum = Window.partitionBy("g").orderBy("b")
+    cum = (
+        hist.withColumn("cum", F.sum("c").over(w_cum))
+        .withColumn("cum_before", col("cum") - col("c"))
+        .withColumn("n", F.sum("c").over(Window.partitionBy("g")))
+    )
+    # one target row per (group, q): the unique bucket containing rank r
+    q_lit = F.explode(
+        F.array(*[F.struct(F.lit(float(q)).alias("q")) for q in qs])
+    ).alias("qq")
+    targets = (
+        cum.select("g", "b", "cum", "cum_before", "n", q_lit)
+        .select("g", "b", "cum", "cum_before", "n", col("qq.q").alias("q"))
+        .withColumn("r", F.ceil(col("q") * col("n")))
+        .filter((col("cum_before") < col("r")) & (col("r") <= col("cum")))
+        .select("g", "b", "q", "r", "cum_before")
+    )
+    # phase 2: rank ONLY the target buckets' rows
+    w_in = Window.partitionBy("g", "q").orderBy("v")
+    picked = (
+        bucketed.join(F.broadcast(targets), ["g", "b"])
+        .withColumn("rn", F.row_number().over(w_in) + col("cum_before"))
+        .groupBy("g", "q")
+        .agg(F.min(F.when(col("rn") >= col("r"), col("v"))).alias("val"))
+    )
+    return picked.groupBy("g").agg(
+        *[
+            F.min(F.when(col("q") == float(q), col("val"))).alias(
+                f"p{int(round(q * 100))}"
+            )
+            for q in qs
+        ]
+    ).withColumnRenamed("g", group_col)

@@ -414,15 +414,22 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact DISCONTINUOUS percentiles (p50/p95) of per-user inter-arrival
     gaps by event type — the latency/heartbeat profile an event pipeline
-    monitors. percentile_disc is built relationally (row_number vs
-    ceil(q·n), take the first element at-or-past the rank) instead of via
-    engine builtins: both engines then pick the IDENTICAL element, where
+    monitors. percentile_disc semantics (first element at-or-past rank
+    ceil(q·n)) so both engines pick the IDENTICAL element, where
     percentile_cont implementations interpolate with engine-specific float
     op order (rule 1 discipline). Gaps are exact integer microseconds
-    (unix_micros — the rule-1 interval policy); rank thresholds are the
-    only float op and ceil(q·n) is IEEE-identical for both. Shape: one
-    shuffle by (user, type) for the lag, one by type for the rank — keys
-    and a long payload only."""
+    (unix_micros — the rule-1 interval policy).
+
+    Shape: one shuffle by (user, type) for the lag, then the TWO-PHASE
+    bucket-histogram percentile (operators/quantiles.py) — the original
+    ``row_number() OVER (PARTITION BY event_type ORDER BY gap_us)`` capped
+    parallelism at the number of event types (5 partitions sorting 2M rows
+    each at the 100× fixture, measured 30 s); the two-phase plan ranks only
+    the target buckets and holds at any event volume. The oracle keeps the
+    literal single-window spec — the rewrite is value-identical by
+    construction and the hash compare proves it."""
+    from map_reduce_group_spark.operators.quantiles import grouped_percentile_disc
+
     e = load_table(spark, sf_dir, "events")
     per_user = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     d = e.select(
@@ -431,21 +438,17 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(per_user)
         ).alias("gap_us"),
     ).filter(col("gap_us").isNotNull())
-    per_type = Window.partitionBy("event_type").orderBy("gap_us")
-    g = d.select(
-        "event_type",
-        "gap_us",
-        F.row_number().over(per_type).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
-    )
-    return g.groupBy("event_type").agg(
-        F.max("n").cast("long").alias("n_gaps"),
+    base = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
         F.min("gap_us").cast("long").alias("min_gap_us"),
-        F.min(F.when(col("rn") >= F.ceil(0.5 * col("n")), col("gap_us")))
-        .cast("long")
-        .alias("p50_gap_us"),
-        F.min(F.when(col("rn") >= F.ceil(0.95 * col("n")), col("gap_us")))
-        .cast("long")
-        .alias("p95_gap_us"),
         F.max("gap_us").cast("long").alias("max_gap_us"),
+    )
+    pct = grouped_percentile_disc(d, "event_type", "gap_us", [0.5, 0.95])
+    return base.join(pct, "event_type").select(
+        "event_type",
+        "n_gaps",
+        "min_gap_us",
+        col("p50").cast("long").alias("p50_gap_us"),
+        col("p95").cast("long").alias("p95_gap_us"),
+        "max_gap_us",
     )

@@ -150,6 +150,52 @@ def test_jaccard_df_cap_precision(spark, sf_dir):
     assert planted <= capped, f"planted exact dups lost: {planted - capped}"
 
 
+def test_two_phase_percentile_matches_single_window(spark):
+    """grouped_percentile_disc (two-phase bucket histogram) must select the
+    IDENTICAL element as the direct row_number()-over-one-window spec, on
+    data with heavy ties, singleton groups, and values straddling bucket
+    boundaries — for several q including rank-1 and rank-n edges."""
+    import random
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from map_reduce_group_spark.operators.quantiles import grouped_percentile_disc
+
+    rng = random.Random(42)
+    rows = []
+    for g in range(4):
+        n = [1, 7, 1000, 3333][g]
+        for _ in range(n):
+            # mix: tie-heavy small values + values around the 2^20 bucket edge
+            v = rng.choice([0, 1, 5, 5, 5, 1048575, 1048576, rng.randrange(10**9)])
+            rows.append((f"g{g}", v))
+    df = spark.createDataFrame(rows, "g string, v long")
+
+    qs = [0.01, 0.5, 0.95, 1.0]
+    got = {
+        r["g"]: (r["p1"], r["p50"], r["p95"], r["p100"])
+        for r in grouped_percentile_disc(df, "g", "v", qs).collect()
+    }
+
+    w = Window.partitionBy("g").orderBy("v")
+    ref = (
+        df.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+        .groupBy("g")
+        .agg(
+            *[
+                F.min(
+                    F.when(F.col("rn") >= F.ceil(F.lit(q) * F.col("n")), F.col("v"))
+                ).alias(f"q{i}")
+                for i, q in enumerate(qs)
+            ]
+        )
+    )
+    want = {r["g"]: (r["q0"], r["q1"], r["q2"], r["q3"]) for r in ref.collect()}
+    assert got == want
+
+
 def test_jaccard_prefix_filter_exactness(spark, sf_dir):
     """Prefix filtering is lossless: the PPJoin-style result must be
     SET-EQUAL (pairs and jaccard values) to the exact inverted-index join
