@@ -33,6 +33,15 @@ from tests.helpers import TABLES, canonicalize, dtype_skew  # noqa: E402
 # measured in SCALING.md instead
 SKIP_AT_SCALE = {
     "dedup_ngram_jaccard",        # exact all-pairs on 10-way clone families
+    "dedup_ngram_jaccard_capped", # verified at 10x (284k pairs, MATCH); at
+                                  # 100x the ALL-CLONES fixture makes every
+                                  # doc a 100-way family, the df cap (1% =
+                                  # 5000 docs) correctly keeps their df~100
+                                  # shingles, and the contract's quadratic
+                                  # per-family output (~2.6e9 candidate
+                                  # rows) out-spills local disk (ENOSPC at
+                                  # 79 GB). Real corpora are not 100% clones;
+                                  # the pipeline runs fingerprint dedup first.
     "dedup_jaccard_prefix",       # oracle side is the same all-pairs join
     "dedup_clusters",             # recursive CTE over the quadratic pair set
     "embed_cosine_topk",          # 10k x 50k pairwise dots in SQL
