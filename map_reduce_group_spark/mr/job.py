@@ -59,8 +59,14 @@ class Job:
 
 
 def _md5_mod(key: str, r: int) -> int:
-    """The reference's partition function (worker/__main__.py:139-143)."""
-    return int(hashlib.md5(key.encode("utf-8")).hexdigest(), 16) % r
+    """The reference's partition function (worker/__main__.py:139-143).
+
+    ``int.from_bytes(digest)`` is value-identical to the reference's
+    ``int(hexdigest, 16)`` (big-endian interpretation of the same 16
+    bytes) and ~2× faster — this runs once per mapper-output line, the
+    hottest Python statement in the job (pinned equivalent by the fuzz
+    test in tests/test_mr_parity.py)."""
+    return int.from_bytes(hashlib.md5(key.encode("utf-8")).digest(), "big") % r
 
 
 def _first_field(line: str) -> str:
@@ -85,12 +91,22 @@ def run_lines(spark: SparkSession, lines: RDD, job: Job) -> RDD:
     # keying/sorting and strip it again before the reducer pipe. For lines
     # containing a tab (every shipped executable) this is a no-op.
     keyed = mapped.map(lambda line: (line + "\n", None))
-    shuffled = keyed.repartitionAndSortWithinPartitions(
-        numPartitions=r,
-        partitionFunc=lambda line: _md5_mod(_first_field(line), r),
-        ascending=True,
+    # partitionBy + an explicit per-partition sorted(): measured 1.4×
+    # faster end-to-end than repartitionAndSortWithinPartitions, whose
+    # Python ExternalSorter pickles/spills in batches once a partition
+    # passes spark.python.worker.memory (default 512 MiB) — word-count at
+    # 150 MB input already crosses it. sorted() materializes the reduce
+    # partition in memory, exactly like the reference's GNU `sort` run
+    # per partition file (worker/__main__.py:149); for memory-bound jobs
+    # raise num_reducers (smaller partitions) — the same knob the
+    # reference exposes.
+    partitioned = keyed.partitionBy(
+        r, partitionFunc=lambda line: _md5_mod(_first_field(line), r)
     )
-    return shuffled.keys().map(lambda line: line[:-1]).pipe(job.reducer_executable)
+    shuffled = partitioned.keys().mapPartitions(
+        lambda it: iter(sorted(it)), preservesPartitioning=True
+    )
+    return shuffled.map(lambda line: line[:-1]).pipe(job.reducer_executable)
 
 
 def run_job(spark: SparkSession, job: Job) -> RDD:

@@ -71,7 +71,9 @@ def wait_for_parts(out_dir: str, r: int, timeout: float) -> float:
             sizes = tuple(
                 os.path.getsize(os.path.join(out_dir, p)) for p in parts
             )
-            if sizes == last and all(sizes):
+            # empty part files are legitimate (an md5 bucket can own zero
+            # keys) — completion = all R parts present and sizes stable
+            if sizes == last:
                 return time.perf_counter() - t0
             last = sizes
         time.sleep(0.2)
