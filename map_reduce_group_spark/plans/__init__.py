@@ -49,16 +49,48 @@ def _recorded_counts() -> dict[str, int]:
     return counts
 
 
+def _stale_names() -> dict[str, int]:
+    """Queries whose implementation changed after their last green round.
+
+    tools/audit_staleness.py fingerprints each builder (function-level) plus
+    its referenced operator modules against the recording round's commit and
+    writes STALE.json; a stale green row is a verdict for code that no longer
+    exists (VERDICT r3 #1), so the sweep must re-record it. Returns
+    name -> recorded_round (missing file => nothing stale)."""
+    repo = _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+    try:
+        with open(_os.path.join(repo, "STALE.json")) as fh:
+            data = _json.load(fh)
+        return {n: int(data["detail"][n]["recorded_round"]) for n in data.get("stale", [])}
+    except (OSError, ValueError, KeyError, TypeError):
+        return {}
+
+
 def _reorder_registry() -> None:
-    """Least-recorded first, then cheapest first (COST_HINT), then original
-    registration order — so a count- OR time-budgeted sweep records the most
-    new coverage before it truncates."""
+    """Sweep-priority order for the driver's 50-slot-per-round window:
+
+    1. never-recorded queries (a new query's first verdict beats everything);
+    2. stale queries — oldest recording round first, then HIGHEST cost hint
+       first: the expensive queries are precisely the rewritten operators
+       (mr pipe, dedup_clusters, corpus pipelines) whose re-verification the
+       staleness pass exists for, while the cheap stale tail is mostly
+       incidental shared-module drift that can wait a round;
+    3. everything else, least-recorded then cheapest, so a time-budgeted
+       sweep still maximizes fresh coverage before it truncates."""
     from map_reduce_group_spark.plans.registry import COST_HINT
 
     seen = _recorded_counts()
+    stale = _stale_names()
     order = {name: i for i, name in enumerate(REGISTRY)}
-    ranked = sorted(REGISTRY, key=lambda n: (seen.get(n, 0), COST_HINT.get(n, 0.0), order[n]))
-    for name in ranked:
+
+    def key(n: str):
+        if seen.get(n, 0) == 0:
+            return (0, 0, COST_HINT.get(n, 0.0), order[n])
+        if n in stale:
+            return (1, stale[n], -COST_HINT.get(n, 0.0), order[n])
+        return (2, seen[n], COST_HINT.get(n, 0.0), order[n])
+
+    for name in sorted(REGISTRY, key=key):
         REGISTRY[name] = REGISTRY.pop(name)
 
 

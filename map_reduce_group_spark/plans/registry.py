@@ -50,6 +50,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 
         guarded.__name__ = fn.__name__
         guarded.__doc__ = fn.__doc__
+        guarded.__module__ = fn.__module__
+        guarded.__wrapped__ = fn  # tools/audit_staleness.py resolves source through this
         REGISTRY[name] = QuerySpec(name=name, builder=guarded, oracle=oracle, doc=fn.__doc__ or "")
         return guarded
 
