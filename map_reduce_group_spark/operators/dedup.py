@@ -226,8 +226,46 @@ def jaccard_prefix_filter_pairs(
     )
 
 
-def _minhash_from_postings(postings: DataFrame, num_hashes: int) -> DataFrame:
-    aggs = [F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(num_hashes)]
+def portable_hash60(e, seed: int | None = None):
+    """60-bit hash both engines compute identically: the integer value of
+    the first 15 hex chars of ``md5('{seed}:' || e)``.
+
+    DuckDB twin: ``('0x' || substr(md5(CAST({seed} AS VARCHAR) || ':' || e),
+    1, 15))::BIGINT`` (verified byte-for-byte; DuckDB parses '0x…' casts).
+    15 hex chars = 60 bits, always positive, fits a signed BIGINT in both.
+
+    This is the oracle-portability lever for the MinHash/SimHash family
+    (VERDICT r3 #2): xxhash64 has no DuckDB twin, md5 does. xxhash64 stays
+    the default in the operators (single fused JVM intrinsic, no string
+    digest materialization) — portable mode is for oracle-checked queries
+    and costs one md5 per (row, seed), still whole-stage codegen.
+    """
+    prefix = F.lit("" if seed is None else f"{seed}:")
+    return F.conv(F.substring(F.md5(F.concat(prefix, e)), 1, 15), 16, 10).cast("long")
+
+
+PORTABLE_HASH60_SQL = "(('0x' || substr(md5({prefix}{e}), 1, 15))::BIGINT)"
+
+
+def portable_hash60_sql(e: str, seed: int | None = None) -> str:
+    """DuckDB twin of :func:`portable_hash60` (same bytes in, same int out)."""
+    prefix = "" if seed is None else f"'{seed}:' || "
+    return PORTABLE_HASH60_SQL.format(prefix=prefix, e=e)
+
+
+def _minhash_from_postings(
+    postings: DataFrame, num_hashes: int, portable: bool = False
+) -> DataFrame:
+    if portable:
+        aggs = [
+            F.min(portable_hash60(col("shingle"), i)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        aggs = [
+            F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     flat = postings.groupBy("id", "set_size").agg(*aggs)
     return flat.select(
         "id",
@@ -237,16 +275,25 @@ def _minhash_from_postings(postings: DataFrame, num_hashes: int) -> DataFrame:
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 32
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    portable: bool = False,
 ) -> DataFrame:
-    """MinHash signatures: sig[i] = min over shingles of xxhash64(shingle, i).
+    """MinHash signatures: sig[i] = min over shingles of hash(shingle, i)
+    (xxhash64 by default; ``portable=True`` switches to the md5-derived
+    :func:`portable_hash60` so a DuckDB oracle can replay the signature).
 
     Flat codegen shape: one row per (doc, shingle), ``num_hashes``
-    min-aggregates with the integer hash index as the xxhash64 seed
-    argument. Partial mins combine map-side, so the shuffle carries one
-    row per doc regardless of document length.
+    min-aggregates with the integer hash index as the seed argument.
+    Partial mins combine map-side, so the shuffle carries one row per doc
+    regardless of document length.
     """
-    return _minhash_from_postings(shingle_postings(df, id_col, text_col, n), num_hashes)
+    return _minhash_from_postings(
+        shingle_postings(df, id_col, text_col, n), num_hashes, portable=portable
+    )
 
 
 def minhash_lsh_pairs(
@@ -257,6 +304,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verification.
 
@@ -285,13 +333,24 @@ def minhash_lsh_pairs(
     postings = shingle_postings(df, id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sigs = _minhash_from_postings(postings, num_hashes)
-    band_cols = [
-        F.xxhash64(
-            *[col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
+    sigs = _minhash_from_postings(postings, num_hashes, portable=portable)
+    if portable:
+        # bucket key = the band's raw signature slice joined as a string —
+        # plain value equality, so the DuckDB oracle reproduces the exact
+        # same buckets with string_agg(... ORDER BY seed)
+        band_cols = [
+            F.concat_ws(
+                "|", *[col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.xxhash64(
+                *[col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ]
     banded = sigs.select(
         "id",
         F.explode(
@@ -327,29 +386,31 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """64-bit SimHash per document from word tokens.
+def simhash(df: DataFrame, id_col: str, text_col: str, portable: bool = False) -> DataFrame:
+    """SimHash per document from word tokens — 64-bit (xxhash64, default)
+    or 60-bit (``portable=True``, md5-derived :func:`portable_hash60` so a
+    DuckDB oracle can replay every bit).
 
     simhash bit b = sign of Σ_tokens (±1 depending on bit b of
-    xxhash64(token)); near-duplicates differ in few bits (compare with
+    hash(token)); near-duplicates differ in few bits (compare with
     hamming distance via bit_count(xor)).
 
-    One explode + one groupBy(id) with 64 conditional-sum expressions — all
-    codegen'd; no Python.
+    One explode + one groupBy(id) with one conditional-sum expression per
+    bit — all codegen'd; no Python.
     """
-    tok = (
-        df.select(col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
-        .withColumn("h", F.xxhash64("tok"))
-    )
+    nbits = 60 if portable else 64
+    tok = df.select(col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
+    h = portable_hash60(col("tok")) if portable else F.xxhash64("tok")
+    tok = tok.withColumn("h", h)
     bit_sums = [
         F.sum(
             F.when(F.shiftright(col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{b}")
-        for b in range(64)
+        for b in range(nbits)
     ]
     agg = tok.groupBy("id").agg(*bit_sums)
     sim = None
-    for b in range(64):
+    for b in range(nbits):
         term = F.when(
             col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
         ).otherwise(F.lit(0).cast("long"))
@@ -358,15 +419,18 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8, portable: bool = False
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit chunks.
+    """Near-dup pairs by SimHash hamming distance, blocked on 4 equal-width
+    chunks (16-bit for the 64-bit default, 15-bit for portable 60-bit).
 
     Pigeonhole: two signatures within hamming distance 3 of each other agree
-    exactly on ≥1 of 4 16-bit chunks — block on each chunk, compare within
+    exactly on ≥1 of 4 chunks — block on each chunk, compare within
     blocks only. (For max_hamming ≥ 4 this is a recall-bounded heuristic.)
     """
-    sigs = simhash(df, id_col, text_col)
+    chunk_bits = 15 if portable else 16
+    mask = (1 << chunk_bits) - 1
+    sigs = simhash(df, id_col, text_col, portable=portable)
     chunks = sigs.select(
         "id",
         "simhash",
@@ -375,8 +439,8 @@ def simhash_near_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_id"),
-                        F.shiftright(col("simhash"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(col("simhash"), i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
                         .alias("chunk"),
                     )
                     for i in range(4)

@@ -61,7 +61,13 @@ def _stale_names() -> dict[str, int]:
     try:
         with open(_os.path.join(repo, "STALE.json")) as fh:
             data = _json.load(fh)
-        return {n: int(data["detail"][n]["recorded_round"]) for n in data.get("stale", [])}
+        stale = {n: int(data["detail"][n]["recorded_round"]) for n in data.get("stale", [])}
+        # contract-changed queries (oracle/output semantics, not just impl)
+        # rank with never-recorded: their old green row compared against a
+        # DIFFERENT oracle, so it proves nothing about the current contract
+        for n in data.get("recontracted", []):
+            stale[n] = -1
+        return stale
     except (OSError, ValueError, KeyError, TypeError):
         return {}
 

@@ -321,22 +321,101 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_prefix_filter_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
 
-@register("dedup_minhash_lsh")  # xxhash64-based — not SQL-expressible; rows-only check
+_H60 = "(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
+
+_SIMHASH_BITSUMS_SQL = ",\n               ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(60)
+)
+_SIMHASH_OR_SQL = " + ".join(
+    f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    for b in range(60)
+)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH sets AS (
+        SELECT doc_id AS id, {_SHINGLES_SQL} AS shingles
+        FROM documents
+        WHERE len({_TOKS_SQL}) >= 3
+    ), postings AS (
+        SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle
+        FROM sets WHERE len(shingles) > 0
+    ), sigs AS (
+        SELECT id, seed,
+               min({_H60.format(e="CAST(seed AS VARCHAR) || ':' || shingle")}) AS h
+        FROM postings CROSS JOIN range(0, 32) t(seed)
+        GROUP BY id, seed
+    ), bands AS (
+        SELECT id, CAST(seed // 4 AS INT) AS band,
+               string_agg(CAST(h AS VARCHAR), '|' ORDER BY seed) AS bucket
+        FROM sigs GROUP BY 1, 2
+    ), cand AS (
+        SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        FROM bands x JOIN bands y USING (band, bucket)
+        WHERE x.id < y.id
+    ), pair_counts AS (
+        SELECT c.id_a, c.id_b, a.set_size AS size_a, b.set_size AS size_b,
+               count(*) AS n_common
+        FROM cand c
+        JOIN postings a ON a.id = c.id_a
+        JOIN postings b ON b.id = c.id_b AND b.shingle = a.shingle
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           round(CAST(n_common AS DOUBLE) / (size_a + size_b - n_common), 6) AS jaccard
+    FROM pair_counts
+    WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= 0.3
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) candidates verified by exact Jaccard
-    (operators/dedup.py:minhash_lsh_pairs). Deterministic (xxhash64)."""
+    (operators/dedup.py:minhash_lsh_pairs). Portable md5-derived 60-bit
+    min-hashes (operators/dedup.py:portable_hash60) so the DuckDB oracle
+    replays the ENTIRE pipeline — signatures, band buckets, candidate set,
+    verification — not just the verified tail (VERDICT r3 #2: formerly
+    rows-only because xxhash64 has no DuckDB twin)."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
-        d, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.3
+        d, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.3, portable=True
     )
 
 
-@register("dedup_simhash")  # xxhash64-based — rows-only check
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id AS id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), hashed AS (
+        SELECT id, {_H60.format(e="tok")} AS h FROM toks
+    ), bitsums AS (
+        SELECT id,
+               {_SIMHASH_BITSUMS_SQL}
+        FROM hashed GROUP BY id
+    ), sigs AS (
+        SELECT id, ({_SIMHASH_OR_SQL}) AS simhash FROM bitsums
+    ), chunks AS (
+        SELECT id, simhash, c AS chunk_id, (simhash >> CAST(c * 15 AS INT)) & 32767 AS chunk
+        FROM sigs CROSS JOIN range(0, 4) t(c)
+    ), pairs AS (
+        SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+               CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+        FROM chunks x JOIN chunks y USING (chunk_id, chunk)
+        WHERE x.id < y.id
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 12
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash near-dup pairs blocked on 16-bit chunks
-    (operators/dedup.py:simhash_near_pairs)."""
+    """SimHash near-dup pairs blocked on 4 equal-width signature chunks
+    (operators/dedup.py:simhash_near_pairs). Portable 60-bit mode: every
+    signature bit comes from the md5-derived portable_hash60, so the DuckDB
+    oracle recomputes the signatures, the chunk blocking, and the hamming
+    filter bit-for-bit (formerly rows-only, VERDICT r3 #2)."""
     d = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(d, "doc_id", "text", max_hamming=12)
+    pairs = dedup.simhash_near_pairs(d, "doc_id", "text", max_hamming=12, portable=True)
+    return pairs.select("id_a", "id_b", col("hamming").cast("long").alias("hamming"))
 
 
 @register(
@@ -926,19 +1005,70 @@ def graph_pagerank_simgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("id", F.round(col("rank"), 8).alias("rank"))
 
 
-@register("embed_kmeans_assign")  # float-sum order is engine-private -> rows-only
+@register(
+    "embed_kmeans_assign",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), u AS (
+        SELECT id, i, v[i] AS x FROM e, unnest(range(1, len(v)+1)) AS t(i)
+    ), stats AS (
+        SELECT i, min(x) AS mn, max(x) AS mx FROM u GROUP BY i
+    ), codes AS (
+        SELECT id, i,
+               CAST(floor((x - mn) * 255.0
+                    / (CASE WHEN mx = mn THEN 1.0 ELSE mx - mn END) + 0.5)
+                    AS BIGINT) AS code
+        FROM u JOIN stats USING (i)
+    ), seed_ids AS (
+        SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS j
+        FROM (SELECT DISTINCT id FROM codes) ORDER BY id LIMIT 8
+    ), cents0 AS (
+        SELECT s.j, c.i, c.code FROM seed_ids s JOIN codes c USING (id)
+    ), d1 AS (
+        SELECT c.id, k.j, sum((c.code - k.code) * (c.code - k.code)) AS dist2
+        FROM codes c JOIN cents0 k USING (i)
+        GROUP BY 1, 2
+    ), a1 AS (
+        SELECT id, j FROM (
+            SELECT id, j, row_number() OVER (PARTITION BY id ORDER BY dist2, j) AS rn
+            FROM d1
+        ) WHERE rn = 1
+    ), upd AS (
+        -- round-half-up integer mean: (2*sum + n) // (2*n), no floats
+        SELECT a1.j, c.i,
+               CAST((2 * sum(c.code) + count(*)) // (2 * count(*)) AS BIGINT) AS code
+        FROM a1 JOIN codes c USING (id)
+        GROUP BY 1, 2
+    ), cents1 AS (
+        SELECT k.j, k.i, coalesce(u2.code, k.code) AS code
+        FROM cents0 k LEFT JOIN upd u2 ON u2.j = k.j AND u2.i = k.i
+    ), d2 AS (
+        SELECT c.id, k.j, sum((c.code - k.code) * (c.code - k.code)) AS dist2
+        FROM codes c JOIN cents1 k USING (i)
+        GROUP BY 1, 2
+    )
+    SELECT id, CAST(j AS BIGINT) AS cluster, CAST(dist2 AS BIGINT) AS dist2
+    FROM (
+        SELECT id, j, dist2, row_number() OVER (PARTITION BY id ORDER BY dist2, j) AS rn
+        FROM d2
+    ) WHERE rn = 1
+    """,
+)
 def embed_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd k-means assignment over the embeddings table
-    (operators/similarity.py:kmeans_assign, k=8, 2 iterations,
-    deterministic lowest-id init) — the clustering kernel behind
-    SemDeDup-style cluster-based curation. Per iteration one Arrow
+    """Fixed-point int8-quantized Lloyd k-means assignment over the
+    embeddings table (operators/similarity.py:kmeans_assign_fixedpoint,
+    k=8, 2 iterations, deterministic lowest-id init) — the clustering
+    kernel behind SemDeDup-style curation, on integer codes so the DuckDB
+    oracle replays init, assignment, the round-half-up integer centroid
+    update, and the final assignment EXACTLY (VERDICT r3 #2: the float
+    variant was rows-only because float summation order is engine-private;
+    integer sums are order-insensitive). Per iteration one Arrow
     mapInPandas pass emits ≤ k partial-sufficient-statistic rows per
-    partition; only those P·k rows reach the driver. Rows-only by design
-    (float summation order, like the MinHash family); semantics pinned by
-    the property suite (nearest-centroid invariant, planted-cluster
-    recovery, determinism)."""
+    partition; only those P·k rows reach the driver. The float-embedding
+    variant remains available as operators/similarity.py:kmeans_assign."""
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.kmeans_assign(e, "vec_id", "embedding", k=8, iters=2)
+    return similarity.kmeans_assign_fixedpoint(e, "vec_id", "embedding", k=8, iters=2)
 
 
 @register(

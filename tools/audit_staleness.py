@@ -230,6 +230,21 @@ def fingerprint(src: _Source, plan_mod: str, fn_name: str) -> str | None:
     return h.hexdigest()
 
 
+# Queries whose CONTRACT (output semantics / oracle) changed since their last
+# green row — not just their implementation. Their old verdict row compared
+# against a different oracle, so they must re-record with never-recorded
+# priority. Maintained by hand when a round changes a query's contract;
+# cleared once the next CORRECTNESS round records them green (the audit drops
+# entries whose latest green round postdates the change automatically, since
+# the fingerprint then matches).
+RECONTRACTED: set[str] = {
+    # r4: rows-only -> full-oracle upgrades (VERDICT r3 #2)
+    "dedup_minhash_lsh",    # xxhash64 -> portable md5-derived 60-bit minhash
+    "dedup_simhash",        # 64-bit xxhash64 -> portable 60-bit signature
+    "embed_kmeans_assign",  # float Lloyd -> fixed-point int8 Lloyd (dist2)
+}
+
+
 def compute() -> dict:
     # locate every builder's (module, function) through the registry
     os.environ.setdefault("SPARK_GRAFT_NO_SPARK", "1")
@@ -257,9 +272,14 @@ def compute() -> dict:
             stale.append(name)
             detail[name] = {"recorded_round": rnd, "commit": commits[rnd][:9]}
 
+    recontracted = sorted(
+        n for n in RECONTRACTED if n in stale
+    )  # a green row newer than the change clears it (fingerprint matches)
+
     return {
         "rounds": {f"r{r:02d}": c[:9] for r, c in sorted(commits.items())},
         "stale": sorted(stale),
+        "recontracted": recontracted,
         "detail": detail,
     }
 
