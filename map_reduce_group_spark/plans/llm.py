@@ -321,6 +321,94 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_prefix_filter_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
 
+# Prefix-filtered exact-Jaccard pair CTE chain (threshold 0.5) — the
+# lossless prefix filter (Xiao et al. WWW'08): a pair with Jaccard >= t must
+# share one of each side's (|d| - ceil(t*|d|) + 1) globally rarest shingles.
+# Same lemma as the Spark operator, so the SQL stays tractable on replicated
+# fixtures while the answer is provably the all-pairs one. Used directly by
+# dedup_jaccard_topmatch's oracle and, via SCALE_ORACLES, as the at-scale
+# stand-in for dedup_jaccard_prefix's deliberately all-pairs driver oracle
+# (which verifies losslessness itself at sf0.01, where all-pairs is cheap).
+_PREFIX_PAIRS_CTES = f"""
+    WITH sets AS (
+        SELECT doc_id AS id, {_SHINGLES_SQL} AS shingles
+        FROM documents
+        WHERE len({_TOKS_SQL}) >= 3
+    ), postings AS (
+        SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle
+        FROM sets WHERE len(shingles) > 0
+    ), with_df AS (
+        SELECT id, set_size, shingle,
+               count(*) OVER (PARTITION BY shingle) AS df
+        FROM postings
+    ), ranked AS (
+        SELECT id, set_size, shingle,
+               row_number() OVER (PARTITION BY id ORDER BY df, shingle) AS rn
+        FROM with_df
+    ), prefix AS (
+        SELECT id, set_size, shingle FROM ranked
+        WHERE rn <= set_size - ceil(0.5 * set_size) + 1
+    ), cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM prefix a JOIN prefix b USING (shingle)
+        WHERE a.id < b.id
+          AND b.set_size >= 0.5 * a.set_size
+          AND a.set_size >= 0.5 * b.set_size
+    ), pair_counts AS (
+        SELECT c.id_a, c.id_b, a.set_size AS size_a, b.set_size AS size_b,
+               count(*) AS n_common
+        FROM cand c
+        JOIN postings a ON a.id = c.id_a
+        JOIN postings b ON b.id = c.id_b AND b.shingle = a.shingle
+        GROUP BY 1, 2, 3, 4
+    ), pairs AS (
+        SELECT id_a, id_b, n_common,
+               round(CAST(n_common AS DOUBLE) / (size_a + size_b - n_common), 6) AS jaccard
+        FROM pair_counts
+        WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= 0.5
+    )
+"""
+
+# At-scale oracle stand-ins for tools/diff_scale.py: value-identical SQL that
+# applies the same public, provably-lossless pruning the Spark side uses, for
+# queries whose driver-facing oracle is deliberately naive/all-pairs (the
+# naive form IS the losslessness check at sf0.01; at 100x it is quadratic).
+SCALE_ORACLES: dict[str, str] = {
+    "dedup_jaccard_prefix": _PREFIX_PAIRS_CTES
+    + """
+    SELECT id_a, id_b, n_common, jaccard FROM pairs
+    """,
+}
+
+
+@register(
+    "dedup_jaccard_topmatch",
+    oracle=_PREFIX_PAIRS_CTES
+    + """
+    , sym AS (
+        SELECT id_a AS id, id_b AS match_id, n_common, jaccard FROM pairs
+        UNION ALL
+        SELECT id_b AS id, id_a AS match_id, n_common, jaccard FROM pairs
+    )
+    SELECT id, match_id, n_common, jaccard FROM (
+        SELECT id, match_id, n_common, jaccard,
+               row_number() OVER (PARTITION BY id ORDER BY jaccard DESC, match_id) AS rn
+        FROM sym
+    ) WHERE rn = 1
+    """,
+)
+def dedup_jaccard_topmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document best exact-Jaccard match (≥ 0.5) — the LINEAR-OUTPUT
+    sweep-facing form of the exact near-dup family (VERDICT r3 #3: the
+    all-pairs emitters are quadratic in clone-family size at replicated
+    fixtures; this contract emits ≤ 1 row per document at any scale while
+    keeping exact precision and recall via the lossless prefix filter,
+    operators/dedup.py:jaccard_topmatch). Pair emission remains a library
+    call (ngram_jaccard_pairs / jaccard_prefix_filter_pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_topmatch(d, "doc_id", "text", n=3, threshold=0.5)
+
+
 _H60 = "(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
 
 _SIMHASH_BITSUMS_SQL = ",\n               ".join(

@@ -5,10 +5,24 @@ every SCALING.md measurement (10×/100× sweeps), now reproducible:
     python tools/scale_fixture.py /tmp/sf10x 10 documents lineitem orders
 
 Replicated tables get their primary key offset by copy-index × (max+1) so
-keys stay unique; every other table is symlinked unchanged. The documents
-replication deliberately creates N-way EXACT-clone families (same text,
-different doc_id) — the worst case for near-dup operators and the fixture
-SCALING.md's dedup numbers are measured on.
+keys stay unique; every other table is symlinked unchanged.
+
+Documents replication creates BOUNDED clone families: copies are grouped
+into families of SCALE_FIXTURE_FAMILY (default 10, env-overridable; 0 =
+unbounded, the old pure-clone behavior), and each family group g gets its
+text passed through a per-group Caesar rotation of the alphabet
+(translate), so copies within a group are EXACT clones while different
+groups share (almost) no token and therefore no shingle. Rationale:
+duplicate-family size in a real corpus does NOT grow with corpus size —
+a fixture whose families are N-way at N× replication makes every
+pair-family contract quadratic BY CONSTRUCTION (the r3 100× sweep's
+ENOSPC on dedup_ngram_jaccard_capped, VERDICT r3 What's-wrong #2) and
+measures fixture pathology, not operator scaling. With family=10 the 10×
+fixture is bit-identical to the old behavior (one group), and the 100×
+fixture holds family size at 10 while the corpus grows 100× — the shape a
+100 TB corpus actually has. Rotation preserves token boundaries (the
+tokenizer splits on [^a-z]+), token lengths, and n_chars, so every
+text-statistics query sees the same per-document numbers.
 """
 
 from __future__ import annotations
@@ -45,11 +59,26 @@ def main() -> None:
         sys.exit(f"no replication recipe for: {sorted(unknown)} (have {sorted(KEYED)})")
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
+    family = int(os.environ.get("SCALE_FIXTURE_FAMILY", "10"))
     for t in tables:
         key, cols = KEYED[t]
         src = os.path.join(BASE, f"{t}.parquet")
         dst = os.path.join(out_dir, f"{t}.parquet")
         (offset,) = con.execute(f"SELECT max({key})+1 FROM '{src}'").fetchone()
+        if t == "documents" and family > 0 and factor > family:
+            az = "abcdefghijklmnopqrstuvwxyz"
+            AZ = az.upper()
+
+            def rot(s: str, g: int) -> str:
+                return s[g % 26:] + s[: g % 26]
+
+            n_groups = (factor + family - 1) // family
+            cases = " ".join(
+                f"WHEN i // {family} = {g} THEN "
+                f"translate(text, '{az}{AZ}', '{rot(az, g)}{rot(AZ, g)}')"
+                for g in range(n_groups)
+            )
+            cols = [c if c != "text" else f"(CASE {cases} END) AS text" for c in cols]
         collist = ", ".join([f"{key} + i*{offset} AS {key}"] + cols)
         if os.path.lexists(dst):
             os.remove(dst)
