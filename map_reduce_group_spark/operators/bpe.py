@@ -59,15 +59,88 @@ def _merge_pair(s, pair: str):
     return F.trim(F.replace(applied, F.lit("  "), F.lit(" ")))
 
 
+def _select_serial_batch(
+    cand: list[tuple[str, int]], window_full: bool, max_n: int
+) -> list[tuple[str, int]]:
+    """From the top-T candidate window (``(pair, count)`` in (count DESC,
+    pair ASC) order), pick the longest PREFIX that provably merges in
+    exactly the serial learner's order when applied together — the
+    batching lever that takes n_merges past toy sizes (VERDICT r3 #7)
+    without changing a single output bit.
+
+    Soundness argument (per selected prefix P1..Pk, serial step j):
+
+    - prefix selection: every candidate ranked above P_j is selected, so
+      every unselected old pair orders after P_j under (count, pair) and
+      merging can only DECREASE its count (adjacency removal);
+    - symbol-disjointness: P_j's own count is invariant under P1..P_{j-1};
+    - created/boosted pairs: a pair created by merging P_i=(a,b) into m is
+      (x,m) or (m,y) with count ≤ count(x,a) resp. count(b,y) — pairs that
+      SHARE a symbol with P_i, so their counts are ≤ ``ceiling`` (if in
+      the window) or ≤ ``below`` (the window floor) otherwise; if m
+      collides with an existing symbol the created count additionally
+      boosts that pair's old count, bounded by ``below`` when the pair is
+      outside the window (m colliding with an in-window symbol stops the
+      batch — select-then-stop). Requiring
+      ``count(P_j) > below + max(ceiling, below)`` therefore strictly
+      outranks every created/boosted pair, ties impossible.
+
+    Zipf-shaped pair counts make the head qualify in bulk; worst case the
+    batch degenerates to size 1 = the serial algorithm.
+    """
+    below = cand[-1][1] if window_full else 0
+    window_symbols = {s for p, _ in cand for s in p.split(" ")}
+    selected: list[tuple[str, int]] = []
+    sel_symbols: set[str] = set()
+    merged_strs: set[str] = set()
+    for pair, cnt in cand:
+        if len(selected) >= max_n:
+            break
+        a, b = pair.split(" ")
+        if selected:
+            if a in sel_symbols or b in sel_symbols:
+                break
+            if a in merged_strs or b in merged_strs:
+                break
+            ceiling = max(
+                (
+                    c2
+                    for p2, c2 in cand
+                    if p2 not in {p for p, _ in selected}
+                    and (set(p2.split(" ")) & sel_symbols)
+                ),
+                default=0,
+            )
+            if cnt <= below + max(ceiling, below):
+                break
+        selected.append((pair, cnt))
+        sel_symbols.update((a, b))
+        merged_strs.add(a + b)
+        if a + b in window_symbols:
+            break  # created symbol collides with a live symbol: stop batch
+    return selected
+
+
 def bpe_merges(
     docs: DataFrame,
     text_col: str = "text",
     n_merges: int = 4,
+    batch_candidates: int = 128,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges over the corpus; returns the merge
     table (merge_rank, pair, merged, pair_count) — the artifact a tokenizer
     ships. Symbols start as single characters of the lowercased a-z word
-    tokens (the repo-standard tokenizer)."""
+    tokens (the repo-standard tokenizer).
+
+    Scale shape (VERDICT r3 #7): instead of one driver round-trip and one
+    more ``_merge_pair`` expression layer PER MERGE, each round fetches the
+    top ``batch_candidates`` pairs (bounded driver traffic) and applies the
+    longest provably serial-equivalent prefix in one pass
+    (:func:`_select_serial_batch` — bit-identical output to the serial
+    loop, pinned by the property suite at n_merges=50), then cuts lineage
+    with an eager ``localCheckpoint`` so the expression chain never deepens
+    past one batch. n_merges=64 runs in a handful of rounds.
+    """
     from map_reduce_group_spark.operators.text import tokens
 
     spark = docs.sparkSession
@@ -76,14 +149,15 @@ def bpe_merges(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
-    # "h e l l o" symbol representation; cache — every iteration starts here
+    # "h e l l o" symbol representation; localCheckpoint — every round
+    # starts from materialized vocab-sized blocks with no lineage behind
     spaced = words.select(
         F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("s"), "wc"
-    ).cache()
+    ).localCheckpoint()
 
     merges: list[tuple[int, str, str, int]] = []
-    for k in range(1, n_merges + 1):
-        rows = (
+    while len(merges) < n_merges:
+        cand_rows = (
             spaced.select(
                 F.explode(
                     F.regexp_extract_all("s", F.lit(_PAIR_RE), 1)
@@ -93,17 +167,23 @@ def bpe_merges(
             .groupBy("pair")
             .agg(F.sum("wc").cast("long").alias("pair_count"))
             .orderBy(col("pair_count").desc(), "pair")
-            .limit(1)
+            .limit(batch_candidates)
             .collect()
         )
-        if not rows:  # vocab fully merged / single-symbol words: no pairs left
+        if not cand_rows:  # vocab fully merged: no pairs left
             break
-        best = rows[0]
-        pair, merged = best["pair"], best["pair"].replace(" ", "")
-        merges.append((k, pair, merged, best["pair_count"]))
-        # boundary-guarded whole-symbol merge; map-only, so the k-step
-        # lineage stays a single narrow stage over the cache
-        spaced = spaced.select(_merge_pair(col("s"), pair).alias("s"), "wc")
+        cand = [(r["pair"], r["pair_count"]) for r in cand_rows]
+        batch = _select_serial_batch(
+            cand, window_full=len(cand) == batch_candidates,
+            max_n=n_merges - len(merges),
+        )
+        s = col("s")
+        for pair, cnt in batch:
+            merges.append((len(merges) + 1, pair, pair.replace(" ", ""), cnt))
+            s = _merge_pair(s, pair)
+        old = spaced
+        spaced = spaced.select(s.alias("s"), "wc").localCheckpoint()
+        old.unpersist()
     return spark.createDataFrame(
         merges, "merge_rank bigint, pair string, merged string, pair_count bigint"
     )

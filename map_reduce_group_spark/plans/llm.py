@@ -961,7 +961,7 @@ def _bpe_oracle(n_merges: int) -> str:
         SELECT unnest({_TOKS_SQL}) AS word FROM documents
     ), words0 AS (
         SELECT word, count(*) AS wc FROM toks GROUP BY word
-    ), spaced0 AS (
+    ), spaced0 AS MATERIALIZED (
         SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s, wc FROM words0
     )"""
     prev = "spaced0"
@@ -975,7 +975,7 @@ def _bpe_oracle(n_merges: int) -> str:
     ), best{k} AS (
         SELECT pair, CAST(sum(wc) AS BIGINT) AS pair_count
         FROM pairs{k} GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 1
-    ), spaced{k} AS (
+    ), spaced{k} AS MATERIALIZED (
         -- boundary-guarded whole-symbol merge (operators/bpe.py:_merge_pair):
         -- double separators, literal-replace ' a  b ' -> ' ab ', collapse
         SELECT trim(replace(
@@ -1004,7 +1004,7 @@ def _bpe_apply_oracle(n_merges: int) -> str:
         SELECT doc_id AS id, word, count(*) AS occ FROM dtoks GROUP BY 1, 2
     ), words0 AS (
         SELECT word, count(*) AS wc FROM dtoks GROUP BY word
-    ), spaced0 AS (
+    ), spaced0 AS MATERIALIZED (
         SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS s, wc
         FROM words0
     )"""
@@ -1018,7 +1018,7 @@ def _bpe_apply_oracle(n_merges: int) -> str:
     ), best{k} AS (
         SELECT pair FROM pairs{k} GROUP BY pair
         ORDER BY sum(wc) DESC, pair LIMIT 1
-    ), spaced{k} AS (
+    ), spaced{k} AS MATERIALIZED (
         SELECT word,
                trim(replace(
                    replace(' ' || replace(s, ' ', '  ') || ' ',
@@ -1066,6 +1066,22 @@ def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bpe_merges(d, "text", n_merges=4)
+
+
+@register("doc_bpe_merges64", oracle=_bpe_oracle(64))
+def doc_bpe_merges64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training at production merge count: 64 merges in a handful of
+    batched rounds (VERDICT r3 #7 — operators/bpe.py:_select_serial_batch
+    picks the longest provably serial-equivalent candidate prefix per
+    round, then localCheckpoint cuts the merge-expression lineage). The
+    DuckDB oracle is the 64-stage unrolled CTE chain (MATERIALIZED stages
+    — each is referenced twice, and inlining would double per stage), so
+    every one of the 64 (pair, count) rows is hash-verified; the
+    batched-vs-serial property test covers arbitrary corpora at n=50."""
+    from map_reduce_group_spark.operators.bpe import bpe_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_merges(d, "text", n_merges=64)
 
 
 @register("graph_pagerank_simgraph")  # float-sum order engine-private -> rows-only

@@ -1109,3 +1109,79 @@ def test_random_projection_matches_numpy_reference(spark, sf_dir):
         expect = q @ signs
         for k in range(8):
             assert got[(r["vec_id"], k)] == expect[k]
+
+
+def _serial_bpe_reference(texts: list[str], n_merges: int) -> list[tuple]:
+    """Pure-Python serial BPE learner — the textbook one-merge-per-iteration
+    loop (Sennrich et al. 2016) with the operator's exact semantics: repo
+    tokenizer, overlap-counted adjacencies, (count DESC, pair ASC) ties,
+    left-to-right non-overlapping merge application. The batched distributed
+    learner (operators/bpe.py:bpe_merges + _select_serial_batch) must be
+    bit-identical to this."""
+    import re
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in re.split("[^a-z]+", t.lower()):
+            if w:
+                words[w] += 1
+    vocab = {tuple(w): c for w, c in words.items()}
+    out = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for sym, c in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += c
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, f"{a} {b}", a + b, cnt))
+        new_vocab = {}
+        for sym, c in vocab.items():
+            merged, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(sym[i])
+                    i += 1
+            key = tuple(merged)
+            new_vocab[key] = new_vocab.get(key, 0) + c
+        vocab = new_vocab
+    return out
+
+
+def test_bpe_batched_equals_serial_learner(spark, sf_dir):
+    """The batched merge selection must reproduce the serial learner's
+    merge table EXACTLY at n_merges=50 (VERDICT r3 #7) — on the fixture
+    corpus and on adversarial corpora built to stress the batch-stopping
+    rules (shared symbols, created-symbol collisions, flat count ties)."""
+    from map_reduce_group_spark.operators.bpe import bpe_merges
+
+    corpora = {
+        "fixture": [
+            r["text"]
+            for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("text").limit(300).collect()
+        ],
+        "collisions": [
+            "ab ab abab aab bab a b ab", "aa bb aabb ab ba baba abba",
+            "the the theth eth he t h e", "xy xyxy yx yxyx xxyy",
+        ] * 5,
+        "flat_ties": ["a b c d e f g h", "b a d c f e h g"] * 3,
+        "hot_head": ["low lower lowest newest widest " * 20] * 10,
+    }
+    for name, texts in corpora.items():
+        want = _serial_bpe_reference(texts, 50)
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = [
+            (r["merge_rank"], r["pair"], r["merged"], r["pair_count"])
+            for r in bpe_merges(df, "text", n_merges=50).orderBy("merge_rank").collect()
+        ]
+        assert got == want, (
+            f"{name}: batched diverges from serial at "
+            f"{next((i for i, (g, w) in enumerate(zip(got, want)) if g != w), 'len')}"
+            f": got={got[:5]} want={want[:5]}"
+        )
