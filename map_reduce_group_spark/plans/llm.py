@@ -321,6 +321,48 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_prefix_filter_pairs(d, "doc_id", "text", n=3, threshold=0.5)
 
 
+@register(
+    "dedup_incremental_exact",
+    oracle="""
+    WITH f AS (
+        SELECT doc_id AS id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+        FROM documents
+    ), g AS (
+        SELECT fingerprint,
+               min(CASE WHEN id % 2 = 0 THEN id END) AS rep_even,
+               min(CASE WHEN id % 2 = 1 THEN id END) AS rep_odd
+        FROM f GROUP BY 1
+    )
+    SELECT f.id, f.fingerprint,
+           coalesce(g.rep_even, g.rep_odd) AS rep_id,
+           (f.id = coalesce(g.rep_even, g.rep_odd)) AS first_seen
+    FROM f JOIN g USING (fingerprint)
+    """,
+)
+def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup (operators/dedup.py:incremental_exact_dedup,
+    VERDICT r3 #8): ingest the even-doc_id half as the historical corpus,
+    then dedup the odd half against the persisted fingerprint state WITHOUT
+    rescanning the history — partition-pruned state probe + broadcast of
+    the batch's fingerprints. First-seen-wins rep election: the oracle's
+    ``coalesce(min even id, min odd id)`` is NOT plain min(id) wherever an
+    odd doc precedes an even duplicate numerically, so a hash-match proves
+    the two-phase state behavior, not just batch dedup. Replay idempotence
+    is pinned separately in the property suite."""
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    state = tempfile.mkdtemp(prefix="mrg_incdedup_")
+    a = dedup.incremental_exact_dedup(
+        d.filter(col("doc_id") % 2 == 0), state, "doc_id", "text"
+    )
+    b = dedup.incremental_exact_dedup(
+        d.filter(col("doc_id") % 2 == 1), state, "doc_id", "text"
+    )
+    return a.unionByName(b)
+
+
 # Prefix-filtered exact-Jaccard pair CTE chain (threshold 0.5) — the
 # lossless prefix filter (Xiao et al. WWW'08): a pair with Jaccard >= t must
 # share one of each side's (|d| - ceil(t*|d|) + 1) globally rarest shingles.

@@ -149,7 +149,11 @@ def test_q21_exists_pair_is_window_counts_single_fact_shuffle(spark, sf_dir):
     p = plan(spark, sf_dir, "q21_waiting_suppliers")
     assert "Window" in p, p
     assert "LeftSemi" in p, p
-    assert p.count("hashpartitioning(l_orderkey") == 1, p
+    # <= 1, not == 1 (ADVICE r3): the invariant is "no SECOND fact shuffle";
+    # an exact ==1 count against explain-string formatting breaks on Spark
+    # formatting changes or an AQE-inserted reuse marker without any real
+    # regression. The Window + LeftSemi assertions above carry the rest.
+    assert p.count("hashpartitioning(l_orderkey") <= 1, p
     assert "NestedLoop" not in p.replace("BroadcastNestedLoopJoin", ""), p
 
 

@@ -57,9 +57,16 @@ def build_input(n_copies: int) -> str:
 
 
 def wait_for_parts(out_dir: str, r: int, timeout: float) -> float:
-    """Wall time until R part files exist and stop growing."""
+    """Wall time until R part files exist and stop growing.
+
+    Completion requires the size tuple stable across THREE consecutive
+    0.2 s polls (ADVICE r3: a reducer pausing >0.2 s between flushes used
+    to end timing early and record a too-small reference_sec against a
+    truncated output)."""
     t0 = time.perf_counter()
     last = None
+    stable = 0
+    t_stable = 0.0
     while time.perf_counter() - t0 < timeout:
         try:
             parts = sorted(
@@ -74,7 +81,15 @@ def wait_for_parts(out_dir: str, r: int, timeout: float) -> float:
             # empty part files are legitimate (an md5 bucket can own zero
             # keys) — completion = all R parts present and sizes stable
             if sizes == last:
-                return time.perf_counter() - t0
+                stable += 1
+                if stable == 1:
+                    t_stable = time.perf_counter() - t0
+                if stable >= 3:
+                    # report the FIRST stable observation so the extra
+                    # confirmation polls don't pad reference_sec
+                    return t_stable
+            else:
+                stable = 0
             last = sizes
         time.sleep(0.2)
     raise TimeoutError(f"{out_dir}: {len(parts) if parts else 0}/{r} parts after {timeout}s")
