@@ -372,17 +372,31 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stand-in for dedup_jaccard_prefix's deliberately all-pairs driver oracle
 # (which verifies losslessness itself at sf0.01, where all-pairs is cheap).
 _PREFIX_PAIRS_CTES = f"""
-    WITH sets AS (
+    WITH sets AS MATERIALIZED (
         SELECT doc_id AS id, {_SHINGLES_SQL} AS shingles
         FROM documents
         WHERE len({_TOKS_SQL}) >= 3
-    ), postings AS (
+    ), postings AS MATERIALIZED (
         SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle
         FROM sets WHERE len(shingles) > 0
+    ), set_fps AS (
+        -- identical-set collapse, mirroring the Spark operator: exact-clone
+        -- families verify once through a representative and expand after
+        SELECT id, set_size,
+               md5(string_agg(shingle, chr(31) ORDER BY shingle)) AS set_fp
+        FROM postings GROUP BY id, set_size
+    ), reps AS (
+        SELECT set_fp, min(id) AS rep FROM set_fps GROUP BY 1
+    ), members AS MATERIALIZED (
+        SELECT s.set_fp, s.id, r.rep, s.set_size
+        FROM set_fps s JOIN reps r USING (set_fp)
+    ), rpost AS MATERIALIZED (
+        SELECT p.id, p.set_size, p.shingle
+        FROM postings p JOIN reps r ON p.id = r.rep
     ), with_df AS (
         SELECT id, set_size, shingle,
                count(*) OVER (PARTITION BY shingle) AS df
-        FROM postings
+        FROM rpost
     ), ranked AS (
         SELECT id, set_size, shingle,
                row_number() OVER (PARTITION BY id ORDER BY df, shingle) AS rn
@@ -400,14 +414,25 @@ _PREFIX_PAIRS_CTES = f"""
         SELECT c.id_a, c.id_b, a.set_size AS size_a, b.set_size AS size_b,
                count(*) AS n_common
         FROM cand c
-        JOIN postings a ON a.id = c.id_a
-        JOIN postings b ON b.id = c.id_b AND b.shingle = a.shingle
+        JOIN rpost a ON a.id = c.id_a
+        JOIN rpost b ON b.id = c.id_b AND b.shingle = a.shingle
         GROUP BY 1, 2, 3, 4
-    ), pairs AS (
+    ), rep_pairs AS (
         SELECT id_a, id_b, n_common,
                round(CAST(n_common AS DOUBLE) / (size_a + size_b - n_common), 6) AS jaccard
         FROM pair_counts
         WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= 0.5
+    ), pairs AS (
+        SELECT least(ma.id, mb.id) AS id_a, greatest(ma.id, mb.id) AS id_b,
+               rp.n_common, rp.jaccard
+        FROM rep_pairs rp
+        JOIN members ma ON ma.rep = rp.id_a
+        JOIN members mb ON mb.rep = rp.id_b
+        UNION ALL
+        SELECT m1.id AS id_a, m2.id AS id_b,
+               CAST(m1.set_size AS BIGINT) AS n_common, 1.0 AS jaccard
+        FROM members m1 JOIN members m2 USING (set_fp)
+        WHERE m1.id < m2.id
     )
 """
 

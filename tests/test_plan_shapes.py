@@ -440,6 +440,7 @@ BNLJ_ALLOWED = {
     "q22_global_sales_opportunity", # one-row avg balance scalar
     "quality_checks_relational",    # one-row expected-count scalars
     "text_tfidf_top_terms",         # one-row doc-count scalar
+    "window_ntile_quartiles",       # one-row quartile-edge frame (e1..e3)
 }
 
 
