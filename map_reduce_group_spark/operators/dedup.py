@@ -228,9 +228,30 @@ def ngram_jaccard_pairs(
             .filter(col("df") <= max_doc_freq)
             .drop("df")
         )
-    a = postings.select(col("id").alias("id_a"), col("set_size").alias("size_a"), "shingle")
-    b = postings.select(col("id").alias("id_b"), col("set_size").alias("size_b"), "shingle")
-    return (
+
+    # identical-set collapse (same lemma as jaccard_prefix_filter_pairs:
+    # byte-identical POST-CAP shingle sets have identical overlap with
+    # everything, so exact-clone families verify once through a
+    # representative — the g² clone-family blowup becomes g). The collapse
+    # key includes set_size: under a df-cap two docs can share the filtered
+    # set while differing in true set size, and set_size is the Jaccard
+    # denominator. NOTE df (when capped) is computed on the FULL postings
+    # above, before the collapse — the contract counts every document.
+    sets = postings.groupBy("id", "set_size").agg(
+        F.md5(F.concat_ws("\x1f", F.array_sort(F.collect_list("shingle")))).alias(
+            "set_fp"
+        ),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    reps = sets.groupBy("set_fp", "set_size").agg(F.min("id").alias("rep"))
+    members = sets.join(reps, ["set_fp", "set_size"]).select(
+        "set_fp", "set_size", "id", "rep", "n_kept"
+    )
+    rpost = postings.join(members.filter(col("id") == col("rep")).select("id"), "id")
+
+    a = rpost.select(col("id").alias("id_a"), col("set_size").alias("size_a"), "shingle")
+    b = rpost.select(col("id").alias("id_b"), col("set_size").alias("size_b"), "shingle")
+    rep_pairs = (
         a.join(b, "shingle")
         .filter(col("id_a") < col("id_b"))
         .groupBy("id_a", "id_b", "size_a", "size_b")
@@ -241,6 +262,39 @@ def ngram_jaccard_pairs(
         .filter(col("jaccard_raw") >= threshold)
         .select("id_a", "id_b", "n_common", F.round("jaccard_raw", 6).alias("jaccard"))
     )
+    ma = members.select(col("rep").alias("id_a"), col("id").alias("m_a"))
+    mb = members.select(col("rep").alias("id_b"), col("id").alias("m_b"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("m_a", "m_b").alias("id_a"),
+            F.greatest("m_a", "m_b").alias("id_b"),
+            "n_common",
+            "jaccard",
+        )
+    )
+    # within-group pairs share the whole FILTERED set (n_kept shingles);
+    # under a cap their measured Jaccard n_kept/(2s-n_kept) can be < 1 and
+    # must still clear the threshold, exactly as the all-pairs form computes
+    m1 = members.select("set_fp", "set_size", col("id").alias("id_a"), "n_kept")
+    m2 = members.select("set_fp", "set_size", col("id").alias("id_b"))
+    within = (
+        m1.join(m2, ["set_fp", "set_size"])
+        .filter(col("id_a") < col("id_b"))
+        .withColumn(
+            "jaccard_raw",
+            col("n_kept") / (col("set_size") * 2 - col("n_kept")),
+        )
+        .filter(col("jaccard_raw") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            col("n_kept").alias("n_common"),
+            F.round("jaccard_raw", 6).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def jaccard_prefix_filter_pairs(

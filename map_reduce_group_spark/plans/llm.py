@@ -436,6 +436,80 @@ _PREFIX_PAIRS_CTES = f"""
     )
 """
 
+def _clusters_scale_oracle(rounds: int = 12) -> str:
+    """At-scale DuckDB stand-in for dedup_clusters' recursive-CTE oracle:
+    the transitive-closure CTE materializes O(Σ component²) reach rows
+    (hopeless once near-dup families chain), so at replicated fixtures we
+    replay the same public algorithm the Spark side runs — identical-set
+    collapse, rep-level similarity edges, then min-label propagation WITH
+    pointer jumping (label := label[label] each round, so ``rounds`` = 12
+    covers any component diameter ≤ 2^12). Non-convergence cannot pass
+    silently: labels would differ from the driver oracle's closure and the
+    value hash would MISMATCH."""
+    sql = f"""
+    WITH sets AS MATERIALIZED (
+        SELECT doc_id AS id, {_SHINGLES_SQL} AS shingles
+        FROM documents
+        WHERE len({_TOKS_SQL}) >= 3
+    ), postings AS MATERIALIZED (
+        SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle
+        FROM sets WHERE len(shingles) > 0
+    ), set_fps AS (
+        SELECT id, set_size,
+               md5(string_agg(shingle, chr(31) ORDER BY shingle)) AS set_fp
+        FROM postings GROUP BY id, set_size
+    ), reps AS (
+        SELECT set_fp, set_size, min(id) AS rep FROM set_fps GROUP BY 1, 2
+    ), members AS MATERIALIZED (
+        SELECT s.set_fp, s.id, r.rep FROM set_fps s
+        JOIN reps r USING (set_fp, set_size)
+    ), rpost AS MATERIALIZED (
+        SELECT p.id, p.set_size, p.shingle
+        FROM postings p JOIN (SELECT DISTINCT rep FROM reps) r ON p.id = r.rep
+    ), rep_pairs AS MATERIALIZED (
+        SELECT id_a, id_b FROM (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   a.set_size AS size_a, b.set_size AS size_b,
+                   count(*) AS n_common
+            FROM rpost a JOIN rpost b USING (shingle)
+            WHERE a.id < b.id
+            GROUP BY 1, 2, 3, 4
+        ) WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= 0.05
+    ), redges AS MATERIALIZED (
+        SELECT id_a AS s, id_b AS d FROM rep_pairs
+        UNION ALL
+        SELECT id_b, id_a FROM rep_pairs
+    ), lab0 AS MATERIALIZED (
+        SELECT DISTINCT rep AS id, rep AS lab FROM reps
+    )"""
+    prev = "lab0"
+    for k in range(1, rounds + 1):
+        sql += f""",
+    nmin{k} AS MATERIALIZED (
+        SELECT l.id, least(l.lab, coalesce(min(n.lab), l.lab)) AS lab
+        FROM {prev} l
+        LEFT JOIN redges e ON e.s = l.id
+        LEFT JOIN {prev} n ON n.id = e.d
+        GROUP BY l.id, l.lab
+    ), lab{k} AS MATERIALIZED (
+        SELECT a.id, b.lab FROM nmin{k} a JOIN nmin{k} b ON b.id = a.lab
+    )"""
+        prev = f"lab{k}"
+    return sql + f""",
+    gsize AS (SELECT rep, count(*) AS g FROM members GROUP BY rep),
+    connected AS (SELECT DISTINCT s AS rep FROM redges)
+    -- only docs that appear in >= 1 similarity pair: members of a >= 2
+    -- clone group (within-group pairs at Jaccard 1) or of a rep with a
+    -- cross-group edge — matching connected_components' node set
+    SELECT m.id AS doc_id, l.lab AS cluster_id
+    FROM members m
+    JOIN {prev} l ON l.id = m.rep
+    JOIN gsize gs ON gs.rep = m.rep
+    LEFT JOIN connected c ON c.rep = m.rep
+    WHERE gs.g >= 2 OR c.rep IS NOT NULL
+    """
+
+
 # At-scale oracle stand-ins for tools/diff_scale.py: value-identical SQL that
 # applies the same public, provably-lossless pruning the Spark side uses, for
 # queries whose driver-facing oracle is deliberately naive/all-pairs (the
@@ -445,6 +519,7 @@ SCALE_ORACLES: dict[str, str] = {
     + """
     SELECT id_a, id_b, n_common, jaccard FROM pairs
     """,
+    "dedup_clusters": _clusters_scale_oracle(),
 }
 
 
