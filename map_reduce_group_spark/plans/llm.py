@@ -436,6 +436,76 @@ _PREFIX_PAIRS_CTES = f"""
     )
 """
 
+def _collapsed_pairs_sql(threshold: float, frac_cap: float | None = None) -> str:
+    """Collapse-based DuckDB twin of ngram_jaccard_pairs (optionally
+    df-capped): identical-set collapse before the inverted-index self-join,
+    expansion + within-group pairs after — value-identical to the naive
+    all-pairs form (proven by the sf0.01 hash-match against the unchanged
+    driver oracles) but linear in clone-family size, which is what makes
+    the 100× replicated fixture tractable for the oracle side too. The
+    df-cap, when present, is computed on the FULL postings before the
+    collapse (the contract counts every document), and the collapse key
+    includes set_size (under a cap the filtered set can coincide while the
+    Jaccard denominator differs)."""
+    cap = ""
+    if frac_cap is not None:
+        cap = f""", capped AS MATERIALIZED (
+        SELECT id, set_size, shingle FROM (
+            SELECT id, set_size, shingle,
+                   count(*) OVER (PARTITION BY shingle) AS df
+            FROM postings
+        )
+        WHERE df <= greatest(CAST(ceil({frac_cap} * (SELECT count(*) FROM documents)) AS BIGINT), 1)
+    )"""
+    src = "capped" if frac_cap is not None else "postings"
+    return f"""
+    WITH sets AS MATERIALIZED (
+        SELECT doc_id AS id, {_SHINGLES_SQL} AS shingles
+        FROM documents
+        WHERE len({_TOKS_SQL}) >= 3
+    ), postings AS MATERIALIZED (
+        SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle
+        FROM sets WHERE len(shingles) > 0
+    ){cap}, set_fps AS (
+        SELECT id, set_size, count(*) AS n_kept,
+               md5(string_agg(shingle, chr(31) ORDER BY shingle)) AS set_fp
+        FROM {src} GROUP BY id, set_size
+    ), reps AS (
+        SELECT set_fp, set_size, min(id) AS rep FROM set_fps GROUP BY 1, 2
+    ), members AS MATERIALIZED (
+        SELECT s.set_fp, s.set_size, s.id, s.n_kept, r.rep
+        FROM set_fps s JOIN reps r USING (set_fp, set_size)
+    ), rpost AS MATERIALIZED (
+        SELECT p.id, p.set_size, p.shingle
+        FROM {src} p JOIN (SELECT DISTINCT rep FROM reps) r ON p.id = r.rep
+    ), rep_pairs AS (
+        SELECT id_a, id_b, n_common,
+               round(CAST(n_common AS DOUBLE) / (size_a + size_b - n_common), 6) AS jaccard
+        FROM (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   a.set_size AS size_a, b.set_size AS size_b,
+                   count(*) AS n_common
+            FROM rpost a JOIN rpost b USING (shingle)
+            WHERE a.id < b.id
+            GROUP BY 1, 2, 3, 4
+        )
+        WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= {threshold}
+    )
+    SELECT least(ma.id, mb.id) AS id_a, greatest(ma.id, mb.id) AS id_b,
+           rp.n_common, rp.jaccard
+    FROM rep_pairs rp
+    JOIN members ma ON ma.rep = rp.id_a
+    JOIN members mb ON mb.rep = rp.id_b
+    UNION ALL
+    SELECT m1.id AS id_a, m2.id AS id_b,
+           CAST(m1.n_kept AS BIGINT) AS n_common,
+           round(CAST(m1.n_kept AS DOUBLE) / (2 * m1.set_size - m1.n_kept), 6) AS jaccard
+    FROM members m1 JOIN members m2 USING (set_fp, set_size)
+    WHERE m1.id < m2.id
+      AND CAST(m1.n_kept AS DOUBLE) / (2 * m1.set_size - m1.n_kept) >= {threshold}
+    """
+
+
 def _clusters_scale_oracle(rounds: int = 12) -> str:
     """At-scale DuckDB stand-in for dedup_clusters' recursive-CTE oracle:
     the transitive-closure CTE materializes O(Σ component²) reach rows
@@ -520,6 +590,8 @@ SCALE_ORACLES: dict[str, str] = {
     SELECT id_a, id_b, n_common, jaccard FROM pairs
     """,
     "dedup_clusters": _clusters_scale_oracle(),
+    "dedup_ngram_jaccard": _collapsed_pairs_sql(0.05),
+    "dedup_ngram_jaccard_capped": _collapsed_pairs_sql(0.05, frac_cap=0.01),
 }
 
 
