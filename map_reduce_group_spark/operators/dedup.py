@@ -167,6 +167,87 @@ def shingle_postings(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> D
     return postings.withColumn("set_size", F.count(F.lit(1)).over(Window.partitionBy("id")))
 
 
+def _collapsed_pair_structure(postings: DataFrame, threshold: float):
+    """Identical-set collapse shared by the exact-Jaccard family (same lemma
+    as jaccard_prefix_filter_pairs: byte-identical POST-CAP shingle sets
+    have identical overlap with everything, so exact-clone families verify
+    once through a representative — the g² clone-family blowup becomes g).
+    The collapse key includes set_size: under a df-cap two docs can share
+    the filtered set while differing in true set size, and set_size is the
+    Jaccard denominator.
+
+    Returns (members, rep_pairs):
+    - members: (set_fp, set_size, id, rep, n_kept) — one row per document,
+      ``rep`` = min(id) of its identical-set group, ``n_kept`` = size of
+      the (post-cap) shingle set;
+    - rep_pairs: (id_a, id_b, n_common, jaccard) — qualifying pairs at the
+      REPRESENTATIVE level (cross-group only; within-group pairs are
+      implicit: n_common = n_kept, jaccard = n_kept/(2·set_size − n_kept)).
+    """
+    sets = postings.groupBy("id", "set_size").agg(
+        F.md5(F.concat_ws("\x1f", F.array_sort(F.collect_list("shingle")))).alias(
+            "set_fp"
+        ),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    reps = sets.groupBy("set_fp", "set_size").agg(F.min("id").alias("rep"))
+    members = sets.join(reps, ["set_fp", "set_size"]).select(
+        "set_fp", "set_size", "id", "rep", "n_kept"
+    )
+    rpost = postings.join(members.filter(col("id") == col("rep")).select("id"), "id")
+
+    a = rpost.select(col("id").alias("id_a"), col("set_size").alias("size_a"), "shingle")
+    b = rpost.select(col("id").alias("id_b"), col("set_size").alias("size_b"), "shingle")
+    rep_pairs = (
+        a.join(b, "shingle")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .withColumn(
+            "jaccard_raw", col("n_common") / (col("size_a") + col("size_b") - col("n_common"))
+        )
+        .filter(col("jaccard_raw") >= threshold)
+        .select("id_a", "id_b", "n_common", F.round("jaccard_raw", 6).alias("jaccard"))
+    )
+    return members, rep_pairs
+
+
+def capped_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    max_doc_freq: int | None = None,
+    max_doc_frac: float | None = None,
+) -> DataFrame:
+    """Shingle postings with the optional df-cap applied — the shared input
+    of the exact-Jaccard family. df is computed on the FULL postings (the
+    contract counts every document) before any collapse downstream."""
+    if max_doc_freq is not None and max_doc_frac is not None:
+        raise ValueError("pass max_doc_freq or max_doc_frac, not both")
+    postings = shingle_postings(df, id_col, text_col, n)
+    if max_doc_frac is not None:
+        n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+        w_df = Window.partitionBy("shingle")
+        postings = (
+            postings.crossJoin(F.broadcast(n_docs))
+            .withColumn("df", F.count(F.lit(1)).over(w_df))
+            .filter(
+                col("df")
+                <= F.greatest(F.ceil(F.lit(max_doc_frac) * col("n_docs")), F.lit(1))
+            )
+            .drop("df", "n_docs")
+        )
+    elif max_doc_freq is not None:
+        w_df = Window.partitionBy("shingle")
+        postings = (
+            postings.withColumn("df", F.count(F.lit(1)).over(w_df))
+            .filter(col("df") <= max_doc_freq)
+            .drop("df")
+        )
+    return postings
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -206,62 +287,10 @@ def ngram_jaccard_pairs(
     double on both engines (identical IEEE result, oracle-stable). Default
     None = fully exact (oracle mode).
     """
-    if max_doc_freq is not None and max_doc_frac is not None:
-        raise ValueError("pass max_doc_freq or max_doc_frac, not both")
-    postings = shingle_postings(df, id_col, text_col, n)
-    if max_doc_frac is not None:
-        n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
-        w_df = Window.partitionBy("shingle")
-        postings = (
-            postings.crossJoin(F.broadcast(n_docs))
-            .withColumn("df", F.count(F.lit(1)).over(w_df))
-            .filter(
-                col("df")
-                <= F.greatest(F.ceil(F.lit(max_doc_frac) * col("n_docs")), F.lit(1))
-            )
-            .drop("df", "n_docs")
-        )
-    elif max_doc_freq is not None:
-        w_df = Window.partitionBy("shingle")
-        postings = (
-            postings.withColumn("df", F.count(F.lit(1)).over(w_df))
-            .filter(col("df") <= max_doc_freq)
-            .drop("df")
-        )
-
-    # identical-set collapse (same lemma as jaccard_prefix_filter_pairs:
-    # byte-identical POST-CAP shingle sets have identical overlap with
-    # everything, so exact-clone families verify once through a
-    # representative — the g² clone-family blowup becomes g). The collapse
-    # key includes set_size: under a df-cap two docs can share the filtered
-    # set while differing in true set size, and set_size is the Jaccard
-    # denominator. NOTE df (when capped) is computed on the FULL postings
-    # above, before the collapse — the contract counts every document.
-    sets = postings.groupBy("id", "set_size").agg(
-        F.md5(F.concat_ws("\x1f", F.array_sort(F.collect_list("shingle")))).alias(
-            "set_fp"
-        ),
-        F.count(F.lit(1)).alias("n_kept"),
+    postings = capped_postings(
+        df, id_col, text_col, n, max_doc_freq=max_doc_freq, max_doc_frac=max_doc_frac
     )
-    reps = sets.groupBy("set_fp", "set_size").agg(F.min("id").alias("rep"))
-    members = sets.join(reps, ["set_fp", "set_size"]).select(
-        "set_fp", "set_size", "id", "rep", "n_kept"
-    )
-    rpost = postings.join(members.filter(col("id") == col("rep")).select("id"), "id")
-
-    a = rpost.select(col("id").alias("id_a"), col("set_size").alias("size_a"), "shingle")
-    b = rpost.select(col("id").alias("id_b"), col("set_size").alias("size_b"), "shingle")
-    rep_pairs = (
-        a.join(b, "shingle")
-        .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .withColumn(
-            "jaccard_raw", col("n_common") / (col("size_a") + col("size_b") - col("n_common"))
-        )
-        .filter(col("jaccard_raw") >= threshold)
-        .select("id_a", "id_b", "n_common", F.round("jaccard_raw", 6).alias("jaccard"))
-    )
+    members, rep_pairs = _collapsed_pair_structure(postings, threshold)
     ma = members.select(col("rep").alias("id_a"), col("id").alias("m_a"))
     mb = members.select(col("rep").alias("id_b"), col("id").alias("m_b"))
     cross = (
@@ -580,9 +609,17 @@ def minhash_lsh_pairs(
     # spark.catalog.clearCache() between sweeps.
     from pyspark import StorageLevel
 
-    postings = shingle_postings(df, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    all_postings = shingle_postings(df, id_col, text_col, n)
+    # identical-set collapse (round 4, same lemma as the exact-Jaccard
+    # family): identical shingle sets have identical signatures, identical
+    # band buckets, and identical verification outcomes, so exact-clone
+    # families go through LSH once via a representative — candidates and
+    # verification stop scaling with the g² clone factor. Within-group
+    # pairs are always emitted (all bands collide, Jaccard exactly 1 ≥ t).
+    members, _ = _collapsed_pair_structure(all_postings, threshold=2.0)  # pairs unused
+    postings = all_postings.join(
+        members.filter(col("id") == col("rep")).select("id"), "id"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = _minhash_from_postings(postings, num_hashes, portable=portable)
     if portable:
         # bucket key = the band's raw signature slice joined as a string —
@@ -623,7 +660,7 @@ def minhash_lsh_pairs(
 
     pa = postings.select(col("id").alias("id_a"), col("set_size").alias("size_a"), "shingle")
     pb = postings.select(col("id").alias("id_b"), col("set_size").alias("size_b"), "shingle")
-    return (
+    rep_pairs = (
         cand.join(pa, "id_a")
         .join(pb, ["id_b", "shingle"])
         .groupBy("id_a", "id_b", "size_a", "size_b")
@@ -634,6 +671,25 @@ def minhash_lsh_pairs(
         .filter(col("jaccard_raw") >= threshold)
         .select("id_a", "id_b", F.round("jaccard_raw", 6).alias("jaccard"))
     )
+    ma = members.select(col("rep").alias("id_a"), col("id").alias("m_a"))
+    mb = members.select(col("rep").alias("id_b"), col("id").alias("m_b"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("m_a", "m_b").alias("id_a"),
+            F.greatest("m_a", "m_b").alias("id_b"),
+            "jaccard",
+        )
+    )
+    m1 = members.select("set_fp", "set_size", col("id").alias("id_a"))
+    m2 = members.select("set_fp", "set_size", col("id").alias("id_b"))
+    within = (
+        m1.join(m2, ["set_fp", "set_size"])
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(within)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, portable: bool = False) -> DataFrame:

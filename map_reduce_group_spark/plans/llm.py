@@ -592,6 +592,94 @@ SCALE_ORACLES: dict[str, str] = {
     "dedup_clusters": _clusters_scale_oracle(),
     "dedup_ngram_jaccard": _collapsed_pairs_sql(0.05),
     "dedup_ngram_jaccard_capped": _collapsed_pairs_sql(0.05, frac_cap=0.01),
+    # combinatorial census over the collapsed graph — same closed forms as
+    # the round-4 Spark builder; the naive expanded triangle join stays the
+    # sf0.01 driver oracle
+    "graph_triangle_census": f"""
+    WITH sets AS MATERIALIZED (
+        SELECT doc_id AS id, {_SHINGLES_SQL} AS shingles
+        FROM documents
+        WHERE len({_TOKS_SQL}) >= 3
+    ), postings AS MATERIALIZED (
+        SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle
+        FROM sets WHERE len(shingles) > 0
+    ), capped AS MATERIALIZED (
+        SELECT id, set_size, shingle FROM (
+            SELECT id, set_size, shingle,
+                   count(*) OVER (PARTITION BY shingle) AS df
+            FROM postings
+        )
+        WHERE df <= greatest(CAST(ceil(0.01 * (SELECT count(*) FROM documents)) AS BIGINT), 1)
+    ), set_fps AS (
+        SELECT id, set_size, count(*) AS n_kept,
+               md5(string_agg(shingle, chr(31) ORDER BY shingle)) AS set_fp
+        FROM capped GROUP BY id, set_size
+    ), reps AS (
+        SELECT set_fp, set_size, min(id) AS rep FROM set_fps GROUP BY 1, 2
+    ), members AS (
+        SELECT s.set_fp, s.set_size, s.id, s.n_kept, r.rep
+        FROM set_fps s JOIN reps r USING (set_fp, set_size)
+    ), rpost AS MATERIALIZED (
+        SELECT p.id, p.set_size, p.shingle
+        FROM capped p JOIN (SELECT DISTINCT rep FROM reps) r ON p.id = r.rep
+    ), rep_pairs AS MATERIALIZED (
+        SELECT id_a, id_b FROM (
+            SELECT a.id AS id_a, b.id AS id_b,
+                   a.set_size AS size_a, b.set_size AS size_b,
+                   count(*) AS n_common
+            FROM rpost a JOIN rpost b USING (shingle)
+            WHERE a.id < b.id
+            GROUP BY 1, 2, 3, 4
+        ) WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= 0.05
+    ), groups AS MATERIALIZED (
+        SELECT rep, count(*) AS g,
+               CASE WHEN CAST(any_value(n_kept) AS DOUBLE)
+                         / (2 * any_value(set_size) - any_value(n_kept)) >= 0.05
+                    THEN 1 ELSE 0 END AS w
+        FROM members GROUP BY rep
+    ), ewe AS MATERIALIZED (
+        SELECT e.id_a, e.id_b, ga.g AS g_a, ga.w AS w_a, gb.g AS g_b, gb.w AS w_b
+        FROM rep_pairs e
+        JOIN groups ga ON ga.rep = e.id_a
+        JOIN groups gb ON gb.rep = e.id_b
+    ), nbr AS (
+        SELECT rep, sum(gn) AS nmass FROM (
+            SELECT id_a AS rep, g_b AS gn FROM ewe
+            UNION ALL SELECT id_b, g_a FROM ewe
+        ) GROUP BY 1
+    ), deg AS (
+        SELECT g.rep, g.g, g.w, coalesce(n.nmass, 0) + g.w * (g.g - 1) AS d
+        FROM groups g LEFT JOIN nbr n USING (rep)
+    ), wed AS (
+        SELECT sum(g * ((d * (d - 1)) // 2)) AS n_wedges, sum(g) AS n_vertices
+        FROM deg WHERE d > 0
+    ), ec AS (
+        SELECT sum(g_a * g_b) AS cross_edges,
+               sum(w_a * ((g_a * (g_a - 1)) // 2) * g_b
+                   + w_b * ((g_b * (g_b - 1)) // 2) * g_a) AS tri_two
+        FROM ewe
+    ), wc AS (
+        SELECT sum(w * ((g * (g - 1)) // 2)) AS within_edges,
+               sum(w * ((g * (g - 1) * (g - 2)) // 6)) AS tri_one
+        FROM groups
+    ), t3 AS (
+        SELECT sum(e1.g_a * e1.g_b * g.g) AS tri_three
+        FROM ewe e1
+        JOIN rep_pairs e2 ON e2.id_a = e1.id_b
+        JOIN rep_pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+        JOIN groups g ON g.rep = e2.id_b
+    )
+    SELECT CAST(coalesce(w1.n_vertices, 0) AS BIGINT) AS n_vertices,
+           CAST(coalesce(ec.cross_edges, 0) + coalesce(wc.within_edges, 0) AS BIGINT) AS n_edges,
+           CAST(coalesce(w1.n_wedges, 0) AS BIGINT) AS n_wedges,
+           CAST(coalesce(t3.tri_three, 0) + coalesce(ec.tri_two, 0)
+                + coalesce(wc.tri_one, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN coalesce(w1.n_wedges, 0) = 0 THEN 0.0
+                ELSE 3.0 * CAST(coalesce(t3.tri_three, 0) + coalesce(ec.tri_two, 0)
+                                + coalesce(wc.tri_one, 0) AS DOUBLE)
+                     / CAST(w1.n_wedges AS DOUBLE) END AS clustering_coeff
+    FROM wed w1, ec, wc, t3
+    """,
 }
 
 
@@ -2255,49 +2343,130 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     division happens on two exact BIGINTs at the very end (rule 1). At
     100 TB the edge list is the near-dup pair output (orders of magnitude
     smaller than the corpus); the triangle join shuffles edge keys only.
-    Single-row summary output, driver-friendly at any scale."""
+    Single-row summary output, driver-friendly at any scale.
+
+    Round-4 scale rewrite: the census is computed COMBINATORIALLY over the
+    identical-set-collapsed graph instead of joining the expanded edge
+    list. An identical-set group of g docs is a g-clique (within-group
+    Jaccard n_kept/(2s−n_kept), when ≥ t) and a qualifying rep pair (a,b)
+    expands to a complete bipartite g_a×g_b — so every census statistic
+    has a closed form over the REP graph plus group sizes:
+
+      degree(member of a)  = Σ_{b∼a} g_b + w_a·(g_a−1)
+      n_edges              = Σ_{a∼b} g_a·g_b + Σ_a w_a·C(g_a,2)
+      n_wedges             = Σ_active g_a·C(d_a,2)
+      n_triangles          = Σ_{rep triangles} g_a·g_b·g_c
+                           + Σ_{a∼b} [w_a·C(g_a,2)·g_b + w_b·C(g_b,2)·g_a]
+                           + Σ_a w_a·C(g_a,3)
+
+    (w_a = within-group edges qualify; ∼ = rep edge.) Exact integers, and
+    the only triangle join runs over REP edges — on a clone-replicated
+    corpus that is smaller than the expanded edge list by the g² clone
+    factor (measured: the expanded-join plan burned 20+ min at the 100×
+    fixture; this completes with the rep graph at base-corpus scale). The
+    sf0.01 driver oracle stays the naive expanded triangle join, proving
+    the collapse changes nothing."""
     from pyspark import StorageLevel
 
     d = load_table(spark, sf_dir, "documents")
-    # the edge list feeds FIVE consumers (e1/e2/e3, degrees, edge count);
-    # persist so the inverted-index self-join runs once, not five times
-    # (same rationale + storage level as minhash_lsh_pairs' postings)
-    edges = (
-        dedup.ngram_jaccard_pairs(
-            d, "doc_id", "text", n=3, threshold=0.05, max_doc_frac=0.01
+    postings = dedup.capped_postings(
+        d, "doc_id", "text", n=3, max_doc_frac=0.01
+    )
+    members, rep_pairs = dedup._collapsed_pair_structure(postings, threshold=0.05)
+
+    groups = (
+        members.groupBy("rep", "set_size", "n_kept")
+        .agg(F.count(F.lit(1)).alias("g"))
+        .withColumn(
+            "w",
+            (
+                (col("n_kept") / (col("set_size") * 2 - col("n_kept"))) >= 0.05
+            ).cast("long"),
         )
-        .select("id_a", "id_b")
+        .select("rep", "g", "w")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    verts = (
-        edges.select(col("id_a").alias("id"))
-        .unionByName(edges.select(col("id_b").alias("id")))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("deg"))
+    redges = rep_pairs.select("id_a", "id_b").persist(StorageLevel.MEMORY_AND_DISK)
+
+    ga = groups.select(col("rep").alias("id_a"), col("g").alias("g_a"), col("w").alias("w_a"))
+    gb = groups.select(col("rep").alias("id_b"), col("g").alias("g_b"), col("w").alias("w_b"))
+    ewe = redges.join(ga, "id_a").join(gb, "id_b").persist(StorageLevel.MEMORY_AND_DISK)
+
+    # per-rep neighbor mass Σ g_b, then member degree d_a
+    nbr = (
+        ewe.select(col("id_a").alias("rep"), col("g_b").alias("gn"))
+        .unionByName(ewe.select(col("id_b").alias("rep"), col("g_a").alias("gn")))
+        .groupBy("rep")
+        .agg(F.sum("gn").alias("nmass"))
     )
-    e1 = edges.select(col("id_a").alias("a"), col("id_b").alias("b"))
-    e2 = edges.select(col("id_a").alias("b"), col("id_b").alias("c"))
-    e3 = edges.select(col("id_a").alias("a"), col("id_b").alias("c"))
-    tri = (
+    deg = (
+        groups.join(nbr, "rep", "left")
+        .select(
+            "rep",
+            "g",
+            "w",
+            (
+                F.coalesce(col("nmass"), F.lit(0)) + col("w") * (col("g") - 1)
+            ).alias("d"),
+        )
+    )
+    active = deg.filter(col("d") > 0)
+    # d·(d−1) div 2 in integer arithmetic (d can be large at scale; the
+    # double-division form loses exactness past 2^53)
+    wed = active.agg(
+        F.sum(col("g") * F.expr("(d * (d - 1)) div 2")).alias("n_wedges"),
+        F.sum("g").alias("n_vertices"),
+    )
+    edge_counts = ewe.agg(
+        F.sum(col("g_a") * col("g_b")).alias("cross_edges"),
+        F.sum(
+            col("w_a") * (col("g_a") * (col("g_a") - 1) / 2).cast("long") * col("g_b")
+            + col("w_b") * (col("g_b") * (col("g_b") - 1) / 2).cast("long") * col("g_a")
+        ).alias("tri_two_group"),
+    )
+    within_counts = groups.agg(
+        F.sum(col("w") * (col("g") * (col("g") - 1) / 2).cast("long")).alias("within_edges"),
+        F.sum(
+            col("w")
+            * (col("g") * (col("g") - 1) * (col("g") - 2) / 6).cast("long")
+        ).alias("tri_one_group"),
+    )
+    e1 = ewe.select(col("id_a").alias("a"), col("id_b").alias("b"), col("g_a"), col("g_b"))
+    e2 = redges.select(col("id_a").alias("b"), col("id_b").alias("c"))
+    e3 = redges.select(col("id_a").alias("a"), col("id_b").alias("c"))
+    gc = groups.select(col("rep").alias("c"), col("g").alias("g_c"))
+    tri3 = (
         e1.join(e2, "b")
         .join(e3, ["a", "c"])
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .join(gc, "c")
+        .agg(F.sum(col("g_a") * col("g_b") * col("g_c")).alias("tri_three_group"))
     )
-    wed = verts.agg(
-        F.sum((col("deg") * (col("deg") - 1) / 2).cast("long")).alias("n_wedges"),
-        F.count(F.lit(1)).alias("n_vertices"),
-    )
-    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     return (
-        tri.crossJoin(wed)
-        .crossJoin(n_edges)
+        wed.crossJoin(edge_counts)
+        .crossJoin(within_counts)
+        .crossJoin(tri3)
         .select(
-            col("n_vertices").cast("long").alias("n_vertices"),
-            col("n_edges").cast("long").alias("n_edges"),
-            col("n_wedges").cast("long").alias("n_wedges"),
-            col("n_triangles").cast("long").alias("n_triangles"),
-            F.when(col("n_wedges") == 0, F.lit(0.0))
-            .otherwise(F.lit(3.0) * col("n_triangles") / col("n_wedges"))
+            F.coalesce(col("n_vertices"), F.lit(0)).cast("long").alias("n_vertices"),
+            (
+                F.coalesce(col("cross_edges"), F.lit(0))
+                + F.coalesce(col("within_edges"), F.lit(0))
+            ).cast("long").alias("n_edges"),
+            F.coalesce(col("n_wedges"), F.lit(0)).cast("long").alias("n_wedges"),
+            (
+                F.coalesce(col("tri_three_group"), F.lit(0))
+                + F.coalesce(col("tri_two_group"), F.lit(0))
+                + F.coalesce(col("tri_one_group"), F.lit(0))
+            ).cast("long").alias("n_triangles"),
+            F.when(F.coalesce(col("n_wedges"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.lit(3.0)
+                * (
+                    F.coalesce(col("tri_three_group"), F.lit(0))
+                    + F.coalesce(col("tri_two_group"), F.lit(0))
+                    + F.coalesce(col("tri_one_group"), F.lit(0))
+                )
+                / col("n_wedges")
+            )
             .alias("clustering_coeff"),
         )
     )

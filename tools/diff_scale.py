@@ -43,6 +43,12 @@ SKIP_AT_SCALE: set[str] = set()
 def run_oracle_guarded(sql: str, sf_dir: str, timeout_s: float) -> "object":
     con = duckdb.connect()
     try:
+        # bound DuckDB below what the Spark JVM leaves free and give it a
+        # spill dir — the default (80% of RAM, no temp dir for :memory:
+        # connections) dies with "bad allocation" next to a 48g driver
+        con.execute(f"SET memory_limit='{os.environ.get('DIFF_DUCK_MEM', '40GB')}'")
+        os.makedirs("/tmp/duck_spill", exist_ok=True)
+        con.execute("SET temp_directory='/tmp/duck_spill'")
         for t in TABLES:
             path = os.path.join(sf_dir, f"{t}.parquet")
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
