@@ -383,7 +383,7 @@ _PREFIX_PAIRS_CTES = f"""
         -- identical-set collapse, mirroring the Spark operator: exact-clone
         -- families verify once through a representative and expand after
         SELECT id, set_size,
-               md5(string_agg(shingle, chr(31) ORDER BY shingle)) AS set_fp
+               concat(bit_xor(hash(shingle)), ':', sum(hash(shingle)::HUGEINT), ':', count(*)) AS set_fp
         FROM postings GROUP BY id, set_size
     ), reps AS (
         SELECT set_fp, min(id) AS rep FROM set_fps GROUP BY 1
@@ -468,7 +468,7 @@ def _collapsed_pairs_sql(threshold: float, frac_cap: float | None = None) -> str
         FROM sets WHERE len(shingles) > 0
     ){cap}, set_fps AS (
         SELECT id, set_size, count(*) AS n_kept,
-               md5(string_agg(shingle, chr(31) ORDER BY shingle)) AS set_fp
+               concat(bit_xor(hash(shingle)), ':', sum(hash(shingle)::HUGEINT), ':', count(*)) AS set_fp
         FROM {src} GROUP BY id, set_size
     ), reps AS (
         SELECT set_fp, set_size, min(id) AS rep FROM set_fps GROUP BY 1, 2
@@ -526,7 +526,7 @@ def _clusters_scale_oracle(rounds: int = 12) -> str:
         FROM sets WHERE len(shingles) > 0
     ), set_fps AS (
         SELECT id, set_size,
-               md5(string_agg(shingle, chr(31) ORDER BY shingle)) AS set_fp
+               concat(bit_xor(hash(shingle)), ':', sum(hash(shingle)::HUGEINT), ':', count(*)) AS set_fp
         FROM postings GROUP BY id, set_size
     ), reps AS (
         SELECT set_fp, set_size, min(id) AS rep FROM set_fps GROUP BY 1, 2
@@ -612,7 +612,7 @@ SCALE_ORACLES: dict[str, str] = {
         WHERE df <= greatest(CAST(ceil(0.01 * (SELECT count(*) FROM documents)) AS BIGINT), 1)
     ), set_fps AS (
         SELECT id, set_size, count(*) AS n_kept,
-               md5(string_agg(shingle, chr(31) ORDER BY shingle)) AS set_fp
+               concat(bit_xor(hash(shingle)), ':', sum(hash(shingle)::HUGEINT), ':', count(*)) AS set_fp
         FROM capped GROUP BY id, set_size
     ), reps AS (
         SELECT set_fp, set_size, min(id) AS rep FROM set_fps GROUP BY 1, 2
