@@ -58,7 +58,9 @@ def stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-decimal totals). State: one row per (window, event_type)."""
     stream = es.read_events_stream(spark, _events_stream_dir(sf_dir))
     return es.run_to_memory(
-        es.tumbling_counts(stream), f"q_stream_tumbling_{next(_COUNTER)}"
+        es.tumbling_counts(stream),
+        f"q_stream_tumbling_{next(_COUNTER)}",
+        state_partitions=8,
     )
 
 
@@ -91,7 +93,9 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     state machine must produce the identical session set."""
     stream = es.read_events_stream(spark, _events_stream_dir(sf_dir))
     return es.run_to_memory(
-        es.session_aggregate(stream), f"q_stream_sessions_{next(_COUNTER)}"
+        es.session_aggregate(stream),
+        f"q_stream_sessions_{next(_COUNTER)}",
+        state_partitions=8,
     )
 
 
@@ -115,7 +119,10 @@ def stream_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "ts", "value"
     )
     return es.run_to_memory(
-        deduped, f"q_stream_dedup_{next(_COUNTER)}", output_mode="append"
+        deduped,
+        f"q_stream_dedup_{next(_COUNTER)}",
+        output_mode="append",
+        state_partitions=8,
     )
 
 
@@ -140,6 +147,7 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         es.user_running_totals(stream),
         f"q_stream_totals_{next(_COUNTER)}",
         output_mode="update",
+        state_partitions=8,
     )
     return updates.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
@@ -201,7 +209,9 @@ def stream_synthetic_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
-    return es.run_to_memory(agg, f"q_stream_synth_{next(_COUNTER)}")
+    return es.run_to_memory(
+        agg, f"q_stream_synth_{next(_COUNTER)}", state_partitions=8
+    )
 
 
 @register(
@@ -230,4 +240,5 @@ def stream_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         es.purchases_after_clicks(stream, within="1 hour"),
         f"q_stream_attrib_{next(_COUNTER)}",
         output_mode="append",
+        state_partitions=8,
     )

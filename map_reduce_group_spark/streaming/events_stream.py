@@ -150,20 +150,44 @@ def user_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete") -> DataFrame:
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Execute a streaming query over all currently-available input
     (availableNow trigger) into an in-memory table; returns the result as a
     batch DataFrame. This is the harness used by tests to prove
-    batch/stream equivalence."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(name)
+    batch/stream equivalence.
+
+    ``state_partitions`` sizes the state store: streaming state is
+    partitioned by ``spark.sql.shuffle.partitions`` AT STREAM START (baked
+    into the checkpoint; AQE cannot coalesce it), and every micro-batch
+    commits every store — a stream-stream join commits 4 internal stores
+    per partition per batch. Profiled on the interval join at sf0.1:
+    32 partitions = 128 store commits/batch over ~40k state rows, 13.8 s
+    wall; 8 partitions = 2.6 s (5.3x), identical output. Size it to state
+    VOLUME (tens of MB per store before splitting further), not to core
+    count — at 100 TB state you raise it; at bench scale the machinery
+    dominates. Scoped set/restore so batch queries keep the session value."""
+    spark = stream_df.sparkSession
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", saved)
+    return spark.table(name)
 
 
 def enrich_with_static(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
