@@ -17,9 +17,11 @@ Scale shape (classic two-phase sketch reduce):
    the d hashed cells — an UPPER bound on the true count, within εN with
    probability 1−δ) and ranked.
 
-Hashing is md5-derived and engine-deterministic; the sketch contents are
-still registered rows-only (the estimate depends on sketch geometry, not
-SQL-expressible semantics) with the property suite pinning the guarantees:
+Hashing is md5-derived and engine-deterministic, so the merged MATRIX is
+fully oracle-checkable (:func:`cms_sketch_cells` — a DuckDB twin rebuilds
+the identical matrix from exact counts); only the heavy-hitter RANKING
+stays rows-only (its candidate pool is Arrow-batch-local, so the tail can
+vary with partitioning), with the property suite pinning the guarantees:
 estimate ≥ true count, planted heavy hitters recovered in order.
 """
 
@@ -38,6 +40,53 @@ from pyspark.sql.functions import col
 def _cell(key: str, row: int, width: int) -> int:
     h = hashlib.md5(f"{row}:{key}".encode()).digest()
     return int.from_bytes(h[:8], "big") % width
+
+
+def cms_sketch_cells(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """The merged count-min matrix itself, as ``(cell, cnt)`` rows with
+    ``cell = row·width + column`` and only nonzero cells emitted.
+
+    This is the DETERMINISTIC core of the sketch — md5-derived cell
+    hashing plus linear mergeability — split out as a first-class result
+    so an independent engine can replay it: the matrix a distributed
+    sketch build produces must equal the matrix built from exact key
+    counts (CMS is linear: Σ_batches sketch(batch) = sketch(Σ batches)),
+    and every cell address is ``int(md5('{row}:{key}')[:8]) % width`` in
+    both engines. Unlike the heavy-hitter ranking (whose candidate pool
+    is Arrow-batch-local, hence rows-only), the matrix does not depend on
+    partitioning at all.
+
+    Scale shape: one Arrow pass emits ≤ d·w rows per batch regardless of
+    input size or key cardinality; one groupBy(cell) merges them. Output
+    is bounded by d·w (4096 cells at the default geometry) at ANY data
+    scale — the fixed-size-summary property that makes the sketch usable
+    where the key space itself cannot be shuffled."""
+    keys = df.select(col(key_col).cast("string").alias("key"))
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            counts = pdf["key"].value_counts()
+            mat = np.zeros((depth, width), dtype=np.int64)
+            for key, n in counts.items():
+                for r in range(depth):
+                    mat[r, _cell(key, r, width)] += n
+            cells = np.nonzero(mat)
+            yield pd.DataFrame(
+                {
+                    "cell": (cells[0] * width + cells[1]).astype(np.int64),
+                    "cnt": mat[cells],
+                }
+            )
+
+    return (
+        keys.mapInPandas(partials, "cell long, cnt long")
+        .groupBy("cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
 
 
 def cms_heavy_hitters(

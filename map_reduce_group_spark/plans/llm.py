@@ -2102,6 +2102,43 @@ def sample_stratified_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sketch_cms_cells",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+    ), counts AS (
+        SELECT CAST(tok AS VARCHAR) AS key, count(*) AS n FROM toks GROUP BY 1
+    ), cells AS (
+        SELECT CAST(r.r * 1024 AS BIGINT)
+               + CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || key), 1, 16))::UBIGINT % 1024 AS BIGINT)
+               AS cell,
+           sum(n) AS cnt
+        FROM counts CROSS JOIN range(0, 4) r(r)
+        GROUP BY 1
+    )
+    SELECT cell, CAST(cnt AS BIGINT) AS cnt FROM cells
+    """,
+)
+def sketch_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merged 4×1024 count-min matrix over the corpus token stream
+    (operators/sketches.py:cms_sketch_cells) — the deterministic core of
+    the sketch under the full oracle gate: the matrix assembled from
+    per-batch partial sketches (one Arrow pass, ≤ d·w rows per batch, one
+    groupBy merge) must equal the matrix DuckDB rebuilds from EXACT token
+    counts, because CMS is linear and every cell address is the same
+    ``int(md5('{{row}}:{{key}}')[:8]) % width`` in both engines. Output is
+    bounded by d·w = 4096 rows at any data scale — the fixed-size-summary
+    property that makes the sketch usable where the key space cannot be
+    shuffled. The heavy-hitter ranking on top stays rows-only
+    (`sketch_heavy_hitter_tokens`: Arrow-batch-local candidate pool)."""
+    from map_reduce_group_spark.operators.sketches import cms_sketch_cells
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("tok"))
+    return cms_sketch_cells(toks, "tok", depth=4, width=1024)
+
+
 @register("sketch_heavy_hitter_tokens")  # batch-local candidates -> rows-only
 def sketch_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters over the corpus token stream
