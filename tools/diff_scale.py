@@ -73,6 +73,10 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.driver.memory", os.environ.get("DIFF_DRIVER_MEM", "48g"))
+        # the harness COLLECTS full result sets for value comparison — at a
+        # replicated 100x fixture a pair-family query's result alone can
+        # exceed the 1g default (simhash at 100x: 1.2 GiB of task results)
+        .config("spark.driver.maxResultSize", os.environ.get("DIFF_MAX_RESULT", "16g"))
         .getOrCreate()
     )
     import __spark_entry__ as e
