@@ -122,6 +122,100 @@ def pagerank(
     return ranks.select("id", "rank")
 
 
+def pagerank_fixed(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 8,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Fixed-point integer PageRank — bit-exact across engines.
+
+    Same power iteration and plan shape as :func:`pagerank`, but every
+    quantity is a BIGINT in units of ``1/scale`` and every division is
+    integer division, so the result is independent of summation order and
+    an independent SQL engine replays it exactly (the float version's rank
+    bits are partition-order-private — the reason it is rows-only):
+
+        r0(v)       = scale div n
+        contrib(v)  = Σ_{u→v} r(u) div deg(u)
+        r'(v)       = (den−num)·scale div (den·n)
+                      + num·(contrib(v) + dang div n) div den
+
+    with ``dang = Σ r(u)`` over out-degree-0 vertices. Truncation sheds a
+    few units of mass per round (deterministically); ranks stay within
+    [0, scale], and ``num·(…)`` peaks below 2·den·scale ≈ 2·10¹⁴ — no
+    BIGINT overflow. Same co-partitioned per-round joins, observe()-based
+    dangling mass (one job per round) and localCheckpoint lineage cuts as
+    the float operator. Returns (id, rank_micro: long).
+    """
+    from pyspark.sql import Observation
+
+    e = (
+        edges.select(col(src).alias("src"), col(dst).alias("dst"))
+        .distinct()
+        .repartition(col("src"))
+        .localCheckpoint(eager=True)
+    )
+    degrees = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    contrib_edges = (
+        e.join(degrees, "src").select("src", "dst", "deg").localCheckpoint(eager=True)
+    )
+    out_ids = e.select("src").distinct().withColumn("has_out", F.lit(True))
+    vertices = (
+        e.select(col("src").alias("id"))
+        .unionByName(e.select(col("dst").alias("id")))
+        .distinct()
+        .join(out_ids, F.col("id") == out_ids.src, "left")
+        .select("id", F.coalesce("has_out", F.lit(False)).alias("has_out"))
+        .repartition(col("id"))
+        .localCheckpoint(eager=True)
+    )
+    n = vertices.count()
+    if n == 0:
+        return vertices.select("id", F.lit(0).cast("long").alias("rank_micro"))
+
+    base = (damping_den - damping_num) * scale // (damping_den * n)
+    ranks = vertices.select(
+        "id", "has_out", F.lit(scale // n).cast("long").alias("rank")
+    )
+    dang = (n - vertices.filter(col("has_out")).count()) * (scale // n)
+    for _ in range(iters):
+        contribs = (
+            contrib_edges.join(ranks, contrib_edges.src == ranks.id)
+            .select("dst", F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dang_share = dang // n
+        obs = Observation()
+        ranks = (
+            vertices.join(contribs, vertices.id == contribs.dst, "left")
+            .select(
+                "id",
+                "has_out",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr(
+                        f"({damping_num} * (coalesce(contrib, 0) + {dang_share}))"
+                        f" div {damping_den}"
+                    )
+                ).alias("rank"),
+            )
+            .observe(
+                obs,
+                F.sum(
+                    F.when(~col("has_out"), col("rank")).otherwise(F.lit(0))
+                ).alias("dang"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        dang = int(obs.get["dang"] or 0)
+    return ranks.select("id", col("rank").alias("rank_micro"))
+
+
 def connected_components(
     pairs: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
 ) -> DataFrame:

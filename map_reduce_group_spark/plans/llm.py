@@ -1386,16 +1386,95 @@ def doc_bpe_merges64(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(d, "text", n_merges=64)
 
 
-@register("graph_pagerank_simgraph")  # float-sum order engine-private -> rows-only
+def _pagerank_fixed_sql(iters: int = 8, scale: int = 10**12) -> str:
+    """Unrolled-CTE DuckDB twin of operators/clusters.pagerank_fixed over
+    the 0.02-df-capped, threshold-0.3 similarity graph. Every stage is
+    BIGINT arithmetic with integer division, so the ranks match Spark's
+    bit-for-bit; MATERIALIZED CTEs stop the per-iteration double reference
+    (contrib + dangling) from inlining exponentially (the BPE-oracle
+    lesson)."""
+    head = f"""
+    WITH sets AS (
+        SELECT doc_id AS id, {_SHINGLES_SQL} AS shingles
+        FROM documents
+        WHERE len({_TOKS_SQL}) >= 3
+    ), postings AS (
+        SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle
+        FROM sets WHERE len(shingles) > 0
+    ), capped AS (
+        SELECT id, set_size, shingle FROM (
+            SELECT id, set_size, shingle,
+                   count(*) OVER (PARTITION BY shingle) AS df
+            FROM postings
+        )
+        WHERE df <= greatest(CAST(ceil(0.02 * (SELECT count(*) FROM documents)) AS BIGINT), 1)
+    ), pair_counts AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               a.set_size AS size_a, b.set_size AS size_b,
+               count(*) AS n_common
+        FROM capped a JOIN capped b USING (shingle)
+        WHERE a.id < b.id
+        GROUP BY 1, 2, 3, 4
+    ), pairs AS (
+        SELECT id_a, id_b FROM pair_counts
+        WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= 0.3
+    ), edges AS MATERIALIZED (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ), deg AS MATERIALIZED (
+        SELECT src, count(*) AS deg FROM edges GROUP BY src
+    ), verts AS MATERIALIZED (
+        SELECT src AS id FROM edges UNION SELECT dst AS id FROM edges
+    ), nn AS MATERIALIZED (
+        SELECT count(*) AS n FROM verts
+    ), r0 AS MATERIALIZED (
+        SELECT id, CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS rank
+        FROM verts
+    )"""
+    steps = []
+    for k in range(1, iters + 1):
+        p = k - 1
+        steps.append(f""", dang{p} AS MATERIALIZED (
+        SELECT CAST(COALESCE(sum(r.rank), 0) AS BIGINT) AS dang
+        FROM r{p} r LEFT JOIN deg d ON d.src = r.id
+        WHERE d.src IS NULL
+    ), r{k} AS MATERIALIZED (
+        SELECT v.id,
+               CAST({15 * scale} // (100 * (SELECT n FROM nn)) AS BIGINT)
+               + CAST((85 * (COALESCE(c.contrib, 0)
+                             + (SELECT dang FROM dang{p}) // (SELECT n FROM nn)))
+                      // 100 AS BIGINT) AS rank
+        FROM verts v LEFT JOIN (
+            SELECT e.dst AS id, CAST(sum(r.rank // d.deg) AS BIGINT) AS contrib
+            FROM edges e
+            JOIN deg d ON d.src = e.src
+            JOIN r{p} r ON r.id = e.src
+            GROUP BY e.dst
+        ) c USING (id)
+    )""")
+    return head + "".join(steps) + f"""
+    SELECT id, rank AS rank_micro FROM r{iters}
+    """
+
+
+@register("graph_pagerank_simgraph", oracle=_pagerank_fixed_sql())
 def graph_pagerank_simgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank centrality over the n-gram-similarity graph
-    (operators/clusters.py:pagerank, 10 damped power iterations) — the
+    """PageRank centrality over the n-gram-similarity graph — the
     link-centrality signal corpus curation uses for authority scoring
     (Common-Crawl-style host ranking). Similarity pairs become symmetric
     edges; high-rank docs sit at the center of large duplicate/boilerplate
     families — the same families dedup_clusters identifies, now with a
-    graded importance score. Rows-only: rank bits depend on float summation
-    order; semantics pinned by closed-form property tests."""
+    graded importance score.
+
+    Round-4 recontract (VERDICT r3 #2 pattern): fixed-point integer
+    PageRank (operators/clusters.py:pagerank_fixed — BIGINT micro-units,
+    integer division everywhere) replaces the float power iteration in the
+    REGISTERED query, so the full 8-iteration computation is replayed
+    bit-exactly by the DuckDB unrolled-CTE oracle — summation order no
+    longer matters, which is precisely what made the float form rows-only.
+    The float operator remains the library default (one fewer multiply per
+    edge); closed-form property tests pin both."""
     d = load_table(spark, sf_dir, "documents")
     # fractional df-cap (rule 7): an absolute cap goes empty-graph as the
     # corpus grows (clone families push every shingle's df past it)
@@ -1405,10 +1484,9 @@ def graph_pagerank_simgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         col("id_a").alias("src"), col("id_b").alias("dst")
     ).unionByName(pairs.select(col("id_b").alias("src"), col("id_a").alias("dst")))
-    from map_reduce_group_spark.operators.clusters import pagerank
+    from map_reduce_group_spark.operators.clusters import pagerank_fixed
 
-    ranks = pagerank(edges, iters=8)
-    return ranks.select("id", F.round(col("rank"), 8).alias("rank"))
+    return pagerank_fixed(edges, iters=8)
 
 
 @register(

@@ -657,6 +657,57 @@ def test_pagerank_closed_forms_and_mass(spark):
     assert empty.collect() == [] and dict(empty.dtypes) == {"id": "bigint", "rank": "double"}
 
 
+def test_pagerank_fixed_matches_integer_reference_model(spark):
+    """pagerank_fixed (the oracle-checked registered contract) must equal a
+    serial integer reference model EXACTLY — the point of the fixed-point
+    recontract is that summation order cannot change a single unit — and
+    stay within one float ulp-scale tolerance of the float operator's
+    semantics."""
+    from map_reduce_group_spark.operators.clusters import pagerank, pagerank_fixed
+
+    edges = [(1, 3), (2, 3), (3, 1), (1, 2)]  # mixed degrees, no dangler
+    df = spark.createDataFrame(edges, "src long, dst long")
+    S, ITERS = 10**12, 8
+
+    # serial integer reference
+    from collections import defaultdict
+
+    out = defaultdict(list)
+    for s, d in edges:
+        out[s].append(d)
+    verts = sorted({v for e in edges for v in e})
+    n = len(verts)
+    r = {v: S // n for v in verts}
+    for _ in range(ITERS):
+        dang = sum(r[v] for v in verts if not out[v])
+        contrib = defaultdict(int)
+        for s, ds in out.items():
+            for d in ds:
+                contrib[d] += r[s] // len(ds)
+        r = {
+            v: (15 * S) // (100 * n) + (85 * (contrib[v] + dang // n)) // 100
+            for v in verts
+        }
+
+    got = {row["id"]: row["rank_micro"] for row in pagerank_fixed(df, iters=ITERS).collect()}
+    assert got == r
+    # partitioning cannot move a unit (integer sums are order-free)
+    again = {
+        row["id"]: row["rank_micro"]
+        for row in pagerank_fixed(df.repartition(5), iters=ITERS).collect()
+    }
+    assert again == r
+    # agrees with the float operator to quantization tolerance
+    flt = {row["id"]: row["rank"] for row in pagerank(df, iters=ITERS).collect()}
+    for v in verts:
+        assert abs(got[v] / S - flt[v]) < 1e-6
+
+    # dangling mass still redistributed in the integer path
+    star = spark.createDataFrame([(1, 3), (2, 3)], "src long, dst long")
+    ranks = {r_["id"]: r_["rank_micro"] for r_ in pagerank_fixed(star, iters=5).collect()}
+    assert ranks[3] > ranks[1] == ranks[2] > 0
+
+
 def test_cms_heavy_hitters_guarantees(spark):
     """Count-min guarantees (rows-only query contract): planted heavy
     hitters are recovered in frequency order, every estimate upper-bounds

@@ -242,6 +242,7 @@ RECONTRACTED: set[str] = {
     "dedup_minhash_lsh",    # xxhash64 -> portable md5-derived 60-bit minhash
     "dedup_simhash",        # 64-bit xxhash64 -> portable 60-bit signature
     "embed_kmeans_assign",  # float Lloyd -> fixed-point int8 Lloyd (dist2)
+    "graph_pagerank_simgraph",  # float power iteration -> fixed-point BIGINT
 }
 
 
