@@ -47,8 +47,13 @@ def run_oracle_guarded(sql: str, sf_dir: str, timeout_s: float) -> "object":
         # spill dir — the default (80% of RAM, no temp dir for :memory:
         # connections) dies with "bad allocation" next to a 48g driver
         con.execute(f"SET memory_limit='{os.environ.get('DIFF_DUCK_MEM', '40GB')}'")
-        os.makedirs("/tmp/duck_spill", exist_ok=True)
-        con.execute("SET temp_directory='/tmp/duck_spill'")
+        # PER-PROCESS spill dir: two concurrent harness runs sharing one
+        # temp_directory clash on DuckDB's temp-file names and read each
+        # other's spilled blocks — observed as a bogus INT64-overflow with
+        # (k<<56)-patterned garbage operands during a concurrent sweep
+        spill = f"/tmp/duck_spill/{os.getpid()}"
+        os.makedirs(spill, exist_ok=True)
+        con.execute(f"SET temp_directory='{spill}'")
         for t in TABLES:
             path = os.path.join(sf_dir, f"{t}.parquet")
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
