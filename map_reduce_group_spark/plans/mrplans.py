@@ -94,11 +94,32 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_fake_features")  # mapInPandas plumbing — rows-only check
+@register(
+    "multimodal_fake_features",
+    oracle="""
+    WITH b AS (
+        SELECT doc_id AS id, hex(encode(text)) AS hx,
+               octet_length(encode(text)) AS n
+        FROM documents
+    )
+    SELECT id,
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST(coalesce(list_sum(list_transform(range(0, n),
+                i -> ('0x' || substr(hx, CAST(2*i + 1 AS BIGINT), 2))::BIGINT)),
+                0) % 1000003 AS BIGINT) AS byte_sum,
+           CAST(('0x' || rpad(substr(hx, 1, 16), 16, '0'))::UBIGINT
+                % 2147483648 AS BIGINT) AS head_hash
+    FROM b
+    """,
+)
 def multimodal_fake_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas featurization over binary payloads with a
     deterministic decode-free featurizer (real codecs stubbed — see
-    operators/multimodal.py)."""
+    operators/multimodal.py). Oracle-checked (upgraded from rows-only): the
+    featurizer is pure integer math on the payload bytes — length, byte sum
+    mod 1000003, first-8-bytes big-endian mod 2^31 — which DuckDB rebuilds
+    byte-for-byte from hex(encode(text)), so the whole Arrow round trip
+    (string→binary encode, batch slicing, schema) is under the hash gate."""
     d = load_table(spark, sf_dir, "documents")
     media = multimodal.to_media_column(d, "doc_id", "text", "text/plain")
     return multimodal.fake_features(media)

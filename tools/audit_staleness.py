@@ -243,6 +243,7 @@ RECONTRACTED: set[str] = {
     "dedup_simhash",        # 64-bit xxhash64 -> portable 60-bit signature
     "embed_kmeans_assign",  # float Lloyd -> fixed-point int8 Lloyd (dist2)
     "graph_pagerank_simgraph",  # float power iteration -> fixed-point BIGINT
+    "multimodal_fake_features",  # rows-only -> full oracle (hex byte math)
 }
 
 
