@@ -1,0 +1,238 @@
+"""Capped suffix array over token sequences and cross-document
+longest-shared-span extraction.
+
+Why a suffix array: the fingerprint span passes (operators/dedup.py:
+duplicated_spans / cut_duplicated_spans) detect duplication at a FIXED
+n-gram length; the suffix array answers the variable-length question —
+"what is the LONGEST token span this document shares verbatim with any
+other document?" — the exact-substring primitive of Lee et al. 2021
+(arXiv:2107.06499), who build a corpus suffix array for exactly this.
+The reference has no corpus tooling; this belongs to the training-data-
+pipeline mandate (COVERAGE.md §LLM).
+
+Spark-first shape — exact (no hashing), every stage parallel, ~6 jobs:
+
+1. **Vocabulary ranking.** Distinct tokens get an order-preserving dense
+   id via the two-phase global rank below — a VOCABULARY-scale sort (31
+   words here, ~10⁷-10⁸ on a real corpus), never a corpus-scale one.
+2. **Fixed-width suffix keys.** Each document becomes its ordered id
+   array (groupBy + array_sort; field extraction via ``ps.tid`` is the
+   native GetArrayStructFields, not a lambda); each suffix carries
+   ``slice(ids, pos+1, cap)`` — a ≤cap·4-byte int array replacing the
+   variable-width token text. This is the one deliberate size trade:
+   suffix rows are ~cap×4 B wide for ONE range sort, instead of the
+   prefix-doubling construction's O(log cap) corpus-wide shuffle rounds
+   (that variant — 6 doubling rounds + rank-table LCP descent — is in git
+   history; it wins only when cap must grow past ~64).
+3. **One range sort = the suffix array.** Suffixes order by their prefix
+   array (Spark array ordering is lexicographic, shorter-prefix-first —
+   exactly truncated-suffix semantics). RangePartitioner cannot key on
+   arrays, so the range split uses the first 4 ids as scalar columns
+   (order-consistent: ids are positive, try_element_at pads with NULLS
+   FIRST) and the full array only inside each disjoint range. Dense rank
+   (equal prefix ⟺ equal rank) and row number come out of the same
+   single sort pass with two tiny offset tables.
+4. **Nearest other-document neighbors.** Gaps-and-islands over per-doc
+   runs in SA order: the suffix just beyond a maximal same-doc run is by
+   construction from another document, and the SA-adjacency argument
+   makes it attain the per-suffix max cross-doc LCP (everything between
+   a suffix and its best partner shares at least that prefix).
+5. **LCP by power-of-two slice descent — zero joins.** Both prefix
+   arrays ride the neighbor pair, so ``lcp += n if slice(a,lcp+1,n) ==
+   slice(b,lcp+1,n)`` for n = 16,8,4,2,1 is five chained native
+   ArraySlice/EqualTo projections (whole-stage codegen; CLAUDE.md rule 2
+   — no interpreted higher-order functions). No length guards needed:
+   unequal-length partial slices compare unequal, and the only case two
+   truncated slices compare equal-but-short is full-suffix equality,
+   which the dense-rank-equality branch answers first with the true
+   remaining length.
+
+Cap: spans report ``least(actual, cap)`` (default 32). "Shares ≥ 32
+tokens verbatim" IS the dedup/contamination signal at 100 TB (Lee et al.
+cut at 50 BPE tokens).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+from pyspark.sql.functions import col
+
+from map_reduce_group_spark.operators.text import tokens
+
+# range-partition on the first k prefix ids (scalar, order-consistent with
+# the full-array ordering); 4 ids distinguish ranges long before cap does
+_RANGE_KEY_IDS = 4
+
+
+def global_rank(
+    df: DataFrame, key_cols: list[str], out_col: str, dense: bool
+) -> DataFrame:
+    """Global ``dense_rank`` (dense=True) or ``row_number`` (dense=False)
+    over ``key_cols`` with every stage parallel.
+
+    Two phases: ``repartitionByRange`` on the keys (sampled range bounds —
+    disjoint, balanced, equal keys co-located), a local window rank inside
+    each range partition, and a cumulative offset from a ≤-#partitions-row
+    count table (whose own window runs over that tiny table only). Ranks
+    are 1-based, deterministic, and identical to a global window's —
+    without the single-task sort a bare ``Window.orderBy`` would cost.
+    """
+    keys = [col(c) for c in key_cols]
+    ranged = df.repartitionByRange(*keys).withColumn("_pid", F.spark_partition_id())
+    w = Window.partitionBy("_pid").orderBy(*keys)
+    local = (F.dense_rank() if dense else F.row_number()).over(w)
+    # localCheckpoint: _pid is consumed by BOTH the count aggregation and
+    # the main join below; without pinning one materialization, AQE may
+    # re-plan the range exchange differently per consumer (coalesced
+    # partition counts, resampled boundaries) and the two sides disagree
+    # on partition ids — offsets silently mis-add (seen at local[32])
+    with_local = ranged.withColumn("_lr", local).localCheckpoint()
+    agg = F.countDistinct(*keys) if dense else F.count(F.lit(1))
+    counts = with_local.groupBy("_pid").agg(agg.alias("_n"))
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid", F.coalesce(F.sum("_n").over(wo), F.lit(0)).alias("_off")
+    )
+    return (
+        with_local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (col("_lr") + col("_off")).cast("long"))
+        .drop("_pid", "_lr", "_off")
+    )
+
+
+def _sa_order(suf: DataFrame) -> DataFrame:
+    """Suffix-array order for rows carrying a ``pref`` int-array key:
+    adds ``grank`` (global dense rank of pref — equal ⟺ identical
+    truncated prefix) and ``rn`` (global row number, ties (doc_id, pos)),
+    both from ONE range-sort pass (two local windows share the sort)."""
+    rk = [
+        F.try_element_at("pref", F.lit(i + 1)).alias(f"_rk{i}")
+        for i in range(_RANGE_KEY_IDS)
+    ]
+    rk_names = [f"_rk{i}" for i in range(_RANGE_KEY_IDS)]
+    ranged = (
+        suf.select("*", *rk)
+        .repartitionByRange(*[col(c) for c in rk_names])
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    wrn = Window.partitionBy("_pid").orderBy("pref", "doc_id", "pos")
+    wgr = Window.partitionBy("_pid").orderBy("pref")
+    # localCheckpoint: same double-consumer pinning as global_rank
+    with_local = (
+        ranged.withColumn("_lrn", F.row_number().over(wrn))
+        .withColumn("_lgr", F.dense_rank().over(wgr))
+        .localCheckpoint()
+    )
+    counts = with_local.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("_cn"), F.countDistinct("pref").alias("_cd")
+    )
+    wo = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cn").over(wo), F.lit(0)).alias("_on"),
+        F.coalesce(F.sum("_cd").over(wo), F.lit(0)).alias("_od"),
+    )
+    return (
+        with_local.join(F.broadcast(offsets), "_pid")
+        .withColumn("rn", (col("_lrn") + col("_on")).cast("long"))
+        .withColumn("grank", (col("_lgr") + col("_od")).cast("long"))
+        .drop("_pid", "_lrn", "_lgr", "_on", "_od", *rk_names)
+    )
+
+
+def cross_doc_longest_spans(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", cap: int = 32
+) -> DataFrame:
+    """Per document: the length (in tokens, capped at ``cap``) of the
+    longest token span shared verbatim with a DIFFERENT document —
+    (doc_id, max_shared_len), one row per input document, 0 when nothing
+    is shared. Exact (rank/slice comparisons, no hashing) — module
+    docstring for the plan shape. ``cap`` must be a power of two."""
+    if cap & (cap - 1):
+        raise ValueError(f"cap must be a power of two, got {cap}")
+    toks_arr = docs.select(col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    toks = toks_arr.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+
+    # 1. order-preserving vocabulary ids (vocabulary-scale sort only)
+    vmap = global_rank(toks.select("tok").distinct(), ["tok"], "tid", dense=True)
+    ids = toks.join(vmap, "tok")  # AQE broadcasts when the vocab is small
+
+    # 2. per-doc ordered id arrays -> fixed-width suffix prefix keys
+    docarr = (
+        ids.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "tid"))).alias("ps"))
+        .select("doc_id", F.expr("ps.tid").alias("ids"))
+        .withColumn("doc_len", F.size("ids"))
+    )
+    suf = docarr.select(
+        "doc_id",
+        "doc_len",
+        F.posexplode("ids").alias("pos", "_t"),
+        F.col("ids"),
+    ).select(
+        "doc_id",
+        "doc_len",
+        "pos",
+        F.slice("ids", col("pos") + F.lit(1), F.lit(cap)).alias("pref"),
+    )
+
+    # 3. suffix-array order + 4. nearest other-doc neighbors
+    sa = _sa_order(suf).localCheckpoint()
+    isl = sa.withColumn(
+        "_isl",
+        col("rn") - F.row_number().over(Window.partitionBy("doc_id").orderBy("rn")),
+    )
+    wi = Window.partitionBy("doc_id", "_isl")
+    bounds = isl.select(
+        "doc_id",
+        "doc_len",
+        "pos",
+        "pref",
+        "grank",
+        (F.min("rn").over(wi) - 1).alias("prev_rn"),
+        (F.max("rn").over(wi) + 1).alias("next_rn"),
+    )
+    other = sa.select(
+        col("rn").alias("o_rn"),
+        col("pref").alias("o_pref"),
+        col("grank").alias("o_grank"),
+    )
+
+    def neighbor(rn_col: str) -> DataFrame:
+        return bounds.select(
+            "doc_id", "doc_len", "pos", "pref", "grank", col(rn_col).alias("o_rn")
+        ).join(other, "o_rn")  # inner: rn 0 / N+1 fall away
+
+    p = neighbor("prev_rn").unionByName(neighbor("next_rn"))
+
+    # 5. LCP: dense-rank equality answers identical (possibly truncated)
+    # prefixes with the true remaining length; otherwise power-of-two
+    # slice descent (sums to ≤ cap-1, codegen'd, no joins)
+    p = p.withColumn("lcp", F.lit(0))
+    n = cap // 2
+    while n >= 1:
+        hit = F.slice("pref", col("lcp") + 1, F.lit(n)) == F.slice(
+            "o_pref", col("lcp") + 1, F.lit(n)
+        )
+        p = p.withColumn("lcp", F.when(hit, col("lcp") + n).otherwise(col("lcp")))
+        n //= 2
+    p = p.select(
+        "doc_id",
+        F.when(
+            col("grank") == col("o_grank"),
+            F.least(F.lit(cap), col("doc_len") - col("pos")),
+        )
+        .otherwise(col("lcp"))
+        .alias("lcp"),
+    )
+
+    best = p.groupBy("doc_id").agg(F.max("lcp").alias("max_shared_len"))
+    return (
+        docs.select(col(id_col).alias("doc_id"))
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(col("max_shared_len"), F.lit(0)).cast("long").alias("max_shared_len"),
+        )
+    )

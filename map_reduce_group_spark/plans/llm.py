@@ -2696,3 +2696,43 @@ def corpus_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             col("p95_tokens").cast("long").alias("p95_tokens"),
         )
     )
+
+
+@register(
+    "dedup_suffix_longest_span",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), spans AS (
+        SELECT doc_id, n,
+               md5(list_aggregate(toks[i:i+n-1], 'string_agg', ' ')) AS fp
+        FROM t,
+             unnest(generate_series(1, least(32, len(toks)))) AS q(n),
+             unnest(generate_series(1, len(toks) - n + 1)) AS s(i)
+    ), shared AS (
+        SELECT fp FROM spans GROUP BY fp HAVING count(DISTINCT doc_id) > 1
+    ), docmax AS (
+        SELECT s.doc_id, max(s.n) AS m
+        FROM spans s JOIN shared USING (fp) GROUP BY s.doc_id
+    )
+    SELECT d.doc_id, CAST(coalesce(m.m, 0) AS BIGINT) AS max_shared_len
+    FROM documents d LEFT JOIN docmax m USING (doc_id)
+    """,
+)
+def dedup_suffix_longest_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped suffix array: per document, the length of the LONGEST token
+    span shared verbatim with another document (≤ 32) — the variable-length
+    exact-substring dedup primitive of Lee et al. 2021 (arXiv:2107.06499),
+    which the fixed-n fingerprint passes (corpus_duplicated_spans /
+    corpus_span_cut) cannot answer. Exact — vocabulary ranking, one
+    corpus range-sort on fixed-width id-prefix keys, gaps-and-islands
+    nearest-other-doc SA adjacency, codegen'd power-of-two slice-descent
+    LCP; no hashing, no single-partition stage (operators/suffix.py module
+    docstring for the 100 TB plan shape). The DuckDB oracle brute-forces
+    every (position, length ≤ 32) span — quadratic, fine at oracle scale;
+    the engine's SA path is the scale plan. Output is one row per
+    document (scale-linear, CLAUDE.md rule 7)."""
+    from map_reduce_group_spark.operators.suffix import cross_doc_longest_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return cross_doc_longest_spans(d, "doc_id", "text", cap=32)

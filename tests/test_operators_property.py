@@ -1268,3 +1268,86 @@ def test_incremental_dedup_replay_idempotent(spark, sf_dir, tmp_path):
 
     per_fp = Counter(r["fingerprint"] for r in first if r["first_seen"])
     assert set(per_fp.values()) == {1}
+
+
+def test_suffix_longest_span_matches_bruteforce(spark):
+    """cross_doc_longest_spans == per-doc max shared-span length from an
+    exhaustive all-(pos, len) model, on a corpus hitting every edge: empty
+    doc, singleton doc, identical docs (cap clamp), shared TERMINAL tails
+    (the truncated-suffix equality branch), and a >cap shared run."""
+    from map_reduce_group_spark.operators.suffix import cross_doc_longest_spans
+
+    cap = 8
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a quick brown fox sat still"),
+        (3, "lazy dog and lazy cat"),
+        (4, ""),  # no tokens at all
+        (5, "solo"),  # one token, shared with nobody
+        (6, "alpha beta gamma delta"),
+        (7, "alpha beta gamma delta"),  # identical to 6 -> min(len, cap)
+        (8, "x y common tail words"),
+        (9, "z common tail words"),  # terminal-tail overlap with 8
+        (10, "one two three four five six seven eight nine ten eleven"),
+        (11, "zz one two three four five six seven eight nine ten eleven"),
+        # 10/11 share 11 tokens > cap -> clamps to cap
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: r.max_shared_len
+        for r in cross_doc_longest_spans(df, cap=cap).collect()
+    }
+
+    tokd = {i: [t for t in t_.lower().split() if t] for i, t_ in docs}
+    spans: dict[tuple, set[int]] = {}
+    for d, tk in tokd.items():
+        for n in range(1, min(cap, len(tk)) + 1):
+            for i in range(len(tk) - n + 1):
+                spans.setdefault(tuple(tk[i : i + n]), set()).add(d)
+    exp = {d: 0 for d in tokd}
+    for sp, ds in spans.items():
+        if len(ds) > 1:
+            for d in ds:
+                exp[d] = max(exp[d], len(sp))
+    assert got == exp
+    assert got[4] == 0 and got[5] == 0
+    assert got[6] == min(len(tokd[6]), cap) == 4
+    assert got[8] == 3  # "common tail words" — terminal in both 8 and 9
+    assert got[10] == cap  # 11-token run clamps to cap
+
+
+def test_global_rank_matches_global_window(spark):
+    """Two-phase global_rank (range partition + local window + offsets) is
+    value-identical to the single-partition global window it replaces, for
+    both dense_rank and row_number, on a key set with heavy ties."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from map_reduce_group_spark.operators.suffix import global_rank
+
+    rows = [(i, (i * 7919) % 23, (i * 104729) % 5) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, k1 long, k2 long").repartition(16)
+
+    dense = {
+        r.id: r.gr
+        for r in global_rank(df, ["k1", "k2"], "gr", dense=True).collect()
+    }
+    exp_dense = {
+        r.id: r.gr
+        for r in df.withColumn(
+            "gr", F.dense_rank().over(Window.orderBy("k1", "k2")).cast("long")
+        ).collect()
+    }
+    assert dense == exp_dense
+
+    rn = {
+        r.id: r.gr
+        for r in global_rank(df, ["k1", "k2", "id"], "gr", dense=False).collect()
+    }
+    exp_rn = {
+        r.id: r.gr
+        for r in df.withColumn(
+            "gr", F.row_number().over(Window.orderBy("k1", "k2", "id")).cast("long")
+        ).collect()
+    }
+    assert rn == exp_rn
