@@ -177,6 +177,11 @@ def _planes(n_planes: int, dim: int) -> np.ndarray:
     return np.stack([((i * 31 + p * 17) % 13 - 6).astype(np.float64) for p in range(n_planes)])
 
 
+def _planes_int(n_planes: int, dim: int) -> np.ndarray:
+    """Integer form of the deterministic hyperplanes (portable bucketing)."""
+    return _planes(n_planes, dim).astype(np.int64)
+
+
 def lsh_bucket(vec: F.Column, n_planes: int = 4) -> F.Column:
     """Hyperplane-LSH code: bit p = sign(vec · plane_p) → int bucket.
 
@@ -197,9 +202,19 @@ def lsh_bucket(vec: F.Column, n_planes: int = 4) -> F.Column:
     return bucket
 
 
-def _bucketize(df: DataFrame, id_col: str, vec_col: str, n_planes: int) -> DataFrame:
+def _bucketize(
+    df: DataFrame, id_col: str, vec_col: str, n_planes: int, portable: bool = False
+) -> DataFrame:
     """(id, v, bucket) with the hyperplane code computed via NumPy.
-    Schema (id and vector element types) is preserved from the input."""
+    Schema (id and vector element types) is preserved from the input.
+
+    ``portable=True`` computes the projection in 1/2^20 fixed point
+    (``q_i = floor(v_i · 2^20)`` — exact in IEEE doubles, the
+    random_project_fp convention) against the INTEGER plane matrix, so the
+    bit pattern ``sign(Σ q_i · plane_pi)`` is an order-free integer sum a
+    SQL oracle replays exactly. The float path keeps one fewer rounding
+    step for library use; bucket geometry differs only for vectors whose
+    projection magnitude is below the quantization noise."""
     out_schema = f"id {_id_type(df, id_col)}, v {_id_type(df, vec_col)}, bucket int"
 
     def code(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -209,8 +224,16 @@ def _bucketize(df: DataFrame, id_col: str, vec_col: str, n_planes: int) -> DataF
                 continue
             m = _matrix(pdf["v"])
             if planes is None:
-                planes = _planes(n_planes, m.shape[1])
-            bits = (m @ planes.T) >= 0  # (B, P)
+                planes = (
+                    _planes_int(n_planes, m.shape[1])
+                    if portable
+                    else _planes(n_planes, m.shape[1])
+                )
+            if portable:
+                q = np.floor(m * 1048576.0).astype(np.int64)
+                bits = (q @ planes.T) >= 0  # exact int64 — order-free
+            else:
+                bits = (m @ planes.T) >= 0  # (B, P)
             bucket = (bits * (1 << np.arange(n_planes))).sum(axis=1)
             yield pd.DataFrame({"id": pdf["id"], "v": pdf["v"], "bucket": bucket})
 
@@ -227,6 +250,7 @@ def ivf_topk(
     n_planes: int = 4,
     probe_hamming: int = 1,
     round_digits: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
     """ANN top-k with multiprobe: each query probes its own LSH bucket plus
     every bucket within ``probe_hamming`` code-bit flips (hamming-1 ⇒
@@ -241,7 +265,7 @@ def ivf_topk(
     global per-query top-k."""
     if probe_hamming not in (0, 1):
         raise ValueError("probe_hamming supports 0 (single-probe) or 1 (hamming-1)")
-    q = _bucketize(queries, id_col, vec_col, n_planes)
+    q = _bucketize(queries, id_col, vec_col, n_planes, portable=portable)
     if probe_hamming >= 1:
         # Hamming-1 expansion: the original code plus each single-bit flip
         flips = F.array(
@@ -249,7 +273,7 @@ def ivf_topk(
             *[F.col("bucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_planes)],
         )
         q = q.select("id", "v", F.explode(flips).alias("bucket"))
-    c = _bucketize(corpus, id_col, vec_col, n_planes)
+    c = _bucketize(corpus, id_col, vec_col, n_planes, portable=portable)
 
     def bucket_topk(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
         if not len(qpdf) or not len(cpdf):
@@ -276,11 +300,14 @@ def cosine_neardup_pairs(
     threshold: float = 0.95,
     n_planes: int = 4,
     round_digits: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: bucket with hyperplane LSH, then a
     per-bucket C·Cᵀ with thresholding (approximate recall, exact precision).
-    Bucket size bounds the quadratic term; add planes to shrink buckets."""
-    v = _bucketize(df, id_col, vec_col, n_planes)
+    Bucket size bounds the quadratic term; add planes to shrink buckets.
+    ``portable=True`` buckets in fixed point (see :func:`_bucketize`) so a
+    SQL oracle replays the exact candidate structure."""
+    v = _bucketize(df, id_col, vec_col, n_planes, portable=portable)
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) < 2:

@@ -839,24 +839,107 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(q, e, k=5)
 
 
-@register("embed_ann_ivf")  # bucketing not SQL-worthwhile — rows-only check
+# Fixed-point hyperplane-LSH bucket CTEs (similarity._bucketize portable
+# mode): q_j = floor(v_j · 2^20) is exact in IEEE doubles (power-of-two
+# scaling — the random_project_fp convention), plane[p][j] = (j·31+p·17)%13−6
+# is integer, so bucket bit p = [Σ_j q_j·plane_pj ≥ 0] is an order-free
+# integer sum both engines compute identically. Expects a CTE ``e(vec_id, v)``
+# with v DOUBLE[]; yields ``bkt(vec_id, bucket)``.
+_LSH_BUCKET_CTES = """
+    u AS (
+        SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS j
+        FROM e
+    ), qfp AS (
+        SELECT vec_id, j, CAST(floor(x * 1048576.0) AS BIGINT) AS qx FROM u
+    ), proj AS (
+        SELECT vec_id, p, sum(qx * (((j * 31 + p * 17) % 13) - 6)) AS proj
+        FROM qfp CROSS JOIN range(0, 4) t(p)
+        GROUP BY 1, 2
+    ), bkt AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN proj >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+        FROM proj GROUP BY 1
+    )
+"""
+
+_COS_SQL = (
+    "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))), 5)"
+)
+
+
+@register(
+    "embed_ann_ivf",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), {_LSH_BUCKET_CTES.strip()}, c AS (
+        SELECT e.vec_id AS c_id, e.v AS cv, b.bucket
+        FROM e JOIN bkt b USING (vec_id)
+    ), qv AS (
+        SELECT e.vec_id AS q_id, e.v AS qv, b.bucket
+        FROM e JOIN bkt b USING (vec_id)
+        WHERE e.vec_id % 50 = 0
+    ), probes AS (
+        SELECT q_id, qv,
+               unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                       xor(bucket, 4), xor(bucket, 8)]) AS bucket
+        FROM qv
+    ), pairs AS (
+        SELECT p.q_id, c.c_id, c.bucket,
+               {_COS_SQL.format(a="p.qv", b="c.cv")} AS cos
+        FROM probes p JOIN c USING (bucket)
+        WHERE c.c_id <> p.q_id
+    )
+    SELECT q_id, c_id, bucket, cos, CAST(rnk AS BIGINT) AS rank FROM (
+        SELECT q_id, c_id, bucket, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+        FROM pairs
+    ) WHERE rnk <= 5
+    """,
+)
 def embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF/LSH-bucketed approximate top-k: probe only the query's hyperplane
-    bucket (operators/similarity.py:ivf_topk) — the 100 TB scale path."""
+    """IVF/LSH-bucketed approximate top-k with hamming-1 multiprobe: probe
+    the query's hyperplane bucket plus its single-bit flips
+    (operators/similarity.py:ivf_topk) — the 100 TB scale path: the corpus
+    partitions by bucket, only query rows fan out. Round-4 recontract
+    (VERDICT r3 #2 pattern): portable fixed-point bucketing — the
+    projection sign is an integer sum over floor(v·2^20) against the
+    deterministic integer planes — so the DuckDB oracle replays bucket
+    geometry, the probe set, and the cosine ranking end-to-end (formerly
+    rows-only with "bucket geometry engine-private")."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(col("vec_id") % 50 == 0)
-    return similarity.ivf_topk(q, e, k=5)
+    return similarity.ivf_topk(q, e, k=5, portable=True)
 
 
-@register("embed_cosine_neardup")  # rows-only check
+@register(
+    "embed_cosine_neardup",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), {_LSH_BUCKET_CTES.strip()}, m AS (
+        SELECT e.vec_id, e.v, b.bucket FROM e JOIN bkt b USING (vec_id)
+    ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_COS_SQL.format(a="a.v", b="b.v")} AS cos
+        FROM m a JOIN m b USING (bucket)
+        WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos FROM pairs WHERE cos >= 0.4
+    """,
+)
 def embed_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs via LSH buckets with exact
+    """Embedding near-duplicate pairs via LSH buckets with exact cosine
     verification (operators/similarity.py:cosine_neardup_pairs). The
     fixture embeddings are random (max pairwise cosine ≈ 0.51), so the
     threshold is 0.4 — high-percentile for this data; real corpora use
-    0.9+ where near-dups are true copies."""
+    0.9+ where near-dups are true copies. Round-4 recontract: portable
+    fixed-point bucketing makes the candidate structure SQL-replayable —
+    the DuckDB oracle rebuilds the buckets and verifies every in-bucket
+    pair (formerly rows-only)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_neardup_pairs(e, threshold=0.4)
+    return similarity.cosine_neardup_pairs(e, threshold=0.4, portable=True)
 
 
 @register(
@@ -2233,7 +2316,52 @@ def sketch_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters(toks, "tok", k=10)
 
 
-@register("embed_ann_ivf_quantized")  # LSH bucketing -> rows-only (as embed_ann_ivf)
+@register(
+    "embed_ann_ivf_quantized",
+    oracle=f"""
+    WITH raw AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), u0 AS (
+        SELECT id, i, v[i] AS x FROM raw, unnest(range(1, len(v)+1)) AS t(i)
+    ), stats AS (
+        SELECT i, min(x) AS mn, max(x) AS mx FROM u0 GROUP BY i
+    ), codes AS (
+        -- quantize_embeddings' exact IEEE op sequence, incl. the rng guard
+        SELECT id, i,
+               floor((x - mn) * 255.0
+                     / (CASE WHEN mx = mn THEN 1.0 ELSE mx - mn END) + 0.5) AS code,
+               mn,
+               CASE WHEN mx = mn THEN mn + 1.0 ELSE mx END AS mx
+        FROM u0 JOIN stats USING (i)
+    ), e AS (
+        -- dequantize: mn + code·step, step = rng/255 — bit-identical doubles
+        SELECT id AS vec_id, list(mn + code * ((mx - mn) / 255.0) ORDER BY i) AS v
+        FROM codes GROUP BY id
+    ), {_LSH_BUCKET_CTES.strip()}, c AS (
+        SELECT e.vec_id AS c_id, e.v AS cv, b.bucket
+        FROM e JOIN bkt b USING (vec_id)
+    ), qv AS (
+        SELECT e.vec_id AS q_id, e.v AS qv, b.bucket
+        FROM e JOIN bkt b USING (vec_id)
+        WHERE e.vec_id % 50 = 0
+    ), probes AS (
+        SELECT q_id, qv,
+               unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                       xor(bucket, 4), xor(bucket, 8)]) AS bucket
+        FROM qv
+    ), pairs AS (
+        SELECT p.q_id, c.c_id, c.bucket,
+               {_COS_SQL.format(a="p.qv", b="c.cv")} AS cos
+        FROM probes p JOIN c USING (bucket)
+        WHERE c.c_id <> p.q_id
+    )
+    SELECT q_id, c_id, bucket, cos, CAST(rnk AS BIGINT) AS rank FROM (
+        SELECT q_id, c_id, bucket, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+        FROM pairs
+    ) WHERE rnk <= 5
+    """,
+)
 def embed_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized ANN end-to-end: the corpus lives as int8 codes (4× smaller
     — operators/similarity.py:quantize_embeddings), vectors are
@@ -2241,8 +2369,12 @@ def embed_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     and IVF/LSH bucketed search runs over the reconstruction — the
     composition a memory-bound 100 TB vector store actually deploys
     (store codes, search reconstructions; recall cost of int8 measured at
-    ~2% by embed_quantized_topk_agreement). Rows-only for the same reason
-    as embed_ann_ivf (LSH bucket geometry is engine-private)."""
+    ~2% by embed_quantized_topk_agreement). Round-4 recontract: every stage
+    is a fixed IEEE/integer op sequence (quantize and dequantize already
+    hash-proven by embed_quantize_int8 / embed_quantized_topk_agreement;
+    bucketing now portable fixed-point), so the DuckDB oracle replays
+    quantize → reconstruct → bucket → probe → rank end-to-end (formerly
+    rows-only with "bucket geometry engine-private")."""
     e = load_table(spark, sf_dir, "embeddings")
     env = similarity.dimension_envelope(e)
     mn, mx = env
@@ -2250,7 +2382,7 @@ def embed_ann_ivf_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         similarity.quantize_embeddings(e), mn, mx
     )
     q = deq.filter(col("id") % 50 == 0)
-    return similarity.ivf_topk(q, deq, id_col="id", vec_col="v", k=5)
+    return similarity.ivf_topk(q, deq, id_col="id", vec_col="v", k=5, portable=True)
 
 
 @register(

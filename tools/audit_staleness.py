@@ -244,6 +244,9 @@ RECONTRACTED: set[str] = {
     "embed_kmeans_assign",  # float Lloyd -> fixed-point int8 Lloyd (dist2)
     "graph_pagerank_simgraph",  # float power iteration -> fixed-point BIGINT
     "multimodal_fake_features",  # rows-only -> full oracle (hex byte math)
+    "embed_ann_ivf",            # rows-only -> oracle (portable fixed-point LSH)
+    "embed_ann_ivf_quantized",  # rows-only -> oracle (portable fixed-point LSH)
+    "embed_cosine_neardup",     # rows-only -> oracle (portable fixed-point LSH)
 }
 
 
