@@ -532,14 +532,42 @@ def jaccard_topmatch(
     )
 
 
+_MH_P = 2147483647  # 2^31 - 1, prime — the affine-family modulus
+
+
+def _mh_ab(i: int) -> tuple[int, int]:
+    """Deterministic affine-family coefficients for seed ``i``: content-
+    addressed from md5 (the random_project_fp convention — no RNG, any
+    engine rebuilds them), a_i ∈ [1, p), b_i ∈ [0, p)."""
+    import hashlib
+
+    a = int(hashlib.md5(f"mh_a{i}".encode()).hexdigest()[:15], 16) % (_MH_P - 1) + 1
+    b = int(hashlib.md5(f"mh_b{i}".encode()).hexdigest()[:15], 16) % _MH_P
+    return a, b
+
+
 def _minhash_from_postings(
     postings: DataFrame, num_hashes: int, portable: bool = False
 ) -> DataFrame:
     if portable:
-        aggs = [
-            F.min(portable_hash60(col("shingle"), i)).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
+        # ONE md5 per posting + an affine universal family over Z_p:
+        # h_i(s) = (a_i·h(s) + b_i) mod p with h(s) = portable_hash60 mod p.
+        # Equivalent min-hash quality to per-seed hashing (Carter–Wegman
+        # universal family) at 1/num_hashes the digest cost, and the DuckDB
+        # oracle replays the same integer ops from the same one md5
+        # (formerly 32 md5s per posting — the dominant cost both sides).
+        # a_i·h < 2^62 — no BIGINT overflow.
+        postings = postings.withColumn(
+            "_b0", F.pmod(portable_hash60(col("shingle")), F.lit(_MH_P))
+        )
+        aggs = []
+        for i in range(num_hashes):
+            a_i, b_i = _mh_ab(i)
+            aggs.append(
+                F.min((F.lit(a_i) * col("_b0") + F.lit(b_i)) % F.lit(_MH_P)).alias(
+                    f"h{i}"
+                )
+            )
     else:
         aggs = [
             F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")

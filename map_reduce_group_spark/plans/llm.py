@@ -722,6 +722,11 @@ _SIMHASH_OR_SQL = " + ".join(
 )
 
 
+_MH_SEED_VALUES = ", ".join(
+    "({}, {}, {})".format(i, *dedup._mh_ab(i)) for i in range(32)
+)
+
+
 @register(
     "dedup_minhash_lsh",
     oracle=f"""
@@ -732,10 +737,17 @@ _SIMHASH_OR_SQL = " + ".join(
     ), postings AS (
         SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle
         FROM sets WHERE len(shingles) > 0
+    ), hashed AS (
+        -- ONE md5 per posting; the 32 min-hashes are the affine universal
+        -- family (a_i*h + b_i) mod p over it — dedup._mh_ab coefficients
+        SELECT id, set_size, shingle,
+               {_H60.format(e="shingle")} % 2147483647 AS h0
+        FROM postings
+    ), seeds AS (
+        SELECT * FROM (VALUES {_MH_SEED_VALUES}) t(seed, a, b)
     ), sigs AS (
-        SELECT id, seed,
-               min({_H60.format(e="CAST(seed AS VARCHAR) || ':' || shingle")}) AS h
-        FROM postings CROSS JOIN range(0, 32) t(seed)
+        SELECT id, seed, min((s.a * h0 + s.b) % 2147483647) AS h
+        FROM hashed CROSS JOIN seeds s
         GROUP BY id, seed
     ), bands AS (
         SELECT id, CAST(seed // 4 AS INT) AS band,
@@ -761,11 +773,14 @@ _SIMHASH_OR_SQL = " + ".join(
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32)+LSH(8 bands) candidates verified by exact Jaccard
-    (operators/dedup.py:minhash_lsh_pairs). Portable md5-derived 60-bit
-    min-hashes (operators/dedup.py:portable_hash60) so the DuckDB oracle
-    replays the ENTIRE pipeline — signatures, band buckets, candidate set,
+    (operators/dedup.py:minhash_lsh_pairs). Portable signatures: ONE
+    md5-derived base hash per posting (operators/dedup.py:portable_hash60)
+    expanded to 32 min-hashes by the Carter–Wegman affine family
+    (a_i·h+b_i) mod 2^31−1 (dedup._mh_ab), so the DuckDB oracle replays
+    the ENTIRE pipeline — signatures, band buckets, candidate set,
     verification — not just the verified tail (VERDICT r3 #2: formerly
-    rows-only because xxhash64 has no DuckDB twin)."""
+    rows-only because xxhash64 has no DuckDB twin; the affine family cuts
+    the digest cost 32× on BOTH engines vs per-seed md5)."""
     d = load_table(spark, sf_dir, "documents")
     return dedup.minhash_lsh_pairs(
         d, "doc_id", "text", n=3, num_hashes=32, bands=8, threshold=0.3, portable=True
