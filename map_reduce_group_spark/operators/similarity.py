@@ -580,6 +580,80 @@ def semdedup_prune(
     )
 
 
+def semdedup_prune_cc(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.95,
+    round_digits: int = 5,
+) -> DataFrame:
+    """SemDeDup pruning with CONNECTED-COMPONENT duplicate families — the
+    fully oracle-replayable variant of :func:`semdedup_prune`.
+
+    Same two stages as the greedy form, with both sources of
+    engine-privacy removed: clustering is the fixed-point integer Lloyd
+    (:func:`kmeans_assign_fixedpoint` — bit-exact across engines, already
+    hash-proven by embed_kmeans_assign), and the prune rule is
+    algorithm-independent — vectors whose rounded cosine ≥ ``threshold``
+    within a cluster form edges, a semantic-duplicate FAMILY is a
+    connected component of that graph, and the family's lowest id is the
+    keeper. min-of-component is canonical (the same contract that makes
+    dedup_clusters' recursive-CTE oracle engine-neutral), where the greedy
+    survivor set depends on scan order and keeps chain-distant members.
+
+    Scale shape: fixed-point k-means (map-only passes, O(P·k) driver
+    scalars) → per-cluster pair generation (one shuffle keyed by cluster,
+    quadratic only within a cluster — raise k to shrink clusters) →
+    :func:`~map_reduce_group_spark.operators.clusters.connected_components`
+    over the pair list (O(log d) label-propagation rounds, edges shuffled
+    once). Cross-cluster near-dups are out of scope by construction — the
+    SemDeDup trade.
+
+    Returns (id, cluster, keep, pruned_by): ``pruned_by`` is the family
+    keeper (null for keepers and singletons).
+    """
+    from map_reduce_group_spark.operators.clusters import connected_components
+
+    assigned = kmeans_assign_fixedpoint(df, id_col, vec_col, k=k, iters=iters).select(
+        "id", "cluster"
+    )
+    vecs = df.select(col(id_col).alias("id"), col(vec_col).alias("v"))
+    clustered = vecs.join(assigned, "id")
+    id_t = _id_type(df, id_col)
+
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        m = _unit_rows(_matrix(pdf["v"]))
+        ids = pdf["id"].to_numpy()
+        sims = np.round(m @ m.T, round_digits)
+        iu = np.triu_indices(len(ids), k=1)
+        keep = sims[iu] >= threshold
+        a, b = ids[iu[0][keep]], ids[iu[1][keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    pairs = clustered.groupBy("cluster").applyInPandas(
+        cluster_pairs, f"id_a {id_t}, id_b {id_t}"
+    )
+    comp = connected_components(pairs).select(
+        col("id").alias("c_id"), col("cluster_id").alias("family")
+    )
+    return (
+        clustered.join(comp, clustered.id == comp.c_id, "left")
+        .select(
+            "id",
+            "cluster",
+            (col("family").isNull() | (col("family") == col("id"))).alias("keep"),
+            F.when(col("family") != col("id"), col("family"))
+            .otherwise(F.lit(None))
+            .alias("pruned_by"),
+        )
+    )
+
+
 def kmeans_assign(
     df: DataFrame,
     id_col: str = "vec_id",

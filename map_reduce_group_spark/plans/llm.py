@@ -584,12 +584,83 @@ def _clusters_scale_oracle(rounds: int = 12) -> str:
 # applies the same public, provably-lossless pruning the Spark side uses, for
 # queries whose driver-facing oracle is deliberately naive/all-pairs (the
 # naive form IS the losslessness check at sf0.01; at 100x it is quadratic).
+_H60 = "(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
+_MH_SEED_VALUES = ", ".join(
+    "({}, {}, {})".format(i, *dedup._mh_ab(i)) for i in range(32)
+)
+
+
 SCALE_ORACLES: dict[str, str] = {
     "dedup_jaccard_prefix": _PREFIX_PAIRS_CTES
     + """
     SELECT id_a, id_b, n_common, jaccard FROM pairs
     """,
     "dedup_clusters": _clusters_scale_oracle(),
+    # identical-set collapse before the signature/banding chain — identical
+    # shingle sets have identical min-hash signatures, band buckets, and
+    # verification outcomes (the exact lemma the Spark operator applies), so
+    # the candidate join stops being quadratic in clone-family size. The
+    # naive per-document form stays the sf0.01 driver oracle.
+    "dedup_minhash_lsh": f"""
+    WITH sets AS MATERIALIZED (
+        SELECT doc_id AS id, {_SHINGLES_SQL} AS shingles
+        FROM documents
+        WHERE len({_TOKS_SQL}) >= 3
+    ), postings AS MATERIALIZED (
+        SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle
+        FROM sets WHERE len(shingles) > 0
+    ), set_fps AS (
+        SELECT id, set_size,
+               concat(bit_xor(hash(shingle)), ':', sum(hash(shingle)::HUGEINT), ':', count(*)) AS set_fp
+        FROM postings GROUP BY id, set_size
+    ), reps AS (
+        SELECT set_fp, set_size, min(id) AS rep FROM set_fps GROUP BY 1, 2
+    ), members AS MATERIALIZED (
+        SELECT s.set_fp, s.set_size, s.id, r.rep
+        FROM set_fps s JOIN reps r USING (set_fp, set_size)
+    ), rpost AS MATERIALIZED (
+        SELECT p.id, p.set_size, p.shingle
+        FROM postings p JOIN (SELECT DISTINCT rep FROM reps) r ON p.id = r.rep
+    ), hashed AS (
+        SELECT id, set_size, shingle,
+               {_H60.format(e="shingle")} % 2147483647 AS h0
+        FROM rpost
+    ), seeds AS (
+        SELECT * FROM (VALUES {_MH_SEED_VALUES}) t(seed, a, b)
+    ), sigs AS (
+        SELECT id, seed, min((s.a * h0 + s.b) % 2147483647) AS h
+        FROM hashed CROSS JOIN seeds s
+        GROUP BY id, seed
+    ), bands AS (
+        SELECT id, CAST(seed // 4 AS INT) AS band,
+               string_agg(CAST(h AS VARCHAR), '|' ORDER BY seed) AS bucket
+        FROM sigs GROUP BY 1, 2
+    ), cand AS (
+        SELECT DISTINCT x.id AS id_a, y.id AS id_b
+        FROM bands x JOIN bands y USING (band, bucket)
+        WHERE x.id < y.id
+    ), pair_counts AS (
+        SELECT c.id_a, c.id_b, a.set_size AS size_a, b.set_size AS size_b,
+               count(*) AS n_common
+        FROM cand c
+        JOIN rpost a ON a.id = c.id_a
+        JOIN rpost b ON b.id = c.id_b AND b.shingle = a.shingle
+        GROUP BY 1, 2, 3, 4
+    ), rep_pairs AS (
+        SELECT id_a, id_b,
+               round(CAST(n_common AS DOUBLE) / (size_a + size_b - n_common), 6) AS jaccard
+        FROM pair_counts
+        WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= 0.3
+    )
+    SELECT least(ma.id, mb.id) AS id_a, greatest(ma.id, mb.id) AS id_b, rp.jaccard
+    FROM rep_pairs rp
+    JOIN members ma ON ma.rep = rp.id_a
+    JOIN members mb ON mb.rep = rp.id_b
+    UNION ALL
+    SELECT m1.id AS id_a, m2.id AS id_b, 1.0 AS jaccard
+    FROM members m1 JOIN members m2 USING (set_fp, set_size)
+    WHERE m1.id < m2.id
+    """,
     "dedup_ngram_jaccard": _collapsed_pairs_sql(0.05),
     "dedup_ngram_jaccard_capped": _collapsed_pairs_sql(0.05, frac_cap=0.01),
     # combinatorial census over the collapsed graph — same closed forms as
@@ -711,7 +782,6 @@ def dedup_jaccard_topmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_topmatch(d, "doc_id", "text", n=3, threshold=0.5)
 
 
-_H60 = "(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
 
 _SIMHASH_BITSUMS_SQL = ",\n               ".join(
     f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(60)
@@ -722,9 +792,6 @@ _SIMHASH_OR_SQL = " + ".join(
 )
 
 
-_MH_SEED_VALUES = ", ".join(
-    "({}, {}, {})".format(i, *dedup._mh_ab(i)) for i in range(32)
-)
 
 
 @register(
@@ -1587,10 +1654,12 @@ def graph_pagerank_simgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fixed(edges, iters=8)
 
 
-@register(
-    "embed_kmeans_assign",
-    oracle="""
-    WITH e AS (
+# Fixed-point k=8 / 2-iteration Lloyd CTE chain (kmeans_assign_fixedpoint's
+# exact integer replay) — shared by embed_kmeans_assign and the SemDeDup
+# oracle (which prepends WITH RECURSIVE for its transitive closure).
+# Yields ``e(id, v)`` and ``d2(id, j, dist2)``.
+_KMEANS_FP_CTES = """
+    e AS (
         SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), u AS (
         SELECT id, i, v[i] AS x FROM e, unnest(range(1, len(v)+1)) AS t(i)
@@ -1630,6 +1699,14 @@ def graph_pagerank_simgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM codes c JOIN cents1 k USING (i)
         GROUP BY 1, 2
     )
+"""
+
+
+@register(
+    "embed_kmeans_assign",
+    oracle="WITH "
+    + _KMEANS_FP_CTES.strip()
+    + """
     SELECT id, CAST(j AS BIGINT) AS cluster, CAST(dist2 AS BIGINT) AS dist2
     FROM (
         SELECT id, j, dist2, row_number() OVER (PARTITION BY id ORDER BY dist2, j) AS rn
@@ -1813,19 +1890,58 @@ def embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.random_project_fp(d, "vec_id", "embedding", k_out=8, dim=64)
 
 
-@register("embed_semdedup_prune")  # kmeans centroids engine-private -> rows-only
+@register(
+    "embed_semdedup_prune",
+    oracle="WITH RECURSIVE "
+    + _KMEANS_FP_CTES.strip()
+    + f"""
+    , asg AS (
+        SELECT id, j AS cluster FROM (
+            SELECT id, j,
+                   row_number() OVER (PARTITION BY id ORDER BY dist2, j) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    ), cv AS (
+        SELECT e.id, e.v, a.cluster FROM e JOIN asg a USING (id)
+    ), pairs AS (
+        SELECT x.id AS id_a, y.id AS id_b
+        FROM cv x JOIN cv y USING (cluster)
+        WHERE x.id < y.id
+          AND {_COS_SQL.format(a="x.v", b="y.v")} >= 0.4
+    ), edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ), reach(src, dst) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT r.src, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+    ), fam AS (
+        SELECT src AS id, min(dst) AS family FROM reach GROUP BY src
+    )
+    SELECT e.id, CAST(a.cluster AS BIGINT) AS cluster,
+           (f.family IS NULL OR f.family = e.id) AS keep,
+           CASE WHEN f.family <> e.id THEN f.family END AS pruned_by
+    FROM e JOIN asg a USING (id) LEFT JOIN fam f USING (id)
+    """,
+)
 def embed_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup semantic pruning (operators/similarity.py:semdedup_prune):
-    k-means clusters + greedy within-cluster cosine prune keeping the
-    lowest-id representative of every semantic-duplicate family. The fixture
-    embeddings are random (max pairwise cosine ≈ 0.5), so the threshold is
-    0.4 — high-percentile for this data; real corpora use 0.9+. Rows-only:
-    the survivor set depends on k-means centroids (float-sum order is
-    engine-private, as for embed_kmeans_assign); semantics pinned by the
-    property suite (planted-duplicate collapse, keeper determinism,
-    partitioning invariance)."""
+    """SemDeDup semantic pruning, connected-component contract
+    (operators/similarity.py:semdedup_prune_cc): fixed-point integer
+    k-means clusters (bit-exact across engines, hash-proven by
+    embed_kmeans_assign) + within-cluster cosine≥t edges + duplicate
+    FAMILIES as connected components, keeping each family's lowest id.
+    Round-4 recontract (VERDICT r3 #2 pattern): formerly rows-only because
+    the greedy survivor set rode on float k-means centroids; min-of-
+    component over fixed-point clusters is algorithm-independent, so the
+    DuckDB oracle replays clustering, edge generation, and the transitive
+    closure (the dedup_clusters recursive-CTE pattern) end-to-end. The
+    scan-order greedy stays available as similarity.semdedup_prune. The
+    fixture embeddings are random (max pairwise cosine ≈ 0.5), so the
+    threshold is 0.4 — high-percentile for this data; real corpora use
+    0.9+."""
     e = load_table(spark, sf_dir, "embeddings")
-    return similarity.semdedup_prune(
+    return similarity.semdedup_prune_cc(
         e, "vec_id", "embedding", k=8, iters=2, threshold=0.4
     )
 

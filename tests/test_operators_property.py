@@ -586,6 +586,50 @@ def test_semdedup_prune_planted_duplicates(spark):
     assert got == again
 
 
+def test_semdedup_prune_cc_planted_duplicates(spark):
+    """The connected-component SemDeDup contract (the registered,
+    oracle-checked form): planted exact duplicates form a family with
+    their source and collapse to its id; well-separated singletons all
+    survive; deterministic under repartitioning. On this planting (dup
+    edges only, no chains) CC and greedy agree — the chain divergence is
+    covered by the oracle itself."""
+    import numpy as np
+
+    from map_reduce_group_spark.operators.similarity import semdedup_prune_cc
+
+    rng = np.random.default_rng(11)
+    k, per, dim = 4, 30, 8
+    centers = np.eye(k, dim) * 5.0
+    rows = []
+    for c in range(k):
+        for j in range(per):
+            v = centers[c] + rng.normal(0, 1.0, dim)
+            rows.append((j * k + c, [float(x) for x in v]))
+    n_base = len(rows)
+    base_ids = {i: rid for i, (rid, _) in enumerate(rows)}
+    dup_src = [0, 17, 34, 51, 68, 85, 102, 119]
+    for d, src in enumerate(dup_src):
+        rows.append((10_000 + d, list(rows[src][1])))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = semdedup_prune_cc(df, "vec_id", "embedding", k=k, iters=3, threshold=0.999)
+    got = {r["id"]: (r["keep"], r["pruned_by"]) for r in out.collect()}
+    assert len(got) == n_base + len(dup_src)
+    for d, src in enumerate(dup_src):
+        keep, pruned_by = got[10_000 + d]
+        assert not keep and pruned_by == base_ids[src], (d, keep, pruned_by)
+    kept = [i for i, (kp, _) in got.items() if kp]
+    assert sorted(kept) == sorted(base_ids[i] for i in range(n_base))
+
+    again = {
+        r["id"]: (r["keep"], r["pruned_by"])
+        for r in semdedup_prune_cc(
+            df.repartition(7), "vec_id", "embedding", k=k, iters=3, threshold=0.999
+        ).collect()
+    }
+    assert got == again
+
+
 def test_quantize_embeddings_roundtrip_bounds(spark):
     """Quantization semantics: codes span [0, levels-1], per-dimension min
     maps to 0 and max to levels-1, and dequantization error is bounded by

@@ -247,6 +247,7 @@ RECONTRACTED: set[str] = {
     "embed_ann_ivf",            # rows-only -> oracle (portable fixed-point LSH)
     "embed_ann_ivf_quantized",  # rows-only -> oracle (portable fixed-point LSH)
     "embed_cosine_neardup",     # rows-only -> oracle (portable fixed-point LSH)
+    "embed_semdedup_prune",     # rows-only -> oracle (fixed-point kmeans + CC)
 }
 
 
