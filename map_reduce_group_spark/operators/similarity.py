@@ -293,6 +293,81 @@ def ivf_topk(
     return _rank_topk(flat, k)
 
 
+def _keyed_cosine_pairs(
+    keyed: DataFrame,
+    key_col: str,
+    id_t: str,
+    threshold: float,
+    round_digits: int,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """All within-group pairs with rounded cosine ≥ ``threshold`` over a
+    (id, v, ``key_col``) frame — the quadratic term TILED into block pairs
+    so no task ever materializes a whole group's similarity matrix.
+
+    Each vector hashes to one of ``n_blocks`` blocks; a cogroup per
+    (key, block_i ≤ block_j) computes the (n/B)×(n/B) NumPy tile. Every
+    unordered pair lands in exactly one tile (same block → upper triangle
+    once; different blocks → the (min,max) ordered tile once), so the
+    output is identical to the single-group form for ANY block count —
+    blocks only partition the work. Per-task memory drops from O(group²)
+    to O((group/B)²): a 25k-vector group is a 5 GB matrix in one task but
+    64 tiles of ~80 MB here. Replication cost: each vector joins ≤ B
+    tiles per side.
+    """
+    B = n_blocks
+    blocks = F.array(*[F.lit(j) for j in range(B)])
+    v = keyed.withColumn("b", F.pmod(F.xxhash64(col("id")), F.lit(B)).cast("int"))
+    # one side-tagged frame instead of a cogroup: left role (side 0) joins
+    # every tile row bj ≥ its block, right role (side 1) every bi ≤ it —
+    # a union of two selects over the same lineage, immune to Spark's
+    # ambiguous-self-join analysis that a cogroup of the two would trip
+    left = (
+        v.withColumn("bj", F.explode(blocks))
+        .filter(col("bj") >= col("b"))
+        .select(key_col, col("b").alias("bi"), "bj", "id", "v", F.lit(0).alias("side"))
+    )
+    right = (
+        v.withColumn("bi", F.explode(blocks))
+        .filter(col("bi") <= col("b"))
+        .select(key_col, "bi", col("b").alias("bj"), "id", "v", F.lit(1).alias("side"))
+    )
+
+    def tile_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        _, bi, bj = key
+        lpdf = pdf[pdf["side"] == 0]
+        if not len(lpdf):
+            return empty
+        lm = _unit_rows(_matrix(lpdf["v"]))
+        lids = lpdf["id"].to_numpy()
+        if bi == bj:  # same block: both sides hold the same rows — triangle once
+            if len(lids) < 2:
+                return empty
+            sims = np.round(lm @ lm.T, round_digits)
+            iu = np.triu_indices(len(lids), k=1)
+            keep = sims[iu] >= threshold
+            a, b = lids[iu[0][keep]], lids[iu[1][keep]]
+            cs = sims[iu][keep]
+        else:  # cross tile: every (left, right) pair exactly once
+            rpdf = pdf[pdf["side"] == 1]
+            if not len(rpdf):
+                return empty
+            rm = _unit_rows(_matrix(rpdf["v"]))
+            rids = rpdf["id"].to_numpy()
+            sims = np.round(lm @ rm.T, round_digits)
+            ii, jj = np.nonzero(sims >= threshold)
+            a, b, cs = lids[ii], rids[jj], sims[ii, jj]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": cs})
+
+    return (
+        left.unionByName(right)
+        .groupBy(key_col, "bi", "bj")
+        .applyInPandas(tile_pairs, f"id_a {id_t}, id_b {id_t}, cos double")
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -304,26 +379,17 @@ def cosine_neardup_pairs(
 ) -> DataFrame:
     """Embedding near-duplicate pairs: bucket with hyperplane LSH, then a
     per-bucket C·Cᵀ with thresholding (approximate recall, exact precision).
-    Bucket size bounds the quadratic term; add planes to shrink buckets.
-    ``portable=True`` buckets in fixed point (see :func:`_bucketize`) so a
-    SQL oracle replays the exact candidate structure."""
-    v = _bucketize(df, id_col, vec_col, n_planes, portable=portable)
-
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
-        m = _unit_rows(_matrix(pdf["v"]))
-        ids = pdf["id"].to_numpy()
-        sims = np.round(m @ m.T, round_digits)
-        iu = np.triu_indices(len(ids), k=1)
-        keep = sims[iu] >= threshold
-        a, b = ids[iu[0][keep]], ids[iu[1][keep]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": sims[iu][keep]})
-
-    id_t = _id_type(df, id_col)
-    return v.groupBy("bucket").applyInPandas(
-        bucket_pairs, f"id_a {id_t}, id_b {id_t}, cos double"
+    Bucket size bounds the quadratic term; add planes to shrink buckets,
+    and the per-bucket work is tiled into block-pair cogroups
+    (:func:`_keyed_cosine_pairs`) so a hot bucket never materializes its
+    whole similarity matrix in one task. ``portable=True`` buckets in
+    fixed point (see :func:`_bucketize`) so a SQL oracle replays the exact
+    candidate structure."""
+    v = _bucketize(df, id_col, vec_col, n_planes, portable=portable).select(
+        "id", "v", "bucket"
+    )
+    return _keyed_cosine_pairs(
+        v, "bucket", _id_type(df, id_col), threshold, round_digits
     )
 
 
@@ -604,8 +670,10 @@ def semdedup_prune_cc(
     survivor set depends on scan order and keeps chain-distant members.
 
     Scale shape: fixed-point k-means (map-only passes, O(P·k) driver
-    scalars) → per-cluster pair generation (one shuffle keyed by cluster,
-    quadratic only within a cluster — raise k to shrink clusters) →
+    scalars) → per-cluster pair generation TILED into block-pair cogroups
+    (:func:`_keyed_cosine_pairs` — quadratic only within a (cluster, tile),
+    so a hot cluster never materializes its whole similarity matrix in one
+    task; raise k to shrink clusters, n_blocks to shrink tiles) →
     :func:`~map_reduce_group_spark.operators.clusters.connected_components`
     over the pair list (O(log d) label-propagation rounds, edges shuffled
     once). Cross-cluster near-dups are out of scope by construction — the
@@ -623,21 +691,9 @@ def semdedup_prune_cc(
     clustered = vecs.join(assigned, "id")
     id_t = _id_type(df, id_col)
 
-    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        m = _unit_rows(_matrix(pdf["v"]))
-        ids = pdf["id"].to_numpy()
-        sims = np.round(m @ m.T, round_digits)
-        iu = np.triu_indices(len(ids), k=1)
-        keep = sims[iu] >= threshold
-        a, b = ids[iu[0][keep]], ids[iu[1][keep]]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"id_a": lo, "id_b": hi})
-
-    pairs = clustered.groupBy("cluster").applyInPandas(
-        cluster_pairs, f"id_a {id_t}, id_b {id_t}"
-    )
+    pairs = _keyed_cosine_pairs(
+        clustered.select("id", "v", "cluster"), "cluster", id_t, threshold, round_digits
+    ).select("id_a", "id_b")
     comp = connected_components(pairs).select(
         col("id").alias("c_id"), col("cluster_id").alias("family")
     )

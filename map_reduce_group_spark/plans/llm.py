@@ -584,6 +584,35 @@ def _clusters_scale_oracle(rounds: int = 12) -> str:
 # applies the same public, provably-lossless pruning the Spark side uses, for
 # queries whose driver-facing oracle is deliberately naive/all-pairs (the
 # naive form IS the losslessness check at sf0.01; at 100x it is quadratic).
+# Fixed-point hyperplane-LSH bucket CTEs (similarity._bucketize portable
+# mode): q_j = floor(v_j · 2^20) is exact in IEEE doubles (power-of-two
+# scaling — the random_project_fp convention), plane[p][j] = (j·31+p·17)%13−6
+# is integer, so bucket bit p = [Σ_j q_j·plane_pj ≥ 0] is an order-free
+# integer sum both engines compute identically. Expects a CTE ``e(vec_id, v)``
+# with v DOUBLE[]; yields ``bkt(vec_id, bucket)``.
+_LSH_BUCKET_CTES = """
+    u AS (
+        SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS j
+        FROM e
+    ), qfp AS (
+        SELECT vec_id, j, CAST(floor(x * 1048576.0) AS BIGINT) AS qx FROM u
+    ), proj AS (
+        SELECT vec_id, p, sum(qx * (((j * 31 + p * 17) % 13) - 6)) AS proj
+        FROM qfp CROSS JOIN range(0, 4) t(p)
+        GROUP BY 1, 2
+    ), bkt AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN proj >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
+        FROM proj GROUP BY 1
+    )
+"""
+
+_COS_SQL = (
+    "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))), 5)"
+)
+
+
 _H60 = "(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
 _MH_SEED_VALUES = ", ".join(
     "({}, {}, {})".format(i, *dedup._mh_ab(i)) for i in range(32)
@@ -659,6 +688,42 @@ SCALE_ORACLES: dict[str, str] = {
     UNION ALL
     SELECT m1.id AS id_a, m2.id AS id_b, 1.0 AS jaccard
     FROM members m1 JOIN members m2 USING (set_fp, set_size)
+    WHERE m1.id < m2.id
+    """,
+    # identical-VECTOR collapse for the bucketed cosine near-dup pairs:
+    # byte-identical vectors share the bucket (a function of the vector)
+    # and every rounded cosine, so clone families verify once through a
+    # representative; within-family pairs are cos = 1.0 exactly (round-5 of
+    # a unit self-dot). Value-identical to the driver oracle, linear in
+    # clone-family size where the naive in-bucket join is quadratic.
+    "embed_cosine_neardup": """
+    WITH e0 AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), vreps AS (
+        SELECT v, min(vec_id) AS rep FROM e0 GROUP BY v
+    ), vmembers AS MATERIALIZED (
+        SELECT e0.vec_id AS id, r.rep FROM e0 JOIN vreps r ON e0.v = r.v
+    ), e AS MATERIALIZED (
+        SELECT e0.vec_id, e0.v FROM e0 JOIN vreps r ON e0.vec_id = r.rep
+    ), """
+    + _LSH_BUCKET_CTES.strip()
+    + f""", m AS (
+        SELECT e.vec_id, e.v, b.bucket FROM e JOIN bkt b USING (vec_id)
+    ), rep_pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_COS_SQL.format(a="a.v", b="b.v")} AS cos
+        FROM m a JOIN m b USING (bucket)
+        WHERE a.vec_id < b.vec_id
+    ), kept AS (
+        SELECT id_a, id_b, cos FROM rep_pairs WHERE cos >= 0.4
+    )
+    SELECT least(ma.id, mb.id) AS id_a, greatest(ma.id, mb.id) AS id_b, k.cos
+    FROM kept k
+    JOIN vmembers ma ON ma.rep = k.id_a
+    JOIN vmembers mb ON mb.rep = k.id_b
+    UNION ALL
+    SELECT m1.id AS id_a, m2.id AS id_b, 1.0 AS cos
+    FROM vmembers m1 JOIN vmembers m2 USING (rep)
     WHERE m1.id < m2.id
     """,
     "dedup_ngram_jaccard": _collapsed_pairs_sql(0.05),
@@ -919,35 +984,6 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(col("vec_id") % 50 == 0)
     return similarity.cosine_topk(q, e, k=5)
-
-
-# Fixed-point hyperplane-LSH bucket CTEs (similarity._bucketize portable
-# mode): q_j = floor(v_j · 2^20) is exact in IEEE doubles (power-of-two
-# scaling — the random_project_fp convention), plane[p][j] = (j·31+p·17)%13−6
-# is integer, so bucket bit p = [Σ_j q_j·plane_pj ≥ 0] is an order-free
-# integer sum both engines compute identically. Expects a CTE ``e(vec_id, v)``
-# with v DOUBLE[]; yields ``bkt(vec_id, bucket)``.
-_LSH_BUCKET_CTES = """
-    u AS (
-        SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) - 1 AS j
-        FROM e
-    ), qfp AS (
-        SELECT vec_id, j, CAST(floor(x * 1048576.0) AS BIGINT) AS qx FROM u
-    ), proj AS (
-        SELECT vec_id, p, sum(qx * (((j * 31 + p * 17) % 13) - 6)) AS proj
-        FROM qfp CROSS JOIN range(0, 4) t(p)
-        GROUP BY 1, 2
-    ), bkt AS (
-        SELECT vec_id,
-               CAST(sum(CASE WHEN proj >= 0 THEN 1 << p ELSE 0 END) AS INT) AS bucket
-        FROM proj GROUP BY 1
-    )
-"""
-
-_COS_SQL = (
-    "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
-    " * sqrt(list_dot_product({b}, {b}))), 5)"
-)
 
 
 @register(
