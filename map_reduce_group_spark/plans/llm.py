@@ -506,6 +506,120 @@ def _collapsed_pairs_sql(threshold: float, frac_cap: float | None = None) -> str
     """
 
 
+def _semdedup_scale_oracle(rounds: int = 12) -> str:
+    """At-scale DuckDB stand-in for embed_semdedup_prune: identical-VECTOR
+    collapse through the whole pipeline. Identical vectors share codes,
+    cluster, and every rounded cosine, so (a) the fixed-point k-means
+    replay runs at the REP level with multiplicity-weighted centroid
+    updates — Σ_members code = Σ_reps g·code, n = Σ g, exactly the
+    full-data round-half-up mean — and (b) the within-cluster cosine graph
+    collapses to rep nodes (clone families are internally connected at
+    cos 1.0, cross edges replicate the rep edge), so the duplicate-family
+    label is min-rep = min-member-id, replayed by ``rounds`` unrolled
+    pointer-jumping label steps (diameter ≤ 2^rounds) instead of the
+    recursive closure that is quadratic in family size."""
+    sql = f"""
+    WITH e0 AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), vreps AS MATERIALIZED (
+        SELECT v, min(vec_id) AS rep, count(*) AS g FROM e0 GROUP BY v
+    ), vmembers AS MATERIALIZED (
+        SELECT e0.vec_id AS id, r.rep FROM e0 JOIN vreps r ON e0.v = r.v
+    ), e AS MATERIALIZED (
+        SELECT rep AS id, v, g FROM vreps
+    ), u AS (
+        SELECT id, i, v[i] AS x, g FROM e, unnest(range(1, len(v)+1)) AS t(i)
+    ), stats AS (
+        -- clones contribute no new values: the rep-level envelope equals
+        -- the full-data envelope
+        SELECT i, min(x) AS mn, max(x) AS mx FROM u GROUP BY i
+    ), codes AS MATERIALIZED (
+        SELECT id, i, g,
+               CAST(floor((x - mn) * 255.0
+                    / (CASE WHEN mx = mn THEN 1.0 ELSE mx - mn END) + 0.5)
+                    AS BIGINT) AS code
+        FROM u JOIN stats USING (i)
+    ), seed_ids AS (
+        SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS j
+        FROM (SELECT DISTINCT id FROM vmembers) ORDER BY id LIMIT 8
+    ), cents0 AS (
+        SELECT s.j, c.i, c.code
+        FROM seed_ids s JOIN vmembers m ON m.id = s.id
+        JOIN codes c ON c.id = m.rep
+    ), d1 AS (
+        SELECT c.id, k.j, sum((c.code - k.code) * (c.code - k.code)) AS dist2
+        FROM codes c JOIN cents0 k USING (i)
+        GROUP BY 1, 2
+    ), a1 AS (
+        SELECT id, j FROM (
+            SELECT id, j, row_number() OVER (PARTITION BY id ORDER BY dist2, j) AS rn
+            FROM d1
+        ) WHERE rn = 1
+    ), upd AS (
+        -- member-level round-half-up mean from rep sufficient statistics
+        SELECT a1.j, c.i,
+               CAST((2 * sum(c.code * c.g) + sum(c.g)) // (2 * sum(c.g)) AS BIGINT) AS code
+        FROM a1 JOIN codes c USING (id)
+        GROUP BY 1, 2
+    ), cents1 AS (
+        SELECT k.j, k.i, coalesce(u2.code, k.code) AS code
+        FROM cents0 k LEFT JOIN upd u2 ON u2.j = k.j AND u2.i = k.i
+    ), d2 AS (
+        SELECT c.id, k.j, sum((c.code - k.code) * (c.code - k.code)) AS dist2
+        FROM codes c JOIN cents1 k USING (i)
+        GROUP BY 1, 2
+    ), asg AS (
+        SELECT id, j AS cluster FROM (
+            SELECT id, j, row_number() OVER (PARTITION BY id ORDER BY dist2, j) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    ), cv AS MATERIALIZED (
+        SELECT e.id, e.v, a.cluster FROM e JOIN asg a USING (id)
+    ), rep_pairs AS MATERIALIZED (
+        SELECT x.id AS id_a, y.id AS id_b
+        FROM cv x JOIN cv y USING (cluster)
+        WHERE x.id < y.id
+          AND {_COS_SQL.format(a="x.v", b="y.v")} >= 0.4
+    ), redges AS MATERIALIZED (
+        SELECT id_a AS s, id_b AS d FROM rep_pairs
+        UNION ALL
+        SELECT id_b, id_a FROM rep_pairs
+    ), lab0 AS MATERIALIZED (
+        SELECT rep AS id, rep AS lab FROM vreps
+    )"""
+    prev = "lab0"
+    for k in range(1, rounds + 1):
+        sql += f""",
+    nmin{k} AS MATERIALIZED (
+        SELECT l.id, least(l.lab, coalesce(min(n.lab), l.lab)) AS lab
+        FROM {prev} l
+        LEFT JOIN redges ed ON ed.s = l.id
+        LEFT JOIN {prev} n ON n.id = ed.d
+        GROUP BY l.id, l.lab
+    ), lab{k} AS MATERIALIZED (
+        SELECT a.id, b.lab FROM nmin{k} a JOIN nmin{k} b ON b.id = a.lab
+    )"""
+        prev = f"lab{k}"
+    return sql + f""",
+    connected AS (SELECT DISTINCT s AS rep FROM redges),
+    fam AS (
+        -- a member is in a duplicate family iff its rep group has >= 2
+        -- members (internal cos-1.0 edges) or its rep has a cross edge
+        SELECT r.rep, l.lab AS family
+        FROM vreps r
+        JOIN {prev} l ON l.id = r.rep
+        LEFT JOIN connected c ON c.rep = r.rep
+        WHERE r.g >= 2 OR c.rep IS NOT NULL
+    )
+    SELECT m.id, CAST(a.cluster AS BIGINT) AS cluster,
+           (f.family IS NULL OR f.family = m.id) AS keep,
+           CASE WHEN f.family <> m.id THEN f.family END AS pruned_by
+    FROM vmembers m
+    JOIN asg a ON a.id = m.rep
+    LEFT JOIN fam f ON f.rep = m.rep
+    """
+
+
 def _clusters_scale_oracle(rounds: int = 12) -> str:
     """At-scale DuckDB stand-in for dedup_clusters' recursive-CTE oracle:
     the transitive-closure CTE materializes O(Σ component²) reach rows
@@ -625,6 +739,7 @@ SCALE_ORACLES: dict[str, str] = {
     SELECT id_a, id_b, n_common, jaccard FROM pairs
     """,
     "dedup_clusters": _clusters_scale_oracle(),
+    "embed_semdedup_prune": _semdedup_scale_oracle(),
     # identical-set collapse before the signature/banding chain — identical
     # shingle sets have identical min-hash signatures, band buckets, and
     # verification outcomes (the exact lemma the Spark operator applies), so
