@@ -589,14 +589,15 @@ def minhash_signatures(
     num_hashes: int = 32,
     portable: bool = False,
 ) -> DataFrame:
-    """MinHash signatures: sig[i] = min over shingles of hash(shingle, i)
-    (xxhash64 by default; ``portable=True`` switches to the md5-derived
-    :func:`portable_hash60` so a DuckDB oracle can replay the signature).
+    """MinHash signatures: sig[i] = min over shingles of h_i(shingle)
+    (xxhash64-per-seed by default; ``portable=True`` switches to ONE
+    md5-derived :func:`portable_hash60` per shingle expanded by the
+    Carter–Wegman affine family (a_i·h+b_i) mod 2^31−1, so a DuckDB
+    oracle replays the signature at 1/num_hashes the digest cost).
 
     Flat codegen shape: one row per (doc, shingle), ``num_hashes``
-    min-aggregates with the integer hash index as the seed argument.
-    Partial mins combine map-side, so the shuffle carries one row per doc
-    regardless of document length.
+    min-aggregates. Partial mins combine map-side, so the shuffle carries
+    one row per doc regardless of document length.
     """
     return _minhash_from_postings(
         shingle_postings(df, id_col, text_col, n), num_hashes, portable=portable
