@@ -721,6 +721,129 @@ def minhash_lsh_pairs(
     return cross.unionByName(within)
 
 
+def incremental_minhash_lsh(
+    batch: DataFrame,
+    state_path: str,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    est_threshold: float = 0.5,
+) -> DataFrame:
+    """NEAR-dup detection of a new batch against the historical corpus via
+    persisted MinHash band buckets — the probabilistic sibling of
+    :func:`incremental_exact_dedup` (VERDICT r3 #8), and the operator a
+    continuously-ingesting pipeline runs when exact fingerprints are not
+    enough: corpus-scale signature work happened once, historically; each
+    increment computes ITS OWN signatures and probes only the band buckets
+    they land in.
+
+    State is a parquet table at ``state_path/bands`` — (band, bucket, id,
+    sig), partitioned by band (a pure function of the upsert key, the
+    upsert_by_key contract). Per batch:
+
+    1. portable MinHash signatures for the batch (one md5 per posting +
+       the affine family — engine-replayable, see :func:`_mh_ab`);
+    2. candidates = batch rows joining state rows on (band, bucket), plus
+       batch-internal band collisions (both directions — each batch doc
+       reports all its matches);
+    3. similarity is estimated from SIGNATURES alone — est = (# agreeing
+       min-hashes)/num_hashes, the classic unbiased MinHash estimator —
+       so the state never needs the historical postings or text, 32
+       BIGINTs per document total;
+    4. decisions are materialized before the state update, then the
+       batch's banded signatures upsert into state (replay-idempotent:
+       re-ingesting a batch recreates identical state rows and decisions).
+
+    Returns (id, match_id, n_agree, est_jaccard) with id from the batch,
+    match_id from history or batch, est_jaccard = n_agree/num_hashes
+    (an exact binary fraction — identical across engines) ≥
+    ``est_threshold``.
+    """
+    import os
+
+    from map_reduce_group_spark.operators.incremental import upsert_by_key
+
+    spark = batch.sparkSession
+    rows_per_band = num_hashes // bands
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    sigs = minhash_signatures(batch, id_col, text_col, n, num_hashes, portable=True)
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                col("sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(col("bb.band").alias("band"), col("bb.bucket").alias("bucket"), "id", "sig")
+
+    table = os.path.join(state_path, "bands")
+    if os.path.exists(table):
+        history = spark.read.parquet(table).select(
+            "band", "bucket", col("id").alias("match_id"), col("sig").alias("msig")
+        )
+    else:
+        history = spark.createDataFrame(
+            [], "band int, bucket string, match_id bigint, msig array<bigint>"
+        )
+    cand_hist = (
+        banded.join(history, ["band", "bucket"])
+        # a replayed batch finds its own signatures in state — a doc is
+        # never its own near-dup, and excluding it keeps replays idempotent
+        .filter(col("id") != col("match_id"))
+        .select("id", "sig", "match_id", "msig")
+    )
+    left = banded.select("band", "bucket", "id", "sig")
+    right = banded.select(
+        "band", "bucket", col("id").alias("match_id"), col("sig").alias("msig")
+    )
+    cand_batch = (
+        left.join(right, ["band", "bucket"])
+        .filter(col("id") != col("match_id"))
+        .select("id", "sig", "match_id", "msig")
+    )
+    cand = cand_hist.unionByName(cand_batch).dropDuplicates(["id", "match_id"])
+    n_agree = sum(
+        F.when(col("sig")[i] == col("msig")[i], 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    decisions = (
+        cand.withColumn("n_agree", n_agree.cast("long"))
+        .withColumn("est_jaccard", col("n_agree") / float(num_hashes))
+        .filter(col("est_jaccard") >= est_threshold)
+        .select("id", "match_id", "n_agree", "est_jaccard")
+    )
+    n_prev = (
+        len([d for d in os.listdir(state_path) if d.startswith("decisions_")])
+        if os.path.exists(state_path)
+        else 0
+    )
+    out_dir = os.path.join(state_path, f"decisions_{n_prev}")
+    decisions.write.mode("overwrite").parquet(out_dir)
+    decided = spark.read.parquet(out_dir)
+
+    if os.path.exists(table):
+        upsert_by_key(banded, table, ["band", "bucket", "id"], "band")
+    else:
+        banded.repartition("band").write.partitionBy("band").parquet(table)
+    return decided
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, portable: bool = False) -> DataFrame:
     """SimHash per document from word tokens — 64-bit (xxhash64, default)
     or 60-bit (``portable=True``, md5-derived :func:`portable_hash60` so a

@@ -208,6 +208,12 @@ _SHINGLES_SQL = f"""
 """
 
 
+_H60 = "(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
+_MH_SEED_VALUES = ", ".join(
+    "({}, {}, {})".format(i, *dedup._mh_ab(i)) for i in range(32)
+)
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -358,6 +364,83 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(col("doc_id") % 2 == 0), state, "doc_id", "text"
     )
     b = dedup.incremental_exact_dedup(
+        d.filter(col("doc_id") % 2 == 1), state, "doc_id", "text"
+    )
+    return a.unionByName(b)
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    WITH sets AS (
+        SELECT doc_id AS id, {_SHINGLES_SQL} AS shingles
+        FROM documents
+        WHERE len({_TOKS_SQL}) >= 3
+    ), postings AS (
+        SELECT id, unnest(shingles) AS shingle
+        FROM sets WHERE len(shingles) > 0
+    ), hashed AS (
+        SELECT id, shingle, {_H60.format(e="shingle")} % 2147483647 AS h0
+        FROM postings
+    ), seeds AS (
+        SELECT * FROM (VALUES {_MH_SEED_VALUES}) t(seed, a, b)
+    ), sigs AS (
+        SELECT id, seed, min((s.a * h0 + s.b) % 2147483647) AS h
+        FROM hashed CROSS JOIN seeds s
+        GROUP BY id, seed
+    ), bands AS (
+        SELECT id, CAST(seed // 4 AS INT) AS band,
+               string_agg(CAST(h AS VARCHAR), '|' ORDER BY seed) AS bucket
+        FROM sigs GROUP BY 1, 2
+    ), cand AS (
+        -- phase 1: the even half probes itself (both directions) …
+        SELECT x.id, y.id AS match_id
+        FROM bands x JOIN bands y USING (band, bucket)
+        WHERE x.id % 2 = 0 AND y.id % 2 = 0 AND x.id <> y.id
+        UNION
+        -- … phase 2: the odd batch probes itself (both directions) …
+        SELECT x.id, y.id
+        FROM bands x JOIN bands y USING (band, bucket)
+        WHERE x.id % 2 = 1 AND y.id % 2 = 1 AND x.id <> y.id
+        UNION
+        -- … and the persisted even-half state (id stays the batch doc)
+        SELECT x.id, y.id
+        FROM bands x JOIN bands y USING (band, bucket)
+        WHERE x.id % 2 = 1 AND y.id % 2 = 0
+    ), agree AS (
+        SELECT c.id, c.match_id,
+               sum(CASE WHEN s1.h = s2.h THEN 1 ELSE 0 END) AS n_agree
+        FROM cand c
+        JOIN sigs s1 ON s1.id = c.id
+        JOIN sigs s2 ON s2.id = c.match_id AND s2.seed = s1.seed
+        GROUP BY 1, 2
+    )
+    SELECT id, match_id, CAST(n_agree AS BIGINT) AS n_agree,
+           n_agree / 32.0 AS est_jaccard
+    FROM agree
+    WHERE n_agree / 32.0 >= 0.5
+    """,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup detection against persisted MinHash band-bucket
+    state (operators/dedup.py:incremental_minhash_lsh) — the probabilistic
+    sibling of dedup_incremental_exact: ingest the even-doc_id half as the
+    historical corpus, then probe the odd half against the persisted
+    buckets WITHOUT recomputing history's signatures. Similarity is the
+    signature-agreement MinHash estimator (n_agree/32 — an exact binary
+    fraction, engine-identical), so state is 32 BIGINTs per doc, never
+    postings or text. The oracle replays BOTH phases' candidate structure
+    from the portable affine signatures; a hash-match proves the state
+    probe finds exactly the pairs a batch-over-union run would. Replay
+    idempotence is pinned in the property suite."""
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    state = tempfile.mkdtemp(prefix="mrg_incmh_")
+    a = dedup.incremental_minhash_lsh(
+        d.filter(col("doc_id") % 2 == 0), state, "doc_id", "text"
+    )
+    b = dedup.incremental_minhash_lsh(
         d.filter(col("doc_id") % 2 == 1), state, "doc_id", "text"
     )
     return a.unionByName(b)
@@ -727,10 +810,6 @@ _COS_SQL = (
 )
 
 
-_H60 = "(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
-_MH_SEED_VALUES = ", ".join(
-    "({}, {}, {})".format(i, *dedup._mh_ab(i)) for i in range(32)
-)
 
 
 SCALE_ORACLES: dict[str, str] = {
