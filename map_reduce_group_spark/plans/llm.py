@@ -884,6 +884,38 @@ SCALE_ORACLES: dict[str, str] = {
     FROM members m1 JOIN members m2 USING (set_fp, set_size)
     WHERE m1.id < m2.id
     """,
+    # identical-TEXT collapse for the capped suffix-array span oracle: a doc
+    # with an exact clone shares its FULL capped prefix with that clone, so
+    # its answer is least(cap, len) outright — no span needs enumerating;
+    # singleton texts share spans only with other DISTINCT texts, so the
+    # brute-force span join runs at the rep level (distinct-text-sized,
+    # the same volume the naive oracle already handles at 10×).
+    "dedup_suffix_longest_span": f"""
+    WITH t0 AS MATERIALIZED (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), fam AS MATERIALIZED (
+        SELECT toks, min(doc_id) AS rep, count(*) AS g FROM t0 GROUP BY toks
+    ), t AS MATERIALIZED (
+        SELECT rep AS doc_id, toks FROM fam
+    ), spans AS (
+        SELECT doc_id, n,
+               md5(list_aggregate(toks[i:i+n-1], 'string_agg', ' ')) AS fp
+        FROM t,
+             unnest(generate_series(1, least(32, len(toks)))) AS q(n),
+             unnest(generate_series(1, len(toks) - n + 1)) AS s(i)
+    ), shared AS (
+        SELECT fp FROM spans GROUP BY fp HAVING count(DISTINCT doc_id) > 1
+    ), repmax AS (
+        SELECT s.doc_id AS rep, max(s.n) AS m
+        FROM spans s JOIN shared USING (fp) GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN f.g >= 2 THEN least(32, len(d.toks))
+                     ELSE coalesce(m.m, 0) END AS BIGINT) AS max_shared_len
+    FROM t0 d
+    JOIN fam f ON f.toks = d.toks
+    LEFT JOIN repmax m ON m.rep = f.rep
+    """,
     # identical-VECTOR collapse for the bucketed cosine near-dup pairs:
     # byte-identical vectors share the bucket (a function of the vector)
     # and every rounded cosine, so clone families verify once through a
