@@ -817,16 +817,20 @@ def incremental_minhash_lsh(
         .filter(col("id") != col("match_id"))
         .select("id", "sig", "match_id", "msig")
     )
-    cand = cand_hist.unionByName(cand_batch).dropDuplicates(["id", "match_id"])
+    # estimate BEFORE the pair dedup: band-duplicate candidates carry the
+    # same signatures, so n_agree is identical per (id, match_id) and the
+    # dedup shuffle moves 3 longs per row instead of two 32-long arrays
     n_agree = sum(
         F.when(col("sig")[i] == col("msig")[i], 1).otherwise(0)
         for i in range(num_hashes)
     )
     decisions = (
-        cand.withColumn("n_agree", n_agree.cast("long"))
+        cand_hist.unionByName(cand_batch)
+        .withColumn("n_agree", n_agree.cast("long"))
         .withColumn("est_jaccard", col("n_agree") / float(num_hashes))
         .filter(col("est_jaccard") >= est_threshold)
         .select("id", "match_id", "n_agree", "est_jaccard")
+        .dropDuplicates(["id", "match_id"])
     )
     n_prev = (
         len([d for d in os.listdir(state_path) if d.startswith("decisions_")])
