@@ -586,6 +586,40 @@ def test_semdedup_prune_planted_duplicates(spark):
     assert got == again
 
 
+def test_keyed_cosine_pairs_block_invariant(spark):
+    """The block-pair tiling is a pure work partition: the emitted pair set
+    (ids AND cosines) must be identical for any n_blocks, including 1
+    (the untiled single-matrix form) — the exactness claim that lets a hot
+    bucket split into bounded tiles at 100× without changing results."""
+    import numpy as np
+
+    from map_reduce_group_spark.operators.similarity import _keyed_cosine_pairs
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, [float(x) for x in rng.normal(0, 1, 8)], int(i % 3))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "id long, v array<double>, bucket int")
+    base = None
+    for nb in (1, 4, 16):
+        got = {
+            (r["id_a"], r["id_b"]): r["cos"]
+            for r in _keyed_cosine_pairs(
+                df, "bucket", "long", threshold=-1.0, round_digits=5, n_blocks=nb
+            ).collect()
+        }
+        # threshold -1: EVERY within-bucket pair must appear exactly once
+        if base is None:
+            base = got
+            from collections import Counter
+
+            per_bucket = Counter(b for _, _, b in rows)
+            assert len(got) == sum(n * (n - 1) // 2 for n in per_bucket.values())
+        else:
+            assert got == base, f"n_blocks={nb} diverged"
+
+
 def test_semdedup_prune_cc_planted_duplicates(spark):
     """The connected-component SemDeDup contract (the registered,
     oracle-checked form): planted exact duplicates form a family with
