@@ -798,8 +798,9 @@ def incremental_minhash_lsh(
             "band", "bucket", col("id").alias("match_id"), col("sig").alias("msig")
         )
     else:
+        id_t = dict(batch.dtypes)[id_col]
         history = spark.createDataFrame(
-            [], "band int, bucket string, match_id bigint, msig array<bigint>"
+            [], f"band int, bucket string, match_id {id_t}, msig array<bigint>"
         )
     cand_hist = (
         banded.join(history, ["band", "bucket"])
