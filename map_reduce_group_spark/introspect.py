@@ -1,0 +1,66 @@
+"""Capture the DataFrames a builder materializes mid-flight.
+
+State-materializing builders (incremental dedup's decision/state writes,
+BPE's per-batch merge collects, PageRank's per-round localCheckpoint)
+execute most of their pipeline through intermediate actions — the frame
+they *return* is often just ``spark.read.parquet(decisions)``, so a plan
+audit of the return value alone sees 0 shuffles and 2 scans (VERDICT r4
+What's-wrong #3). :func:`capture_actions` patches the terminal
+``DataFrameWriter`` methods and the eager ``DataFrame`` actions for the
+duration of a builder call and records every frame driven to execution,
+so tools/audit_plans.py and the registry-wide anti-pattern guard audit
+the REAL pipeline, not the final read.
+"""
+
+from __future__ import annotations
+
+import contextlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql.readwriter import DataFrameWriter
+
+try:  # PySpark 4: the classic DataFrame OVERRIDES the eager actions, so
+    # patching only the abstract base silently captures nothing
+    from pyspark.sql.classic.dataframe import DataFrame as _ClassicDataFrame
+except ImportError:  # pragma: no cover - older layout, base class suffices
+    _ClassicDataFrame = DataFrame
+
+#: terminal writer methods — every sink call funnels through one of these
+WRITER_TERMINALS = ("save", "parquet", "csv", "json", "text", "orc", "saveAsTable")
+#: eager DataFrame actions that drive a plan to execution mid-builder
+EAGER_ACTIONS = ("collect", "toPandas", "localCheckpoint", "checkpoint", "foreach", "foreachPartition")
+
+
+@contextlib.contextmanager
+def capture_actions(into: list) -> Iterator[list]:
+    """Patch writer terminals + eager actions; append ``(kind, df)`` to
+    ``into`` for every frame executed inside the ``with`` block. The
+    originals are restored on exit — nesting is not supported (the inner
+    scope would double-record), and the capture is process-wide, so use
+    only from single-threaded audit/test harnesses."""
+    saved: list[tuple[type, str, object]] = []
+
+    def patch(cls: type, meth: str, get_df):
+        orig = cls.__dict__.get(meth)
+        if orig is None:  # not defined on this class in this version
+            return
+        def patched(self, *a, __orig=orig, __meth=meth, **k):
+            df = get_df(self)
+            if df is not None:
+                into.append((__meth, df))
+            return __orig(self, *a, **k)
+        saved.append((cls, meth, orig))
+        setattr(cls, meth, patched)
+
+    for m in WRITER_TERMINALS:
+        patch(DataFrameWriter, m, lambda w: getattr(w, "_df", None))
+    classes = {DataFrame, _ClassicDataFrame}
+    for cls in classes:
+        for m in EAGER_ACTIONS:
+            patch(cls, m, lambda df: df)
+    try:
+        yield into
+    finally:
+        for cls, meth, orig in saved:
+            setattr(cls, meth, orig)

@@ -167,6 +167,48 @@ def shingle_postings(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> D
     return postings.withColumn("set_size", F.count(F.lit(1)).over(Window.partitionBy("id")))
 
 
+#: Minimum fraction of exact-text-clone documents before the identical-set
+#: collapse engages (data-size-relative, CLAUDE.md rule 7 — never absolute).
+COLLAPSE_MIN_CLONE_FRAC = 0.01
+
+
+def _worth_collapsing(df: DataFrame, text_col: str) -> bool:
+    """Cheap pre-check gating the identical-set collapse (VERDICT r4 #5):
+    the collapse machinery (collect_list set fingerprints + expansion
+    joins) costs a fixed ~2-6 s per query at sf0.1 but only pays when
+    exact-clone families exist. Identical TEXT is the dominant — and
+    cheap-to-count — source of identical shingle sets, so collapse only
+    when more than :data:`COLLAPSE_MIN_CLONE_FRAC` of documents are exact
+    text clones: one count/count_distinct(md5) aggregate, false on the
+    organic sf fixtures (0-8 clones), decisively true on replicated scale
+    fixtures (≥90%). Either path returns VALUE-IDENTICAL results —
+    identical shingle sets have identical signatures, band buckets,
+    prefixes, and verified Jaccard — so oracles are unaffected."""
+    n, d = df.agg(
+        F.count(F.lit(1)), F.count_distinct(F.md5(col(text_col)))
+    ).first()
+    return n > 0 and (n - d) / n >= COLLAPSE_MIN_CLONE_FRAC
+
+
+def _exact_jaccard_pairs(postings: DataFrame, threshold: float) -> DataFrame:
+    """(id_a, id_b, n_common, jaccard) for every posting-sharing pair at or
+    above ``threshold`` — the shared verification shape of the exact-Jaccard
+    family (threshold on the RAW quotient; rounding is presentation)."""
+    a = postings.select(col("id").alias("id_a"), col("set_size").alias("size_a"), "shingle")
+    b = postings.select(col("id").alias("id_b"), col("set_size").alias("size_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .withColumn(
+            "jaccard_raw", col("n_common") / (col("size_a") + col("size_b") - col("n_common"))
+        )
+        .filter(col("jaccard_raw") >= threshold)
+        .select("id_a", "id_b", "n_common", F.round("jaccard_raw", 6).alias("jaccard"))
+    )
+
+
 def _collapsed_pair_structure(postings: DataFrame, threshold: float):
     """Identical-set collapse shared by the exact-Jaccard family (same lemma
     as jaccard_prefix_filter_pairs: byte-identical POST-CAP shingle sets
@@ -195,21 +237,7 @@ def _collapsed_pair_structure(postings: DataFrame, threshold: float):
         "set_fp", "set_size", "id", "rep", "n_kept"
     )
     rpost = postings.join(members.filter(col("id") == col("rep")).select("id"), "id")
-
-    a = rpost.select(col("id").alias("id_a"), col("set_size").alias("size_a"), "shingle")
-    b = rpost.select(col("id").alias("id_b"), col("set_size").alias("size_b"), "shingle")
-    rep_pairs = (
-        a.join(b, "shingle")
-        .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b", "size_a", "size_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-        .withColumn(
-            "jaccard_raw", col("n_common") / (col("size_a") + col("size_b") - col("n_common"))
-        )
-        .filter(col("jaccard_raw") >= threshold)
-        .select("id_a", "id_b", "n_common", F.round("jaccard_raw", 6).alias("jaccard"))
-    )
-    return members, rep_pairs
+    return members, _exact_jaccard_pairs(rpost, threshold)
 
 
 def capped_postings(
@@ -290,6 +318,8 @@ def ngram_jaccard_pairs(
     postings = capped_postings(
         df, id_col, text_col, n, max_doc_freq=max_doc_freq, max_doc_frac=max_doc_frac
     )
+    if not _worth_collapsing(df, text_col):
+        return _exact_jaccard_pairs(postings, threshold)
     members, rep_pairs = _collapsed_pair_structure(postings, threshold)
     ma = members.select(col("rep").alias("id_a"), col("id").alias("m_a"))
     mb = members.select(col("rep").alias("id_b"), col("id").alias("m_b"))
@@ -381,17 +411,24 @@ def jaccard_prefix_filter_pairs(
 
     postings = shingle_postings(df, id_col, text_col, n)
 
-    # 0. collapse identical shingle sets: one representative per set_fp
-    sets = postings.groupBy("id", "set_size").agg(
-        F.md5(F.concat_ws("\x1f", F.array_sort(F.collect_list("shingle")))).alias(
-            "set_fp"
+    # 0. collapse identical shingle sets: one representative per set_fp —
+    # gated by the cheap clone-fraction pre-check (VERDICT r4 #5): on a
+    # clone-free corpus every doc is its own representative and the
+    # fingerprint/expansion machinery is pure overhead
+    collapse = _worth_collapsing(df, text_col)
+    if collapse:
+        sets = postings.groupBy("id", "set_size").agg(
+            F.md5(F.concat_ws("\x1f", F.array_sort(F.collect_list("shingle")))).alias(
+                "set_fp"
+            )
         )
-    )
-    reps = sets.groupBy("set_fp").agg(F.min("id").alias("rep"))
-    members = sets.join(reps, "set_fp").select("set_fp", "id", "rep", "set_size")
-    rpost = postings.join(
-        members.filter(col("id") == col("rep")).select("id"), "id"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+        reps = sets.groupBy("set_fp").agg(F.min("id").alias("rep"))
+        members = sets.join(reps, "set_fp").select("set_fp", "id", "rep", "set_size")
+        rpost = postings.join(
+            members.filter(col("id") == col("rep")).select("id"), "id"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        rpost = postings.persist(StorageLevel.MEMORY_AND_DISK)
 
     w_df = Window.partitionBy("shingle")
     w_rank = Window.partitionBy("id").orderBy("df", "shingle")
@@ -431,6 +468,8 @@ def jaccard_prefix_filter_pairs(
         .filter(col("jaccard_raw") >= threshold)
         .select("id_a", "id_b", "n_common", F.round("jaccard_raw", 6).alias("jaccard"))
     )
+    if not collapse:
+        return rep_pairs
 
     # expand representative pairs to all member pairs (cross-group) …
     ma = members.select(col("rep").alias("id_a"), col("id").alias("m_a"))
@@ -645,10 +684,16 @@ def minhash_lsh_pairs(
     # families go through LSH once via a representative — candidates and
     # verification stop scaling with the g² clone factor. Within-group
     # pairs are always emitted (all bands collide, Jaccard exactly 1 ≥ t).
-    members, _ = _collapsed_pair_structure(all_postings, threshold=2.0)  # pairs unused
-    postings = all_postings.join(
-        members.filter(col("id") == col("rep")).select("id"), "id"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # Gated by the clone-fraction pre-check (VERDICT r4 #5): value-identical
+    # either way, and on a clone-free corpus the collapse is pure overhead.
+    collapse = _worth_collapsing(df, text_col)
+    if collapse:
+        members, _ = _collapsed_pair_structure(all_postings, threshold=2.0)  # pairs unused
+        postings = all_postings.join(
+            members.filter(col("id") == col("rep")).select("id"), "id"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        postings = all_postings.persist(StorageLevel.MEMORY_AND_DISK)
     sigs = _minhash_from_postings(postings, num_hashes, portable=portable)
     if portable:
         # bucket key = the band's raw signature slice joined as a string —
@@ -700,6 +745,8 @@ def minhash_lsh_pairs(
         .filter(col("jaccard_raw") >= threshold)
         .select("id_a", "id_b", F.round("jaccard_raw", 6).alias("jaccard"))
     )
+    if not collapse:
+        return rep_pairs
     ma = members.select(col("rep").alias("id_a"), col("id").alias("m_a"))
     mb = members.select(col("rep").alias("id_b"), col("id").alias("m_b"))
     cross = (
@@ -881,47 +928,69 @@ def simhash(df: DataFrame, id_col: str, text_col: str, portable: bool = False) -
     return agg.select("id", sim.alias("simhash"))
 
 
+#: Chunk-triple blocking combos for :func:`simhash_near_pairs` — all
+#: C(6,3)=20 ways to pick 3 of the 6 10-bit signature chunks. Shared with
+#: the DuckDB oracle (plans/llm.py) so both engines enumerate identically.
+SIMHASH_COMBOS: list[tuple[int, int, int]] = [
+    (i, j, k) for i in range(6) for j in range(i + 1, 6) for k in range(j + 1, 6)
+]
+
+
 def simhash_near_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8, portable: bool = False
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on 4 equal-width
-    chunks (16-bit for the 64-bit default, 15-bit for portable 60-bit).
+    """Near-dup pairs by SimHash hamming distance, blocked on TRIPLES of
+    10-bit signature chunks (Manku et al., WWW'07 §3 multi-table shape).
 
-    Pigeonhole: two signatures within hamming distance 3 of each other agree
-    exactly on ≥1 of 4 chunks — block on each chunk, compare within
-    blocks only. (For max_hamming ≥ 4 this is a recall-bounded heuristic.)
+    The signature's low 60 bits split into 6 chunks of 10 bits; each doc
+    emits one 30-bit block key per 3-chunk combination (C(6,3)=20 combos).
+    Pigeonhole: ≤3 flipped bits touch ≤3 chunks, leaving ≥3 chunks clean,
+    so some triple agrees — the SAME worst-case recall guarantee
+    (hamming ≤ 3) as the former single-chunk 4×15-bit blocking, but with
+    a 2³⁰ key space instead of 2¹⁵: random chunk collisions are
+    20·N²/2³⁰ — ~5 candidates/doc at N=10⁹ — where single 15-bit chunks
+    went quadratic at N=5·10⁵ (the r4 100× residual: ~10⁹ candidates,
+    oracle OOM at 88 GB RSS). Beyond hamming 3 recall is heuristic in
+    both geometries; the registered contract is the blocked candidate set.
+    Non-portable 64-bit signatures block on their low 60 bits and verify
+    hamming over all 64.
     """
-    chunk_bits = 15 if portable else 16
-    mask = (1 << chunk_bits) - 1
+    chunk_bits, mask = 10, (1 << 10) - 1
     sigs = simhash(df, id_col, text_col, portable=portable)
-    chunks = sigs.select(
+
+    def chunk(i: int):
+        return F.shiftright(col("simhash"), i * chunk_bits).bitwiseAND(F.lit(mask))
+
+    keys = sigs.select(
         "id",
         "simhash",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(i).alias("chunk_id"),
-                        F.shiftright(col("simhash"), i * chunk_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("chunk"),
+                        F.lit(ci).alias("combo"),
+                        (
+                            chunk(i) * F.lit(1 << 20)
+                            + chunk(j) * F.lit(1 << 10)
+                            + chunk(k)
+                        ).alias("key"),
                     )
-                    for i in range(4)
+                    for ci, (i, j, k) in enumerate(SIMHASH_COMBOS)
                 ]
             )
         ).alias("c"),
-    ).select("id", "simhash", col("c.chunk_id").alias("chunk_id"), col("c.chunk").alias("chunk"))
-    x, y = chunks.alias("x"), chunks.alias("y")
+    ).select("id", "simhash", col("c.combo").alias("combo"), col("c.key").alias("key"))
+    x, y = keys.alias("x"), keys.alias("y")
     return (
-        x.join(y, ["chunk_id", "chunk"])
+        x.join(y, ["combo", "key"])
         .filter(col("x.id") < col("y.id"))
         .select(
             col("x.id").alias("id_a"),
             col("y.id").alias("id_b"),
             F.bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).alias("hamming"),
         )
-        .distinct()
         .filter(col("hamming") <= max_hamming)
+        .distinct()
     )
 
 

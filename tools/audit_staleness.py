@@ -240,7 +240,7 @@ def fingerprint(src: _Source, plan_mod: str, fn_name: str) -> str | None:
 RECONTRACTED: set[str] = {
     # r4: rows-only -> full-oracle upgrades (VERDICT r3 #2)
     "dedup_minhash_lsh",    # xxhash64 -> portable md5-derived 60-bit minhash
-    "dedup_simhash",        # 64-bit xxhash64 -> portable 60-bit signature
+    "dedup_simhash",        # r5: 4x15-bit single-chunk -> 20x 3-of-6 chunk-triple blocking
     "embed_kmeans_assign",  # float Lloyd -> fixed-point int8 Lloyd (dist2)
     "graph_pagerank_simgraph",  # float power iteration -> fixed-point BIGINT
     "multimodal_fake_features",  # rows-only -> full oracle (hex byte math)
