@@ -28,8 +28,20 @@ except ImportError:  # pragma: no cover - older layout, base class suffices
 
 #: terminal writer methods — every sink call funnels through one of these
 WRITER_TERMINALS = ("save", "parquet", "csv", "json", "text", "orc", "saveAsTable")
-#: eager DataFrame actions that drive a plan to execution mid-builder
-EAGER_ACTIONS = ("collect", "toPandas", "localCheckpoint", "checkpoint", "foreach", "foreachPartition")
+#: eager DataFrame actions that drive a plan to execution mid-builder.
+#: count() goes straight to the JVM (it never funnels through collect), so
+#: it needs its own hook — PageRank's vertex/dangling counts and SCD2's
+#: validation counts execute whole frames through it. first/head/take need
+#: none: they delegate to limit(n).collect(), which the collect hook sees.
+EAGER_ACTIONS = (
+    "collect",
+    "count",
+    "toPandas",
+    "localCheckpoint",
+    "checkpoint",
+    "foreach",
+    "foreachPartition",
+)
 
 
 @contextlib.contextmanager

@@ -777,6 +777,7 @@ def incremental_minhash_lsh(
     num_hashes: int = 32,
     bands: int = 8,
     est_threshold: float = 0.5,
+    batch_tag: int | str | None = None,
 ) -> DataFrame:
     """NEAR-dup detection of a new batch against the historical corpus via
     persisted MinHash band buckets — the probabilistic sibling of
@@ -880,12 +881,17 @@ def incremental_minhash_lsh(
         .select("id", "match_id", "n_agree", "est_jaccard")
         .dropDuplicates(["id", "match_id"])
     )
-    n_prev = (
-        len([d for d in os.listdir(state_path) if d.startswith("decisions_")])
-        if os.path.exists(state_path)
-        else 0
-    )
-    out_dir = os.path.join(state_path, f"decisions_{n_prev}")
+    # decisions dir keyed by the CALLER'S batch tag when given: a redelivered
+    # micro-batch (foreachBatch restart after a pre-checkpoint crash) then
+    # OVERWRITES its own dir instead of appending a duplicate decisions_N —
+    # without a tag, a positional counter serves in-process sequential ingest
+    if batch_tag is None:
+        batch_tag = (
+            len([d for d in os.listdir(state_path) if d.startswith("decisions_")])
+            if os.path.exists(state_path)
+            else 0
+        )
+    out_dir = os.path.join(state_path, f"decisions_{batch_tag}")
     decisions.write.mode("overwrite").parquet(out_dir)
     decided = spark.read.parquet(out_dir)
 

@@ -1088,13 +1088,12 @@ _SIMHASH_OR_SQL = " + ".join(
     f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
     for b in range(60)
 )
-# 20 chunk-triple combos, shifts in bits — MUST enumerate identically to
-# operators/dedup.py:SIMHASH_COMBOS (the Spark side's combo ids)
+# 20 chunk-triple combos, shifts in bits — generated FROM the Spark side's
+# enumeration (operators/dedup.py:SIMHASH_COMBOS) so the two engines cannot
+# silently desync on combo ids or membership
 _SIMHASH_COMBO_VALUES = ", ".join(
     f"({ci}, {i * 10}, {j * 10}, {k * 10})"
-    for ci, (i, j, k) in enumerate(
-        (i, j, k) for i in range(6) for j in range(i + 1, 6) for k in range(j + 1, 6)
-    )
+    for ci, (i, j, k) in enumerate(dedup.SIMHASH_COMBOS)
 )
 
 

@@ -244,14 +244,24 @@ def stream_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the stream's two deterministic micro-batches (even docs, then odd docs)
+# replay exactly the batch twin's two ingest phases, so the SAME oracle
+# adjudicates both. plans/__init__ imports llm before streamplans
+# (alphabetical), so the batch spec is always registered first.
+from map_reduce_group_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+# source dir cache (the even/odd halves are a pure function of sf_dir) and
+# last-invocation state/ckpt dirs — state must be FRESH per invocation (the
+# replay test relies on deterministic fresh-state runs), but the previous
+# invocation's dirs are deleted so repeated builder calls don't leak a
+# documents-sized copy per run (the _events_stream_dir convention)
+_INCMH_SRC: dict[str, str] = {}
+_INCMH_LAST: list[str] = []
+
+
 @register(
     "stream_incremental_minhash",
-    # identical contract to the batch twin: the stream's two deterministic
-    # micro-batches (even docs, then odd docs) replay exactly the batch
-    # query's two ingest phases, so the SAME oracle adjudicates both.
-    # (plans/__init__ imports llm before streamplans — alphabetical — so
-    # the batch spec is always registered first.)
-    oracle=None,  # replaced just below — needs the llm registry entry
+    oracle=_REG["dedup_incremental_minhash"].oracle,
 )
 def stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous near-dup ingest (VERDICT r4 #8 stretch): a file-source
@@ -273,19 +283,25 @@ def stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_group_spark.operators import dedup
 
     d = load_table(spark, sf_dir, "documents")
-    src = tempfile.mkdtemp(prefix="mrg_incmh_src_")
-    for i, parity in enumerate([0, 1]):
-        part_dir = tempfile.mkdtemp(prefix="mrg_incmh_half_")
-        d.filter(F.col("doc_id") % 2 == parity).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(part_dir)
-        dst = os.path.join(src, f"docs_{i}.parquet")
-        shutil.copyfile(glob.glob(os.path.join(part_dir, "part-*.parquet"))[0], dst)
-        os.utime(dst, (1_600_000_000 + i * 1000, 1_600_000_000 + i * 1000))
-        shutil.rmtree(part_dir)
+    if sf_dir not in _INCMH_SRC:
+        src = tempfile.mkdtemp(prefix="mrg_incmh_src_")
+        for i, parity in enumerate([0, 1]):
+            part_dir = tempfile.mkdtemp(prefix="mrg_incmh_half_")
+            d.filter(F.col("doc_id") % 2 == parity).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(part_dir)
+            dst = os.path.join(src, f"docs_{i}.parquet")
+            shutil.copyfile(glob.glob(os.path.join(part_dir, "part-*.parquet"))[0], dst)
+            os.utime(dst, (1_600_000_000 + i * 1000, 1_600_000_000 + i * 1000))
+            shutil.rmtree(part_dir)
+        _INCMH_SRC[sf_dir] = src
+    src = _INCMH_SRC[sf_dir]
 
+    while _INCMH_LAST:
+        shutil.rmtree(_INCMH_LAST.pop(), ignore_errors=True)
     state = tempfile.mkdtemp(prefix="mrg_incmh_state_")
     ckpt = tempfile.mkdtemp(prefix="mrg_incmh_ckpt_")
+    _INCMH_LAST.extend([state, ckpt])
     stream = (
         spark.readStream.schema(d.schema)
         .option("maxFilesPerTrigger", "1")
@@ -293,7 +309,13 @@ def stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        dedup.incremental_minhash_lsh(batch_df, state, "doc_id", "text")
+        # decisions keyed by Spark's batch_id: a redelivered micro-batch
+        # (restart after a pre-checkpoint-commit crash) overwrites its own
+        # decisions dir instead of appending a duplicate — the same
+        # idempotence contract as the repo's foreachBatch upsert sink
+        dedup.incremental_minhash_lsh(
+            batch_df, state, "doc_id", "text", batch_tag=batch_id
+        )
 
     q = (
         stream.writeStream.foreachBatch(ingest)
@@ -303,14 +325,3 @@ def stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(os.path.join(state, "decisions_*"))
-
-
-# the stream replays the batch phases exactly, so it shares the batch oracle
-from map_reduce_group_spark.plans.registry import REGISTRY as _REG  # noqa: E402
-
-_REG["stream_incremental_minhash"] = _REG["stream_incremental_minhash"].__class__(
-    name="stream_incremental_minhash",
-    builder=_REG["stream_incremental_minhash"].builder,
-    oracle=_REG["dedup_incremental_minhash"].oracle,
-    doc=_REG["stream_incremental_minhash"].doc,
-)

@@ -1489,3 +1489,43 @@ def test_global_rank_matches_global_window(spark):
         ).collect()
     }
     assert rn == exp_rn
+
+
+def test_minhash_collapse_and_direct_paths_agree(spark, sf_dir):
+    """The clone-fraction gate (r5) must be invisible in results: on a
+    corpus with planted exact-clone families (≥1% clones — the collapse
+    regime) the collapsed path's cross-expansion + within-group emission
+    must equal the direct all-through-LSH path pair-for-pair. This is the
+    only suite coverage of minhash_lsh_pairs' collapse branch — organic
+    fixtures all gate to the direct path now."""
+    import map_reduce_group_spark.operators.dedup as dedup
+
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+    offset = 100_000
+    clones = base.limit(20).select(
+        (F.col("doc_id") + offset).alias("doc_id"), "text"
+    )
+    docs = base.select("doc_id", "text").unionByName(clones)  # 20/100 clones
+
+    saved = dedup.COLLAPSE_MIN_CLONE_FRAC
+    try:
+        dedup.COLLAPSE_MIN_CLONE_FRAC = 0.0  # always collapse
+        collapsed = dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=32, bands=8,
+            threshold=0.3, portable=True,
+        ).collect()
+        dedup.COLLAPSE_MIN_CLONE_FRAC = 2.0  # never collapse
+        direct = dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=32, bands=8,
+            threshold=0.3, portable=True,
+        ).collect()
+    finally:
+        dedup.COLLAPSE_MIN_CLONE_FRAC = saved
+
+    as_set = lambda rows: {
+        (r["id_a"], r["id_b"], round(r["jaccard"], 6)) for r in rows
+    }
+    got_c, got_d = as_set(collapsed), as_set(direct)
+    assert got_c == got_d
+    # the planted clones must actually exercise the within-group emission
+    assert any(b - a == offset for a, b, _ in got_c)

@@ -467,6 +467,29 @@ GLOBAL_WINDOW_ALLOWED = {
 }
 
 
+def _first_spec_arg(args: str) -> str | None:
+    """First TOP-LEVEL argument of the first windowspecdefinition(...) in
+    ``args`` — paren-aware, so ordering expressions containing function
+    calls (``round(x, 2) ASC NULLS FIRST``) aren't truncated at their
+    inner comma/paren the way a ``[^()]*`` regex would."""
+    marker = "windowspecdefinition("
+    start = args.find(marker)
+    if start < 0:
+        return None
+    i, depth = start + len(marker), 0
+    for j in range(i, len(args)):
+        c = args[j]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            if depth == 0:
+                return args[i:j].strip()
+            depth -= 1
+        elif c == "," and depth == 0:
+            return args[i:j].strip()
+    return None
+
+
 def _global_window_count(p: str) -> int:
     """Partition-less Window nodes in a formatted plan: the node's
     windowspecdefinition either starts with the frame itself (no partition,
@@ -481,15 +504,13 @@ def _global_window_count(p: str) -> int:
                  if lines[j].startswith("Arguments:")),
                 "",
             )
-            for spec in re.findall(r"windowspecdefinition\(([^()]*)", args):
-                first = spec.split(", ")[0]
-                if (
-                    first.startswith("specifiedwindowframe")
-                    or " ASC" in first
-                    or " DESC" in first
-                ):
-                    count += 1
-                break  # one spec per Window node is representative
+            first = _first_spec_arg(args)
+            if first is not None and (
+                first.startswith("specifiedwindowframe")
+                or first.endswith("NULLS FIRST")
+                or first.endswith("NULLS LAST")
+            ):
+                count += 1
     return count
 
 
