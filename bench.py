@@ -31,6 +31,14 @@ def main() -> None:
     spark = get_session("mrg-spark-bench")
     qs = queries()
 
+    # host-drift self-diagnosis (VERDICT r5 #4): the pre-scan wall is a
+    # fixed workload, so a drifted artifact shows an inflated prescan_sec
+    # and/or a high load average without needing a second run to compare
+    import socket
+
+    load_start = os.getloadavg()
+    t_warm = time.perf_counter()
+
     # warm the JVM + parquet footers with a trivial action, and the Python
     # worker pool + Arrow serializers with a tiny mapInPandas — otherwise
     # the first Arrow-heavy query pays ~5-8 s of daemon/fork cold-start and
@@ -48,6 +56,7 @@ def main() -> None:
 
     for t in TABLES:
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+    prescan_sec = round(time.perf_counter() - t_warm, 2)
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -70,6 +79,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "prescan_sec": prescan_sec,
+        "host": socket.gethostname(),
+        "load_avg_1m": [round(load_start[0], 2), round(os.getloadavg()[0], 2)],
     }
     if errors:
         out["errors"] = errors

@@ -59,9 +59,13 @@ def capture_actions(into: list) -> Iterator[list]:
             return
         def patched(self, *a, __orig=orig, __meth=meth, **k):
             df = get_df(self)
+            out = __orig(self, *a, **k)
+            # record only AFTER the underlying action succeeds — a failing
+            # intermediate write must not contribute a phantom frame to
+            # merged PLANS.md audits (ADVICE r5)
             if df is not None:
                 into.append((__meth, df))
-            return __orig(self, *a, **k)
+            return out
         saved.append((cls, meth, orig))
         setattr(cls, meth, patched)
 

@@ -11,6 +11,8 @@ from collections import Counter
 import pytest
 
 from map_reduce_group_spark.mr import Job, submit
+
+pytestmark = pytest.mark.quick
 from map_reduce_group_spark.mr.job import pipe_table
 
 EXEC_DIR = os.path.join(

@@ -6,13 +6,25 @@ from __future__ import annotations
 import pytest
 
 from map_reduce_group_spark.plans import REGISTRY
+from map_reduce_group_spark.plans.registry import COST_HINT
 from tests.helpers import assert_matches_oracle
 
 ORACLE_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
 ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
 
 
-@pytest.mark.parametrize("name", ORACLE_QUERIES)
+# quick subset = the oracle core minus the heavy tail (COST_HINT >= 5 s at
+# sf0.1 — streaming ingest, BPE, clusters, pagerank), keeping `-m quick`
+# inside the CLAUDE.md <3 min inner-loop budget
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.quick)
+        if COST_HINT.get(n, 0.0) < 5.0
+        else pytest.param(n)
+        for n in ORACLE_QUERIES
+    ],
+)
 def test_query_matches_oracle(spark, sf_dir, name):
     spec = REGISTRY[name]
     try:
@@ -30,6 +42,7 @@ def test_query_matches_oracle(spark, sf_dir, name):
         assert_matches_oracle(df, spec.oracle, sf_dir, name=name)
 
 
+@pytest.mark.quick
 @pytest.mark.parametrize("name", ROWS_ONLY_QUERIES)
 def test_rows_only_query_runs(spark, sf_dir, name):
     spec = REGISTRY[name]
