@@ -9,8 +9,10 @@ exactly (same oracle strings as their batch twins in plans/events.py).
 
 from __future__ import annotations
 
+import atexit
 import itertools
 import os
+import shutil
 import tempfile
 
 import pyspark.sql.functions as F
@@ -21,6 +23,14 @@ from map_reduce_group_spark.streaming import events_stream as es
 
 _COUNTER = itertools.count()
 _STREAM_DIRS: dict[tuple[str, int], str] = {}
+
+
+@atexit.register
+def _cleanup_temp_dirs() -> None:
+    """Remove the per-process source/state temp dirs at interpreter exit
+    (ADVICE r5: they were process-lifetime leaks for library use)."""
+    for d in list(_STREAM_DIRS.values()) + list(_INCMH_SRC.values()) + _INCMH_LAST:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 def _events_stream_dir(sf_dir: str, copies: int = 1) -> str:
@@ -314,7 +324,8 @@ def stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # decisions dir instead of appending a duplicate — the same
         # idempotence contract as the repo's foreachBatch upsert sink
         dedup.incremental_minhash_lsh(
-            batch_df, state, "doc_id", "text", batch_tag=batch_id
+            batch_df, state, "doc_id", "text", batch_tag=batch_id,
+            shuffle_partitions=8,
         )
 
     q = (
@@ -324,4 +335,11 @@ def stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.parquet(os.path.join(state, "decisions_*"))
+    # localCheckpoint EAGERLY: the next invocation deletes this state dir
+    # (_INCMH_LAST), and a lazy read over it would PATH_NOT_FOUND for any
+    # caller that re-invokes the builder before collecting the earlier
+    # result (ADVICE r5). The decisions set is small (pair decisions, not
+    # documents), so materializing it is cheap.
+    return spark.read.parquet(os.path.join(state, "decisions_*")).localCheckpoint(
+        eager=True
+    )

@@ -5,6 +5,7 @@ from __future__ import annotations
 import random
 
 import pyspark.sql.functions as F
+import pytest
 
 from map_reduce_group_spark.operators.asof import asof_join
 from map_reduce_group_spark.operators.clusters import connected_components
@@ -1491,13 +1492,41 @@ def test_global_rank_matches_global_window(spark):
     assert rn == exp_rn
 
 
-def test_minhash_collapse_and_direct_paths_agree(spark, sf_dir):
+_AB_OPS = {
+    "minhash": lambda dedup, docs: dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=8,
+        threshold=0.3, portable=True,
+    ),
+    "minhash_capped": lambda dedup, docs: dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=8,
+        threshold=0.3, portable=True, max_bucket_frac=0.05,
+    ),
+    "ngram": lambda dedup, docs: dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.3,
+    ),
+    "ngram_df_frac": lambda dedup, docs: dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.3, max_doc_frac=0.1,
+    ),
+    "ngram_df_abs": lambda dedup, docs: dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.3, max_doc_freq=8,
+    ),
+    "prefix": lambda dedup, docs: dedup.jaccard_prefix_filter_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.3,
+    ),
+}
+
+
+@pytest.mark.parametrize("op", sorted(_AB_OPS))
+def test_collapse_and_direct_paths_agree(spark, sf_dir, op):
     """The clone-fraction gate (r5) must be invisible in results: on a
     corpus with planted exact-clone families (≥1% clones — the collapse
     regime) the collapsed path's cross-expansion + within-group emission
-    must equal the direct all-through-LSH path pair-for-pair. This is the
-    only suite coverage of minhash_lsh_pairs' collapse branch — organic
-    fixtures all gate to the direct path now."""
+    must equal the direct path pair-for-pair, for EVERY operator carrying
+    the gate (ADVICE r5: formerly only minhash was A/B-covered; organic
+    fixtures all gate to the direct path now, so this is the suite's only
+    exercise of the Jaccard-family collapse branches) — including the
+    capped variants, whose bucket/df mass is counted in documents exactly
+    so that this equivalence holds."""
     import map_reduce_group_spark.operators.dedup as dedup
 
     base = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
@@ -1507,18 +1536,13 @@ def test_minhash_collapse_and_direct_paths_agree(spark, sf_dir):
     )
     docs = base.select("doc_id", "text").unionByName(clones)  # 20/100 clones
 
+    build = _AB_OPS[op]
     saved = dedup.COLLAPSE_MIN_CLONE_FRAC
     try:
         dedup.COLLAPSE_MIN_CLONE_FRAC = 0.0  # always collapse
-        collapsed = dedup.minhash_lsh_pairs(
-            docs, "doc_id", "text", n=3, num_hashes=32, bands=8,
-            threshold=0.3, portable=True,
-        ).collect()
+        collapsed = build(dedup, docs).collect()
         dedup.COLLAPSE_MIN_CLONE_FRAC = 2.0  # never collapse
-        direct = dedup.minhash_lsh_pairs(
-            docs, "doc_id", "text", n=3, num_hashes=32, bands=8,
-            threshold=0.3, portable=True,
-        ).collect()
+        direct = build(dedup, docs).collect()
     finally:
         dedup.COLLAPSE_MIN_CLONE_FRAC = saved
 
@@ -1529,3 +1553,48 @@ def test_minhash_collapse_and_direct_paths_agree(spark, sf_dir):
     assert got_c == got_d
     # the planted clones must actually exercise the within-group emission
     assert any(b - a == offset for a, b, _ in got_c)
+
+
+def test_minhash_hot_bucket_cap(spark, sf_dir):
+    """The max_bucket_frac cap (VERDICT r5 #2) on a planted near-identical
+    -but-DISTINCT boilerplate family (the identical-set collapse can't
+    absorb it — every shingle set differs by one trigram): the family's
+    band buckets exceed the cap and are dropped, so its quadratic pair
+    mass disappears, while pairs not involving the family are untouched
+    and capped output stays a subset of uncapped (precision unchanged —
+    verification still runs)."""
+    import map_reduce_group_spark.operators.dedup as dedup
+
+    organic = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(50)
+        .select("doc_id", "text")
+    )
+    template = " ".join(f"w{i % 17}x{i % 13}" for i in range(50))
+    fam = spark.createDataFrame(
+        [(200_000 + i, f"{template} uniq{i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    docs = organic.unionByName(fam)  # 110 docs; cap = ceil(0.05*110) = 6
+
+    uncapped = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=8,
+        threshold=0.3, portable=True,
+    ).collect()
+    capped = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=32, bands=8,
+        threshold=0.3, portable=True, max_bucket_frac=0.05,
+    ).collect()
+
+    as_set = lambda rows: {(r["id_a"], r["id_b"]) for r in rows}
+    got_u, got_c = as_set(uncapped), as_set(capped)
+    is_fam = lambda p: p[0] >= 200_000 or p[1] >= 200_000
+    fam_u = {p for p in got_u if is_fam(p)}
+    fam_c = {p for p in got_c if is_fam(p)}
+    # the boilerplate family floods its buckets: ~1700 quadratic pairs
+    assert len(fam_u) > 1000
+    # the cap drops the hot buckets — (nearly) all of that mass goes
+    assert len(fam_c) < len(fam_u) // 10
+    # subset + organic pairs untouched
+    assert got_c <= got_u
+    assert {p for p in got_u if not is_fam(p)} == {p for p in got_c if not is_fam(p)}
