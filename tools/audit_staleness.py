@@ -248,6 +248,9 @@ RECONTRACTED: set[str] = {
     "embed_ann_ivf_quantized",  # rows-only -> oracle (portable fixed-point LSH)
     "embed_cosine_neardup",     # rows-only -> oracle (portable fixed-point LSH)
     "embed_semdedup_prune",     # rows-only -> oracle (fixed-point kmeans + CC)
+    # r6: rows-only -> oracle (exact top-k by CMS estimate over the merged
+    # matrix — deterministic, no batch-local candidate pool; VERDICT r5 #3)
+    "sketch_heavy_hitter_tokens",
 }
 
 

@@ -69,13 +69,29 @@ def main() -> None:
             az = "abcdefghijklmnopqrstuvwxyz"
             AZ = az.upper()
 
-            def rot(s: str, g: int) -> str:
-                return s[g % 26:] + s[: g % 26]
+            # per-group AFFINE alphabet permutation i -> (a·i + b) mod 26:
+            # plain Caesar rotation (a=1) collides past 26 groups (g%26), so
+            # a 1000x fixture would silently MERGE clone families (two groups
+            # with the same rotation produce byte-identical texts). The 12
+            # units of Z/26 × 26 shifts give 312 distinct permutations;
+            # a=1 for g<26 keeps the 10x/100x fixtures bit-identical to the
+            # historical rotation behavior. Token boundaries, lengths, and
+            # n_chars are preserved exactly as before.
+            mults = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+
+            def perm(s: str, g: int) -> str:
+                a, b = mults[(g // 26) % len(mults)], g % 26
+                return "".join(s[(i * a + b) % 26] for i in range(26))
 
             n_groups = (factor + family - 1) // family
+            if n_groups > 26 * len(mults):
+                sys.exit(
+                    f"{n_groups} groups exceed the {26 * len(mults)} distinct "
+                    "alphabet permutations — clone families would merge"
+                )
             cases = " ".join(
                 f"WHEN i // {family} = {g} THEN "
-                f"translate(text, '{az}{AZ}', '{rot(az, g)}{rot(AZ, g)}')"
+                f"translate(text, '{az}{AZ}', '{perm(az, g)}{perm(AZ, g)}')"
                 for g in range(n_groups)
             )
             cols = [c if c != "text" else f"(CASE {cases} END) AS text" for c in cols]
