@@ -69,9 +69,10 @@ COST_HINT = {
     "agg_mad_outliers": 1.5,
     "corpus_mixture_rebalance": 1.1, "corpus_sequence_pack": 3.1, "corpus_span_dedup": 1.4,
     "dedup_clusters": 6.7, "dedup_jaccard_prefix": 5.0, "dedup_jaccard_topmatch": 5.5,
-    "dedup_minhash_lsh": 3.2, "doc_bpe_merges64": 7.5,
+    "dedup_minhash_lsh": 3.2, "dedup_minhash_lsh_capped": 3.2, "doc_bpe_merges64": 7.5,
     "dedup_ngram_jaccard": 1.9, "dedup_suffix_longest_span": 4.5,
-    "stream_incremental_minhash": 18.0,
+    "dedup_incremental_minhash": 6.0,
+    "stream_incremental_minhash": 8.0,
     "dedup_ngram_jaccard_capped": 3.3, "dedup_simhash": 3.3, "doc_bpe_merges": 1.9,
     "doc_bpe_token_count": 2.7, "doc_repetition_signals": 1.2, "doc_winnow_fingerprints": 1.2,
     "embed_ann_ivf_quantized": 1.4, "embed_quantized_topk_agreement": 1.8, "embed_semdedup_prune": 1.2,
