@@ -823,19 +823,36 @@ _COS_SQL = (
 
 
 
-SCALE_ORACLES: dict[str, str] = {
-    "dedup_jaccard_prefix": _PREFIX_PAIRS_CTES
-    + """
-    SELECT id_a, id_b, n_common, jaccard FROM pairs
-    """,
-    "dedup_clusters": _clusters_scale_oracle(),
-    "embed_semdedup_prune": _semdedup_scale_oracle(),
-    # identical-set collapse before the signature/banding chain — identical
-    # shingle sets have identical min-hash signatures, band buckets, and
-    # verification outcomes (the exact lemma the Spark operator applies), so
-    # the candidate join stops being quadratic in clone-family size. The
-    # naive per-document form stays the sf0.01 driver oracle.
-    "dedup_minhash_lsh": f"""
+def _collapsed_minhash_scale_oracle(frac_cap: float | None = None) -> str:
+    """Identical-set collapse before the signature/banding chain — identical
+    shingle sets have identical min-hash signatures, band buckets, and
+    verification outcomes (the exact lemma the Spark operator applies,
+    operators/dedup.py:minhash_lsh_pairs), so the candidate join stops being
+    quadratic in clone-family size. The naive per-document form stays the
+    sf0.01 driver oracle.
+
+    ``frac_cap`` replays the hot-bucket cap at the collapsed level: bucket
+    mass is the SUM of member-family sizes (the engine's Σ_g window over
+    the cap-filtered banding), only cool buckets generate candidates, and a
+    family emits its within-pairs exactly when ≥1 of its band buckets
+    survives — the both-paths-alike contract the engine documents."""
+    if frac_cap is None:
+        cap_ctes, cand_cool, within_cool = "", "", ""
+    else:
+        cap_ctes = f""", famsz AS (
+        SELECT rep, count(*) AS g FROM members GROUP BY rep
+    ), cool AS (
+        SELECT band, bucket
+        FROM bands b JOIN famsz f ON f.rep = b.id
+        GROUP BY band, bucket
+        HAVING sum(f.g) <= greatest(
+            CAST(ceil({frac_cap} * (SELECT count(*) FROM documents)) AS BIGINT), 1)
+    ), survivors AS (
+        SELECT DISTINCT b.id AS rep FROM bands b JOIN cool USING (band, bucket)
+    )"""
+        cand_cool = "JOIN cool USING (band, bucket)\n        "
+        within_cool = "JOIN survivors s ON s.rep = m1.rep\n    "
+    return f"""
     WITH sets AS MATERIALIZED (
         SELECT doc_id AS id, {_SHINGLES_SQL} AS shingles
         FROM documents
@@ -869,10 +886,10 @@ SCALE_ORACLES: dict[str, str] = {
         SELECT id, CAST(seed // 4 AS INT) AS band,
                string_agg(CAST(h AS VARCHAR), '|' ORDER BY seed) AS bucket
         FROM sigs GROUP BY 1, 2
-    ), cand AS (
+    ){cap_ctes}, cand AS (
         SELECT DISTINCT x.id AS id_a, y.id AS id_b
         FROM bands x JOIN bands y USING (band, bucket)
-        WHERE x.id < y.id
+        {cand_cool}WHERE x.id < y.id
     ), pair_counts AS (
         SELECT c.id_a, c.id_b, a.set_size AS size_a, b.set_size AS size_b,
                count(*) AS n_common
@@ -893,8 +910,22 @@ SCALE_ORACLES: dict[str, str] = {
     UNION ALL
     SELECT m1.id AS id_a, m2.id AS id_b, 1.0 AS jaccard
     FROM members m1 JOIN members m2 USING (set_fp, set_size)
-    WHERE m1.id < m2.id
+    {within_cool}WHERE m1.id < m2.id
+    """
+
+
+SCALE_ORACLES: dict[str, str] = {
+    "dedup_jaccard_prefix": _PREFIX_PAIRS_CTES
+    + """
+    SELECT id_a, id_b, n_common, jaccard FROM pairs
     """,
+    "dedup_clusters": _clusters_scale_oracle(),
+    "embed_semdedup_prune": _semdedup_scale_oracle(),
+    "dedup_minhash_lsh": _collapsed_minhash_scale_oracle(),
+    # the capped registered twin (VERDICT r5 #2): same collapse, plus the
+    # hot-bucket cap replayed at the collapsed level — value-verified at
+    # 100×/1000×, not just the sf0.01 driver oracle
+    "dedup_minhash_lsh_capped": _collapsed_minhash_scale_oracle(0.02),
     # identical-TEXT collapse for the capped suffix-array span oracle: a doc
     # with an exact clone shares its FULL capped prefix with that clone, so
     # its answer is least(cap, len) outright — no span needs enumerating;

@@ -85,6 +85,36 @@ def test_no_driver_facing_array_or_map_columns(spark, sf_dir):
     assert not bad, f"array/map-typed driver-facing columns: {bad}"
 
 
+@pytest.mark.quick
+def test_scale_oracle_standins_match_driver_oracles():
+    """Every SCALE_ORACLES stand-in (the pruned/collapsed SQL tools/
+    diff_scale.py substitutes at 10×/100×/1000×) must be VALUE-IDENTICAL
+    to the registered driver oracle — that is the stand-in's entire
+    contract. Enforce it at sf0.01 where both forms are tractable:
+    pure DuckDB, no Spark, so a drifted stand-in is caught in the suite
+    instead of at the next manual scale sweep (the ADVICE r5 #1 gap class,
+    closed for the Jaccard collapse branches by the A/B property tests;
+    this closes it for the SQL side)."""
+    from map_reduce_group_spark.plans.llm import SCALE_ORACLES
+    from tests.helpers import canonicalize, dtype_skew, run_oracle
+
+    sf = "/root/testdata/sf0.01"
+    bad = []
+    for name, scale_sql in SCALE_ORACLES.items():
+        spec = REGISTRY[name]
+        assert spec.oracle is not None, f"{name}: scale stand-in without a driver oracle"
+        want = run_oracle(spec.oracle, sf)
+        got = run_oracle(scale_sql, sf)
+        ok = (
+            canonicalize(got) == canonicalize(want)
+            and sorted(got.columns) == sorted(want.columns)
+            and not dtype_skew(got, want)
+        )
+        if not ok:
+            bad.append(f"{name} (scale={len(got)} rows, driver={len(want)} rows)")
+    assert not bad, f"scale stand-ins diverge from driver oracles at sf0.01: {bad}"
+
+
 def test_no_vacuous_oracles_at_driver_scale():
     """Every DuckDB oracle must return at least one row at sf0.01 — the
     scale the external driver hash-compares at. A 0-row oracle makes the

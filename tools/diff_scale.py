@@ -101,6 +101,14 @@ def main() -> None:
         try:
             sdf = qs[name](spark, sf_dir).toPandas()
             t_spark = time.perf_counter() - t0
+            # flush the engine measurement BEFORE the oracle phase: at
+            # 1000x some oracles are intractable by design, and an
+            # ORACLE_TIMEOUT row must still record the Spark wall
+            print(
+                f"{name:36s}spark done rows={len(sdf)}  spark={t_spark:.1f}s"
+                "  (oracle running...)",
+                flush=True,
+            )
             t0 = time.perf_counter()
             ddf = run_oracle_guarded(osql[name], sf_dir, oracle_timeout)
             t_duck = time.perf_counter() - t0
