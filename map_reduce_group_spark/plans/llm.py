@@ -448,11 +448,11 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (VERDICT r5 #5 — the stream_purchase_attribution state-sizing fix)
     a = dedup.incremental_minhash_lsh(
         d.filter(col("doc_id") % 2 == 0), state, "doc_id", "text",
-        shuffle_partitions=8,
+        shuffle_partitions="auto",
     )
     b = dedup.incremental_minhash_lsh(
         d.filter(col("doc_id") % 2 == 1), state, "doc_id", "text",
-        shuffle_partitions=8,
+        shuffle_partitions="auto",
     )
     return a.unionByName(b)
 

@@ -325,7 +325,7 @@ def stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # idempotence contract as the repo's foreachBatch upsert sink
         dedup.incremental_minhash_lsh(
             batch_df, state, "doc_id", "text", batch_tag=batch_id,
-            shuffle_partitions=8,
+            shuffle_partitions="auto",
         )
 
     q = (

@@ -12,6 +12,7 @@ A watchdog interrupts any DuckDB oracle running past --oracle-timeout so
 one heavy CTE can't hang the sweep.
 
 Usage: python tools/diff_scale.py [sf_dir=/tmp/sf10x] [name_prefix_filter]
+(the filter accepts a comma-separated list of prefixes)
 """
 from __future__ import annotations
 
@@ -69,7 +70,7 @@ def run_oracle_guarded(sql: str, sf_dir: str, timeout_s: float) -> "object":
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10x"
-    prefix = sys.argv[2] if len(sys.argv) > 2 else ""
+    prefixes = tuple((sys.argv[2] if len(sys.argv) > 2 else "").split(","))
     oracle_timeout = float(os.environ.get("DIFF_ORACLE_TIMEOUT", "240"))
 
     spark = (
@@ -91,7 +92,7 @@ def main() -> None:
     osql.update(SCALE_ORACLES)  # value-identical pruned stand-ins at scale
     fails, skips, errs = [], [], []
     for name in qs:
-        if not name.startswith(prefix) or name not in osql:
+        if not name.startswith(prefixes) or name not in osql:
             continue
         if name in SKIP_AT_SCALE:
             print(f"{name:36s}SKIP (all-pairs oracle; see SCALING.md)", flush=True)
