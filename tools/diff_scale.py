@@ -48,6 +48,10 @@ def run_oracle_guarded(sql: str, sf_dir: str, timeout_s: float) -> "object":
         # spill dir — the default (80% of RAM, no temp dir for :memory:
         # connections) dies with "bad allocation" next to a 48g driver
         con.execute(f"SET memory_limit='{os.environ.get('DIFF_DUCK_MEM', '40GB')}'")
+        # optional throttle so a multi-hour 1000x oracle can run alongside
+        # other work without saturating the host (default: all cores)
+        if os.environ.get("DIFF_DUCK_THREADS"):
+            con.execute(f"SET threads={int(os.environ['DIFF_DUCK_THREADS'])}")
         # PER-PROCESS spill dir: two concurrent harness runs sharing one
         # temp_directory clash on DuckDB's temp-file names and read each
         # other's spilled blocks — observed as a bogus INT64-overflow with
