@@ -12,7 +12,8 @@ A watchdog interrupts any DuckDB oracle running past --oracle-timeout so
 one heavy CTE can't hang the sweep.
 
 Usage: python tools/diff_scale.py [sf_dir=/tmp/sf10x] [name_prefix_filter]
-(the filter accepts a comma-separated list of prefixes)
+(the filter accepts a comma-separated list of prefixes; a fragment ending
+in "$" requires an exact name match; empty fragments are ignored)
 """
 from __future__ import annotations
 
@@ -74,7 +75,11 @@ def run_oracle_guarded(sql: str, sf_dir: str, timeout_s: float) -> "object":
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10x"
-    prefixes = tuple((sys.argv[2] if len(sys.argv) > 2 else "").split(","))
+    # drop empty fragments so a stray trailing comma can't widen the filter
+    # to every query (startswith("") matches everything); no filter at all
+    # still means "run all"
+    raw = sys.argv[2] if len(sys.argv) > 2 else ""
+    prefixes = tuple(p for p in raw.split(",") if p) or ("",)
     oracle_timeout = float(os.environ.get("DIFF_ORACLE_TIMEOUT", "240"))
 
     spark = (
@@ -96,7 +101,11 @@ def main() -> None:
     osql.update(SCALE_ORACLES)  # value-identical pruned stand-ins at scale
     fails, skips, errs = [], [], []
     for name in qs:
-        if not name.startswith(prefixes) or name not in osql:
+        selected = any(
+            name == p[:-1] if p.endswith("$") else name.startswith(p)
+            for p in prefixes
+        )
+        if not selected or name not in osql:
             continue
         if name in SKIP_AT_SCALE:
             print(f"{name:36s}SKIP (all-pairs oracle; see SCALING.md)", flush=True)
