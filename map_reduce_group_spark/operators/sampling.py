@@ -197,3 +197,78 @@ def split_assign(
         .when(u < train_frac + val_frac, "val")
         .otherwise("test"),
     )
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "wsys",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling: pick ~``n``
+    rows with inclusion probability ∝ an integer weight (the token-budget
+    sampler of corpus curation — "draw a 10 B-token ablation whose docs
+    are chosen proportional to their token counts", Mad-Lab/DoReMi-style
+    ablation draws), deterministically.
+
+    Method (classic systematic PPS, Madow 1949): order rows by a
+    content-addressed key (md5(salt||id), tie-broken by id — a
+    deterministic stand-in for the random permutation), take the running
+    weight sum W_i, and select row i iff the half-open interval
+    (W_{i-1}, W_i] contains a selection tick — equivalently
+    ``floor(W_i·n/W) > floor(W_{i-1}·n/W)`` with W the corpus total. All
+    arithmetic is exact BIGINT (products ≤ W·n must stay under 2^63:
+    fine to ~10^15 corpus tokens at n ≤ 10^3; switch the two products to
+    DECIMAL(38,0) beyond), so any engine reproduces the identical sample.
+    A row heavier than W/n absorbs several ticks: ``multiplicity`` > 1
+    (it would be certainty-selected in any PPS design).
+
+    The global prefix sum uses the same two-pass distributed scan as
+    pack_sequences (operators/text.py:300) — range-partition by the order
+    key, per-partition subtotals, O(P) driver offsets broadcast back —
+    NEVER a partition-less Window: the corpus-size cumsum stays
+    distributed, the driver sees P scalars.
+
+    Returns ``(id, weight, multiplicity)`` for selected rows only
+    (≈ n rows at any corpus scale — a top-k-like bounded output).
+    """
+    t = (
+        df.select(
+            col(id_col).alias("id"),
+            col(weight_col).cast("long").alias("wt"),
+            F.md5(F.concat(F.lit(salt), col(id_col).cast("string")).cast("binary")).alias("ord"),
+        )
+        .filter(col("wt") > 0)
+        .repartitionByRange(num_partitions, "ord", "id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    t = t.localCheckpoint()  # pin pid across the two uses (pack_sequences precedent)
+    subtotal_rows = sorted(
+        (r["pid"], r["s"]) for r in t.groupBy("pid").agg(F.sum("wt").alias("s")).collect()
+    )
+    offsets, running = [], 0
+    for pid, s in subtotal_rows:
+        offsets.append((pid, running))
+        running += s
+    total = running
+    if total == 0:
+        return t.select("id", col("wt").alias("weight")).withColumn(
+            "multiplicity", F.lit(0).cast("long")
+        ).limit(0)
+    spark = df.sparkSession
+    off = F.broadcast(spark.createDataFrame(offsets, "pid int, off long"))
+    w = Window.partitionBy("pid").orderBy("ord", "id")
+    return (
+        t.join(off, "pid")
+        .withColumn("cum", col("off") + F.sum("wt").over(w))
+        # exact BIGINT: `div` is integer division (DuckDB twin: `//`);
+        # operands are non-negative so truncation == floor on both engines
+        .withColumn(
+            "multiplicity",
+            F.expr(f"(cum * {n}) div {total} - ((cum - wt) * {n}) div {total}").cast("long"),
+        )
+        .filter(col("multiplicity") > 0)
+        .select("id", col("wt").alias("weight"), "multiplicity")
+    )

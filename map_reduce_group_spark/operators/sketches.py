@@ -208,3 +208,165 @@ def cms_heavy_hitters(
         "key string, est_count long, rank long",
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — distinct-count sketch (Flajolet et al. 2007), deterministic
+# variant: both hash slices are md5-derived, so the register array (and the
+# raw estimator computed from it) is a pure function of the KEY SET — no
+# partitioning dependence, no RNG — and a DuckDB twin can rebuild it
+# bit-for-bit from the same data. This is what makes the sketch
+# oracle-checkable end-to-end, unlike Spark's builtin approx_count_distinct
+# whose HLL++ register encoding is engine-private (that builtin remains
+# covered rows-only by `agg_approx_sketches`).
+#
+# Geometry: m = 2^p buckets. bucket(key) = first 32 md5 hex chars' slice
+# int(md5(key)[0:8], 16) % m; the rank observable w = int(md5(key)[16:28],
+# 16) is an INDEPENDENT 48-bit slice of the same digest, rank(key) =
+# (#leading zeros of w in 48 bits) + 1 = 49 - bitlength(w) (w = 0 -> 49).
+# Register M_j = max rank over keys in bucket j. Registers merge by MAX, so
+# the distributed build is one groupBy(bucket).max — the partial-aggregate
+# (map-side combine) form Spark picks automatically — and the shuffle is
+# bounded by m rows per map task at ANY input scale: the fixed-size-summary
+# property that lets a 100 TB corpus answer "how many distinct URLs" with a
+# 2 KB state merge instead of a key-space shuffle.
+# ---------------------------------------------------------------------------
+
+#: rank observable width in bits: md5 hex chars [17, 28] = 48 bits.
+_HLL_WBITS = 48
+
+
+def hll_registers(df: DataFrame, key_col: str, p: int = 10) -> DataFrame:
+    """The HLL register array over ``df[key_col]`` as ``(bucket, register)``
+    rows, one per OCCUPIED bucket (empty buckets are implicit zeros —
+    emitting only occupied cells keeps the result a set, mergeable with
+    another sketch by groupBy(bucket).max).
+
+    Everything is JVM-side codegen (md5 / conv / bin / length — no Python
+    in the data path): one narrow projection, one bounded groupBy. The
+    per-key work is two fixed md5-hex slices; `conv(hex, 16, 10)` yields
+    exact BIGINTs (32- and 48-bit — far inside the 60-bit exactness
+    ceiling used across this repo, e.g. operators/dedup.py:523).
+    """
+    m = 1 << p
+    k = col(key_col).cast("string")
+    h = F.md5(k.cast("binary"))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m
+    w = F.conv(F.substring(h, 17, 12), 16, 10).cast("long")
+    rank = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(bucket.alias("bucket"), rank.cast("long").alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("register"))
+    )
+
+
+def hll_alpha_numerator(p: int) -> float:
+    """The raw-estimator numerator α_m · m² · 2^48 as ONE double literal.
+
+    The HLL raw estimate is E = α_m·m² / Σ_j 2^(−M_j). With registers
+    ≤ 49, the denominator rescales to the exact integer
+    N = Σ_j 2^(48 − M_j) (absent buckets contribute 2^48), leaving E =
+    (α_m·m²·2^48) / N — a single IEEE-754 division of one shared double
+    literal by an exact BIGINT, which both engines round identically
+    (determinism rule: never ACCUMULATE doubles; one exactly-specified
+    terminal division is reproducible). α_m = 0.7213/(1 + 1.079/m) for
+    m ≥ 128 (Flajolet et al. 2007, fig. 3)."""
+    m = float(1 << p)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * float(1 << _HLL_WBITS)
+
+
+def hll_estimate(df: DataFrame, key_col: str, p: int = 10) -> DataFrame:
+    """One-row distinct-count estimate from the merged register array:
+    ``(m, occupied_buckets, zero_buckets, inv_sum_num, est_raw)``.
+
+    ``inv_sum_num`` = Σ_j 2^(48 − M_j) over ALL m buckets (exact BIGINT,
+    ≤ m·2^48 < 2^63 for p ≤ 14); ``est_raw`` = alpha-numerator /
+    inv_sum_num — the raw HLL estimator, within ~1.04/√m relative error
+    (3.25 % at p = 10). Small-range (linear-counting) and large-range
+    corrections are driver-side policy on top of these integers — kept out
+    of the contract because they need ln(), whose last-ulp behavior is
+    libm-specific, while this form is bit-reproducible.
+
+    Scale shape: registers flow in pre-reduced (≤ m rows); the finisher is
+    a single-row aggregate. Total driver traffic is one row."""
+    regs = hll_registers(df, key_col, p)
+    m = 1 << p
+    num = F.lit(hll_alpha_numerator(p))
+    occupied = F.count(F.lit(1))
+    inv_present = F.sum(F.expr(f"shiftleft(1L, {_HLL_WBITS} - register)"))
+    inv_absent = (F.lit(m) - occupied) * F.lit(1 << _HLL_WBITS).cast("long")
+    return regs.agg(
+        F.lit(m).cast("long").alias("m"),
+        occupied.cast("long").alias("occupied_buckets"),
+        (F.lit(m) - occupied).cast("long").alias("zero_buckets"),
+        (inv_present + inv_absent).cast("long").alias("inv_sum_num"),
+        (num / (inv_present + inv_absent)).alias("est_raw"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — set membership over key spaces too large to broadcast as
+# exact sets (the 100 TB case: "is this URL / fingerprint in the blocklist /
+# previously-ingested corpus?" where the reference set has billions of keys
+# but the filter is m bits). Deterministic variant: the k probe positions
+# are md5-derived (seed i -> int(md5('i:key')[:15 hex], 16) % m), so the
+# bit-set IS a pure function of the reference key set and a DuckDB twin
+# rebuilds it exactly — membership verdicts, including the false-positive
+# set, are oracle-checkable. The filter build is a bounded groupBy (≤ m
+# distinct positions out of any input size) and probing is a broadcast join
+# against ≤ m position rows: linear scans, no key-space shuffle.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_pos(seed_col, key, m_bits: int):
+    """Position of (seed, key): 60-bit md5-derived integer mod ``m_bits``
+    (same exact-conv convention as operators/dedup.py:523)."""
+    h = F.md5(F.concat(seed_col.cast("string"), F.lit(":"), key).cast("binary"))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % m_bits
+
+
+def bloom_build(df: DataFrame, key_col: str, m_bits: int = 16384, k: int = 5) -> DataFrame:
+    """The set bit positions of a Bloom filter over ``df[key_col]`` as
+    distinct ``(pos)`` rows (the sparse encoding of the m-bit array;
+    mergeable with another filter by plain union+distinct = bitwise OR).
+
+    Output ≤ ``m_bits`` rows regardless of input size; the build is one
+    explode-by-k projection plus one distinct."""
+    key = col(key_col).cast("string")
+    seed = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
+    rows = df.select(key.alias("key"), seed).select(
+        _bloom_pos(col("seed"), col("key"), m_bits).alias("pos")
+    )
+    return rows.distinct()
+
+
+def bloom_probe(
+    bits: DataFrame, probe: DataFrame, key_col: str, m_bits: int = 16384, k: int = 5
+) -> DataFrame:
+    """Membership verdict per distinct probe key: ``(key, bloom_member)``.
+
+    ``bloom_member`` is true iff ALL of the key's k positions are set —
+    counted as distinct positions on both sides, so md5 self-collisions
+    (two seeds of one key hashing to one position) cannot inflate the
+    required hit count. The bit-set side is ≤ m_bits rows and broadcast;
+    the probe side stays distributed, so the verdict pass is a map-side
+    join at any probe-set scale. False positives occur at the classic
+    (1 − e^(−kn/m))^k rate and are part of the deterministic contract."""
+    keys = probe.select(col(key_col).cast("string").alias("key")).distinct()
+    seed = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
+    kp = keys.select("key", seed).select(
+        "key", _bloom_pos(col("seed"), col("key"), m_bits).alias("pos")
+    ).distinct()
+    hits = (
+        kp.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("need"),
+            F.count("hit").alias("got"),
+        )
+    )
+    return hits.select("key", (col("need") == col("got")).alias("bloom_member"))

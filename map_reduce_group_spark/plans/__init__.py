@@ -19,6 +19,7 @@ from map_reduce_group_spark.plans import (  # noqa: F401
     llm,
     mrplans,
     relational,
+    sketchplans,
     streamplans,
     tpch,
     tpch2,

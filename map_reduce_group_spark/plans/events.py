@@ -452,3 +452,76 @@ def events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("p95").cast("long").alias("p95_gap_us"),
         "max_gap_us",
     )
+
+
+@register(
+    "events_hourly_gapfill",
+    oracle="""
+    WITH top_users AS (
+        SELECT user_id FROM events
+        GROUP BY 1 ORDER BY count(*) DESC, user_id LIMIT 3
+    ), obs AS (
+        SELECT user_id, epoch_us(ts) // 3600000000 AS bucket,
+               CAST(sum(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        FROM events
+        WHERE user_id IN (SELECT user_id FROM top_users)
+        GROUP BY 1, 2
+    ), spine AS (
+        SELECT user_id, unnest(range(mn, mx + 1)) AS bucket
+        FROM (SELECT user_id, min(bucket) AS mn, max(bucket) AS mx FROM obs GROUP BY 1)
+    ), j AS (
+        SELECT s.user_id, s.bucket, o.cents
+        FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.bucket = o.bucket
+    ), w AS (
+        SELECT user_id, bucket, cents,
+            last_value(cents IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+            last_value(cents IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+            last_value(CASE WHEN cents IS NOT NULL THEN bucket END IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pb,
+            first_value(cents IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+            first_value(CASE WHEN cents IS NOT NULL THEN bucket END IGNORE NULLS) OVER (
+                PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nb
+        FROM j
+    )
+    SELECT user_id, bucket, cents IS NOT NULL AS observed, cents AS cents_obs,
+           locf AS locf_cents,
+           CASE WHEN cents IS NOT NULL THEN cents
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                     pv + CAST(FLOOR(((nv - pv) * (bucket - pb)) * 1.0 / (nb - pb)) AS BIGINT)
+                ELSE NULL END AS interp_cents
+    FROM w
+    """,
+)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time_bucket gapfill + locf + interpolate
+    (operators/timeseries.py:bucketed_gapfill_locf) over the 3 most active
+    users' hourly value series — TimescaleDB's rollup-fill primitive,
+    which the reference cannot express at all (batch, typeless).
+
+    Scale stability (rule 7): the series keys are TOP-K BY ACTIVITY (never
+    a fixed id list), so the query selects real series at any SF; spine
+    volume is keys × time-range, independent of event count; fill windows
+    partition per key. Determinism: integer-cents DECIMAL sums, exact
+    bucket indexes (`unix_micros div`), and one terminal FLOOR(double
+    division of exact small integers) for the interpolation — the same
+    single-division contract as weighted_systematic_sample."""
+    from map_reduce_group_spark.operators.timeseries import bucketed_gapfill_locf
+
+    e = load_table(spark, sf_dir, "events")
+    top = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "user_id")
+        .limit(3)
+        .select("user_id")
+    )
+    picked = e.join(F.broadcast(top), "user_id")
+    return bucketed_gapfill_locf(picked, "user_id", "ts", "value")

@@ -1598,3 +1598,144 @@ def test_minhash_hot_bucket_cap(spark, sf_dir):
     # subset + organic pairs untouched
     assert got_c <= got_u
     assert {p for p in got_u if not is_fam(p)} == {p for p in got_c if not is_fam(p)}
+
+
+# ---------------------------------------------------------------------------
+# r7: deterministic HLL / Bloom / weighted systematic sample / gapfill
+# ---------------------------------------------------------------------------
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    """(a) Raw-estimator accuracy on a key space big enough for the raw
+    regime (n >> 2.5m): within 4 standard errors (1.04/sqrt(1024) = 3.25%
+    -> 13% bound) of the true distinct count; (b) registers are mergeable:
+    max-merging two halves' registers equals the whole's registers; (c)
+    duplication-invariance: registers over a duplicated stream equal
+    registers over the distinct set."""
+    from map_reduce_group_spark.operators.sketches import hll_estimate, hll_registers
+
+    n = 50_000
+    keys = spark.range(n).select(F.concat(F.lit("key-"), F.col("id")).alias("k"))
+    est = hll_estimate(keys, "k", p=10).collect()[0]
+    assert abs(est["est_raw"] - n) / n < 0.13, est["est_raw"]
+    assert est["m"] == 1024 and est["occupied_buckets"] + est["zero_buckets"] == 1024
+
+    whole = {r["bucket"]: r["register"] for r in hll_registers(keys, "k", p=10).collect()}
+    lo = hll_registers(keys.filter(F.col("k") < "key-3"), "k", p=10)
+    hi = hll_registers(keys.filter(F.col("k") >= "key-3"), "k", p=10)
+    merged = {
+        r["bucket"]: r["register"]
+        for r in lo.unionAll(hi).groupBy("bucket").agg(
+            F.max("register").alias("register")
+        ).collect()
+    }
+    assert merged == whole
+
+    dup = keys.unionAll(keys).unionAll(keys.limit(100))
+    duped = {r["bucket"]: r["register"] for r in hll_registers(dup, "k", p=10).collect()}
+    assert duped == whole
+
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    """Every reference key must probe member (Bloom's hard guarantee);
+    a disjoint probe set's false-positive rate stays under 4x the analytic
+    (1 - e^(-kn/m))^k for the chosen geometry."""
+    from map_reduce_group_spark.operators.sketches import bloom_build, bloom_probe
+    import math
+
+    n = 2_000
+    m_bits, k = 32 * n, 5
+    ref = spark.range(n).select(F.concat(F.lit("in-"), F.col("id")).alias("k"))
+    out = spark.range(n).select(F.concat(F.lit("out-"), F.col("id")).alias("k"))
+    bits = bloom_build(ref, "k", m_bits=m_bits, k=k)
+
+    ref_verdicts = bloom_probe(bits, ref, "k", m_bits=m_bits, k=k).collect()
+    assert all(r["bloom_member"] for r in ref_verdicts) and len(ref_verdicts) == n
+
+    fp = sum(r["bloom_member"] for r in bloom_probe(bits, out, "k", m_bits=m_bits, k=k).collect())
+    analytic = (1 - math.exp(-k * n / m_bits)) ** k
+    assert fp / n <= 4 * analytic + 1e-9, (fp, analytic)
+
+
+def test_weighted_systematic_sample_matches_serial_model(spark):
+    """Engine selection == a serial Python replay of Madow systematic PPS
+    on the same md5 ordering; total multiplicity == n exactly; any row
+    heavier than W/n is certainty-selected."""
+    import hashlib
+
+    from map_reduce_group_spark.operators.sampling import weighted_systematic_sample
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(1, 50)) for i in range(500)]
+    rows[123] = (123, 5_000)  # heavier than W/n -> certainty row
+    df = spark.createDataFrame(rows, "id long, wt long")
+    n = 20
+    got = {
+        r["id"]: r["multiplicity"]
+        for r in weighted_systematic_sample(df, "id", "wt", n=n).collect()
+    }
+
+    ordered = sorted(rows, key=lambda t: (hashlib.md5(f"wsys{t[0]}".encode()).hexdigest(), t[0]))
+    total = sum(w for _, w in ordered)
+    want, cum = {}, 0
+    for i, w in ordered:
+        lo, cum = cum, cum + w
+        mult = (cum * n) // total - (lo * n) // total
+        if mult > 0:
+            want[i] = mult
+    assert got == want
+    assert sum(got.values()) == n
+    assert got.get(123, 0) >= 1
+
+
+def test_gapfill_locf_interp_matches_pandas_model(spark):
+    """Random sparse per-key series: spine density (one row per bucket in
+    [min, max] per key), observed rows pass through, LOCF carries the last
+    observation, interpolation matches a pandas replay at interior gaps
+    and is NULL outside the observed hull."""
+    import pandas as pd
+
+    from map_reduce_group_spark.operators.timeseries import bucketed_gapfill_locf
+
+    rng = random.Random(11)
+    rows = []
+    for k in (1, 2):
+        for b in sorted(rng.sample(range(100), 12)):
+            # two events per observed bucket, 2-decimal values
+            rows.append((k, b * 3_600_000_000 + 5, rng.randrange(100, 10_000) / 100))
+            rows.append((k, b * 3_600_000_000 + 99, rng.randrange(100, 10_000) / 100))
+    df = spark.createDataFrame(rows, "k long, us long, value double").select(
+        "k", F.timestamp_micros(F.col("us")).alias("ts"), "value"
+    )
+    got = bucketed_gapfill_locf(df, "k", "ts", "value").toPandas()
+
+    for k in (1, 2):
+        g = got[got["k"] == k].sort_values("bucket").reset_index(drop=True)
+        obs = {}
+        for kk, us, v in rows:
+            if kk == k:
+                obs[us // 3_600_000_000] = obs.get(us // 3_600_000_000, 0) + round(v * 100)
+        lo, hi = min(obs), max(obs)
+        assert list(g["bucket"]) == list(range(lo, hi + 1))
+        ser = pd.Series(
+            [obs.get(b) for b in range(lo, hi + 1)], index=range(lo, hi + 1), dtype="Float64"
+        )
+        locf = ser.ffill()
+        for _, row in g.iterrows():
+            b = row["bucket"]
+            assert bool(row["observed"]) == (b in obs)
+            if b in obs:
+                assert row["cents_obs"] == obs[b] == row["interp_cents"]
+            assert (row["locf_cents"] is None and pd.isna(locf[b])) or row["locf_cents"] == locf[b]
+            if b not in obs:
+                known = sorted(obs)
+                prevs = [x for x in known if x < b]
+                nexts = [x for x in known if x > b]
+                if prevs and nexts:
+                    pb, nb = prevs[-1], nexts[0]
+                    pv, nv = obs[pb], obs[nb]
+                    import math
+                    want = pv + math.floor((nv - pv) * (b - pb) / (nb - pb))
+                    assert row["interp_cents"] == want, (k, b)
+                else:
+                    assert row["interp_cents"] is None
