@@ -248,6 +248,16 @@ def hll_registers(df: DataFrame, key_col: str, p: int = 10) -> DataFrame:
     exact BIGINTs (32- and 48-bit — far inside the 60-bit exactness
     ceiling used across this repo, e.g. operators/dedup.py:523).
     """
+    return hll_registers_by(df, key_col, [], p)
+
+
+def hll_registers_by(
+    df: DataFrame, key_col: str, by: list[str], p: int = 10
+) -> DataFrame:
+    """Grouped register arrays — one independent HLL per ``by`` group, as
+    ``(*by, bucket, register)`` rows (HLL as a GROUPED aggregate: ≤ m
+    state rows PER GROUP, the shape of "distinct docs per language/domain"
+    data-card metrics at corpus scale)."""
     m = 1 << p
     k = col(key_col).cast("string")
     h = F.md5(k.cast("binary"))
@@ -257,8 +267,8 @@ def hll_registers(df: DataFrame, key_col: str, p: int = 10) -> DataFrame:
         F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
     )
     return (
-        df.select(bucket.alias("bucket"), rank.cast("long").alias("rank"))
-        .groupBy("bucket")
+        df.select(*by, bucket.alias("bucket"), rank.cast("long").alias("rank"))
+        .groupBy(*by, "bucket")
         .agg(F.max("rank").alias("register"))
     )
 
@@ -293,19 +303,30 @@ def hll_estimate(df: DataFrame, key_col: str, p: int = 10) -> DataFrame:
 
     Scale shape: registers flow in pre-reduced (≤ m rows); the finisher is
     a single-row aggregate. Total driver traffic is one row."""
-    regs = hll_registers(df, key_col, p)
+    return hll_estimate_by(df, key_col, [], p)
+
+
+def hll_estimate_by(
+    df: DataFrame, key_col: str, by: list[str], p: int = 10
+) -> DataFrame:
+    """Per-group raw estimates — one row per ``by`` group with the same
+    columns as :func:`hll_estimate` (one row total when ``by`` is empty).
+    The estimate pass runs over groups' register rows (≤ m per group), so
+    its cost is groups × m regardless of data volume."""
+    regs = hll_registers_by(df, key_col, by, p)
     m = 1 << p
     num = F.lit(hll_alpha_numerator(p))
     occupied = F.count(F.lit(1))
     inv_present = F.sum(F.expr(f"shiftleft(1L, {_HLL_WBITS} - register)"))
     inv_absent = (F.lit(m) - occupied) * F.lit(1 << _HLL_WBITS).cast("long")
-    return regs.agg(
+    aggs = [
         F.lit(m).cast("long").alias("m"),
         occupied.cast("long").alias("occupied_buckets"),
         (F.lit(m) - occupied).cast("long").alias("zero_buckets"),
         (inv_present + inv_absent).cast("long").alias("inv_sum_num"),
         (num / (inv_present + inv_absent)).alias("est_raw"),
-    )
+    ]
+    return regs.groupBy(*by).agg(*aggs) if by else regs.agg(*aggs)
 
 
 # ---------------------------------------------------------------------------

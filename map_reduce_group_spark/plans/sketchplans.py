@@ -26,6 +26,7 @@ from map_reduce_group_spark.operators.sketches import (
     bloom_probe,
     hll_alpha_numerator,
     hll_estimate,
+    hll_estimate_by,
     hll_registers,
 )
 from map_reduce_group_spark.operators.text import token_count
@@ -219,3 +220,50 @@ def sample_weighted_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_systematic_sample(withw, "doc_id", "wt", n=25).select(
         col("id"), "weight", "multiplicity"
     )
+
+
+@register(
+    "sketch_hll_by_lang",
+    oracle=f"""
+    WITH fps AS (
+        SELECT DISTINCT lang, md5(text) AS fp
+        FROM documents WHERE text IS NOT NULL
+    ), h AS (
+        SELECT lang,
+               CAST(('0x' || substr(md5(fp), 1, 8))::UBIGINT % {_HLL_M} AS BIGINT) AS bucket,
+               CAST(('0x' || substr(md5(fp), 17, 12))::UBIGINT AS BIGINT) AS w
+        FROM fps
+    ), regs AS (
+        SELECT lang, bucket,
+               max(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS register
+        FROM h GROUP BY 1, 2
+    ), s AS (
+        SELECT lang, count(*) AS occ,
+               sum(CAST(1 AS BIGINT) << (48 - register)) AS inv_present
+        FROM regs GROUP BY 1
+    )
+    SELECT lang,
+           CAST({_HLL_M} AS BIGINT) AS m,
+           CAST(occ AS BIGINT) AS occupied_buckets,
+           CAST({_HLL_M} - occ AS BIGINT) AS zero_buckets,
+           CAST(inv_present + ({_HLL_M} - occ) * (CAST(1 AS BIGINT) << 48) AS BIGINT)
+               AS inv_sum_num,
+           CAST({_ALPHA_NUM!r} AS DOUBLE)
+               / CAST(inv_present + ({_HLL_M} - occ) * (CAST(1 AS BIGINT) << 48) AS BIGINT)
+               AS est_raw
+    FROM s
+    """,
+)
+def sketch_hll_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL as a GROUPED aggregate (operators/sketches.py:hll_estimate_by):
+    one independent register array — hence one unique-document estimate —
+    per language, the "distinct docs per language/domain" data-card metric
+    computed with ≤ m state rows per group instead of a per-group distinct
+    shuffle. Per-group keying means a group's sketch is unaffected by every
+    other group's volume (no shared-register contamination), and the output
+    is n_groups rows at any corpus scale. Determinism contract identical to
+    `sketch_hll_estimate` (exact-BIGINT denominators, one shared-literal
+    division per group)."""
+    d = load_table(spark, sf_dir, "documents")
+    fps = d.filter(col("text").isNotNull()).select("lang", F.md5("text").alias("fp"))
+    return hll_estimate_by(fps, "fp", ["lang"], p=_HLL_P)

@@ -343,3 +343,44 @@ def stream_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(state, "decisions_*")).localCheckpoint(
         eager=True
     )
+
+
+@register(
+    "stream_hll_cardinality",
+    oracle=f"""
+    WITH fps AS (
+        SELECT DISTINCT CAST(user_id AS VARCHAR) AS fp FROM events
+    ), h AS (
+        SELECT CAST(('0x' || substr(md5(fp), 1, 8))::UBIGINT % 1024 AS BIGINT) AS bucket,
+               CAST(('0x' || substr(md5(fp), 17, 12))::UBIGINT AS BIGINT) AS w
+        FROM fps
+    )
+    SELECT bucket,
+           CAST(max(CASE WHEN w = 0 THEN 49 ELSE 49 - length(bin(w)) END) AS BIGINT)
+               AS register
+    FROM h GROUP BY 1
+    """,
+)
+def stream_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-user cardinality tracking: the deterministic HLL
+    register build (operators/sketches.py:hll_registers) run AS A STREAMING
+    AGGREGATION — groupBy(bucket).max(register) in complete mode over the
+    event stream, which Structured Streaming maintains with EXACTLY m ≤
+    1024 state rows forever. This is the sketch's headline scale property
+    made operational: an unbounded stream's distinct-key question answered
+    with fixed-size state (a streaming COUNT DISTINCT instead holds every
+    key), mergeable across restarts because registers are max-monoid.
+    The final register table must equal the batch build over the same
+    events — the oracle rebuilds it from the distinct user set in SQL
+    (registers are duplication-invariant, so stream replays/ordering
+    cannot perturb them)."""
+    from map_reduce_group_spark.operators.sketches import hll_registers
+
+    stream = es.read_events_stream(spark, _events_stream_dir(sf_dir))
+    regs = hll_registers(stream, "user_id", p=10)
+    return es.run_to_memory(
+        regs,
+        f"q_stream_hll_{next(_COUNTER)}",
+        output_mode="complete",
+        state_partitions=4,
+    )

@@ -1739,3 +1739,30 @@ def test_gapfill_locf_interp_matches_pandas_model(spark):
                     assert row["interp_cents"] == want, (k, b)
                 else:
                     assert row["interp_cents"] is None
+
+
+def test_hll_grouped_equals_per_group_ungrouped(spark):
+    """Per-group sketches are independent: hll_estimate_by(df, by=[g])
+    row for group g == hll_estimate over just that group's keys (no
+    shared-register contamination), and register arrays likewise."""
+    from map_reduce_group_spark.operators.sketches import (
+        hll_estimate,
+        hll_estimate_by,
+        hll_registers,
+        hll_registers_by,
+    )
+
+    df = spark.range(9_000).select(
+        (F.col("id") % 3).alias("g"), F.concat(F.lit("k"), F.col("id")).alias("k")
+    )
+    by_rows = {r["g"]: r.asDict() for r in hll_estimate_by(df, "k", ["g"], p=10).collect()}
+    regs_by = {}
+    for r in hll_registers_by(df, "k", ["g"], p=10).collect():
+        regs_by.setdefault(r["g"], {})[r["bucket"]] = r["register"]
+    for g in (0, 1, 2):
+        sub = df.filter(F.col("g") == g)
+        solo = hll_estimate(sub, "k", p=10).collect()[0].asDict()
+        got = {kk: v for kk, v in by_rows[g].items() if kk != "g"}
+        assert got == solo, g
+        solo_regs = {r["bucket"]: r["register"] for r in hll_registers(sub, "k", p=10).collect()}
+        assert regs_by[g] == solo_regs, g
