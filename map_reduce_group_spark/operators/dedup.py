@@ -1078,8 +1078,18 @@ def simhash_near_pairs(
         ).alias("c"),
     ).select("id", "simhash", col("c.combo").alias("combo"), col("c.key").alias("key"))
     x, y = keys.alias("x"), keys.alias("y")
+    # EXPLICIT merge hint (r7): Catalyst's static size estimate does not
+    # survive the aggregate→explode chain above, so it plans this self-join
+    # as a BroadcastHashJoin at EVERY scale — measured: 100M key rows
+    # funneled into one 4 GB broadcast build at the 1000× fixture (5M docs)
+    # and killed the job, after silently "working" (as an O(20·N) driver
+    # funnel) at 100×. The blocked candidate join must shuffle on its
+    # (combo, key) blocking key — SortMergeJoin, AQE-skew-splittable —
+    # exactly like the Jaccard postings join; a broadcast here is never
+    # right because the key table IS the corpus × 20.
     return (
-        x.join(y, ["combo", "key"])
+        x.hint("merge")
+        .join(y, ["combo", "key"])
         .filter(col("x.id") < col("y.id"))
         .select(
             col("x.id").alias("id_a"),

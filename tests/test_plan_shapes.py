@@ -559,3 +559,16 @@ def test_registry_wide_no_scale_antipatterns(spark, sf_dir):
                     f"{label}: partition-less Window outside GLOBAL_WINDOW_ALLOWED"
                 )
     assert not violations, "\n".join(violations)
+
+
+def test_simhash_blocking_join_is_never_broadcast(spark, sf_dir):
+    """The simhash chunk-triple self-join must shuffle on its blocking key
+    at the DEFAULT broadcast threshold. Catalyst's static estimate does not
+    survive the signature aggregate -> explode chain, so without the
+    explicit merge hint it plans a BroadcastHashJoin whose build side is
+    the corpus x 20 key rows -- measured at the 1000x fixture (5M docs):
+    a 100M-row, >4 GB broadcast build that kills the job (and an O(20N)
+    driver funnel everywhere below that). Regression-pins the r7 hint."""
+    p = plan(spark, sf_dir, "dedup_simhash")
+    assert "SortMergeJoin" in p, p
+    assert "BroadcastHashJoin" not in p, p
