@@ -231,6 +231,18 @@ def _collapsed_pair_structure(postings: DataFrame, threshold: float):
       REPRESENTATIVE level (cross-group only; within-group pairs are
       implicit: n_common = n_kept, jaccard = n_kept/(2·set_size − n_kept)).
     """
+    members = _identical_set_members(postings)
+    rpost = postings.join(members.filter(col("id") == col("rep")).select("id"), "id")
+    return members, _exact_jaccard_pairs(rpost, threshold)
+
+
+def _identical_set_members(postings: DataFrame) -> DataFrame:
+    """(set_fp, set_size, id, rep, n_kept) — one row per document, ``rep`` =
+    min(id) of its byte-identical (post-cap) shingle-set group, ``n_kept``
+    = size of the post-cap set. The collapse key includes set_size because
+    under a df-cap two docs can share the filtered set while differing in
+    TRUE set size, and set_size is every overlap metric's denominator.
+    Shared by the Jaccard and containment collapse paths."""
     sets = postings.groupBy("id", "set_size").agg(
         F.md5(F.concat_ws("\x1f", F.array_sort(F.collect_list("shingle")))).alias(
             "set_fp"
@@ -238,11 +250,9 @@ def _collapsed_pair_structure(postings: DataFrame, threshold: float):
         F.count(F.lit(1)).alias("n_kept"),
     )
     reps = sets.groupBy("set_fp", "set_size").agg(F.min("id").alias("rep"))
-    members = sets.join(reps, ["set_fp", "set_size"]).select(
+    return sets.join(reps, ["set_fp", "set_size"]).select(
         "set_fp", "set_size", "id", "rep", "n_kept"
     )
-    rpost = postings.join(members.filter(col("id") == col("rep")).select("id"), "id")
-    return members, _exact_jaccard_pairs(rpost, threshold)
 
 
 def capped_postings(
@@ -500,6 +510,122 @@ def jaccard_prefix_filter_pairs(
             "id_b",
             col("set_size").cast("long").alias("n_common"),
             F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
+
+
+def _containment_counts(postings: DataFrame) -> DataFrame:
+    """Undirected (id_a < id_b) pair overlap counts carrying BOTH set sizes —
+    the shared candidate aggregate that both containment directions read, so
+    the posting self-join (the expensive half) runs once per pair, not twice."""
+    a = postings.select(col("id").alias("id_a"), col("set_size").alias("size_a"), "shingle")
+    b = postings.select(col("id").alias("id_b"), col("set_size").alias("size_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
+def _directional_containment(counts: DataFrame, threshold: float) -> DataFrame:
+    """Expand undirected overlap counts into qualifying DIRECTIONAL rows:
+    src→dst iff |src∩dst| / |src| ≥ threshold (threshold on the RAW
+    quotient; rounding is presentation)."""
+    fwd = counts.select(
+        col("id_a").alias("src_id"),
+        col("id_b").alias("dst_id"),
+        "n_common",
+        (col("n_common") / col("size_a")).alias("containment_raw"),
+    )
+    rev = counts.select(
+        col("id_b").alias("src_id"),
+        col("id_a").alias("dst_id"),
+        "n_common",
+        (col("n_common") / col("size_b")).alias("containment_raw"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(col("containment_raw") >= threshold)
+        .select(
+            "src_id",
+            "dst_id",
+            "n_common",
+            F.round("containment_raw", 6).alias("containment"),
+        )
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_doc_freq: int | None = None,
+    max_doc_frac: float | None = None,
+) -> DataFrame:
+    """DIRECTIONAL n-gram-set CONTAINMENT pairs: emit src→dst whenever
+    C(src→dst) = |shingles(src) ∩ shingles(dst)| / |shingles(src)| ≥
+    ``threshold``.
+
+    Containment is the subset-duplicate detector Jaccard misses: a document
+    quoted whole inside a much larger one has Jaccard ≈ |small|/|big| → 0
+    but containment(small→big) ≈ 1 (the RefinedWeb/CCNet-style "document
+    embedded in boilerplate" case; public formulation: Broder 1997's
+    containment coefficient alongside resemblance). Output is directional —
+    (src_id, dst_id, n_common, containment) — because the metric is.
+
+    Plan shape (key-partitioned shuffles only, no all-pairs): distinct
+    shingle postings → optional df-cap → shingle self-join with id_a < id_b
+    → per-pair overlap count ONCE → expand to the two directions and
+    threshold each. The df-cap lever is identical to the Jaccard family's
+    (``capped_postings``): set sizes keep counting dropped shingles, so the
+    measured containment only shrinks — exact precision on the TRUE metric,
+    recall loss confined to pairs whose overlap is boilerplate shingles;
+    the fractional form stays recall-safe as the corpus grows.
+
+    Identical-set collapse (``_worth_collapsing`` gate, the exact-Jaccard
+    lemma): byte-identical post-cap shingle sets have identical overlap
+    with everything, so exact-clone families join once through a
+    representative and expand back — per-direction containment at the
+    representative level (n_common/size of THAT side) is exactly each
+    member pair's value, and within-family ordered pairs share the whole
+    filtered set (containment = n_kept/set_size, 1.0 uncapped).
+    """
+    postings = capped_postings(
+        df, id_col, text_col, n, max_doc_freq=max_doc_freq, max_doc_frac=max_doc_frac
+    )
+    if not _worth_collapsing(df, text_col):
+        return _directional_containment(_containment_counts(postings), threshold)
+    members = _identical_set_members(postings)
+    rpost = postings.join(members.filter(col("id") == col("rep")).select("id"), "id")
+    rep_dir = _directional_containment(_containment_counts(rpost), threshold)
+    ms = members.select(col("rep").alias("src_id"), col("id").alias("m_src"))
+    md = members.select(col("rep").alias("dst_id"), col("id").alias("m_dst"))
+    cross = (
+        rep_dir.join(ms, "src_id")
+        .join(md, "dst_id")
+        .select(
+            col("m_src").alias("src_id"),
+            col("m_dst").alias("dst_id"),
+            "n_common",
+            "containment",
+        )
+    )
+    m1 = members.select("set_fp", "set_size", col("id").alias("src_id"), "n_kept")
+    m2 = members.select("set_fp", "set_size", col("id").alias("dst_id"))
+    within = (
+        m1.join(m2, ["set_fp", "set_size"])
+        .filter(col("src_id") != col("dst_id"))
+        .withColumn("containment_raw", col("n_kept") / col("set_size"))
+        .filter(col("containment_raw") >= threshold)
+        .select(
+            "src_id",
+            "dst_id",
+            col("n_kept").alias("n_common"),
+            F.round("containment_raw", 6).alias("containment"),
         )
     )
     return cross.unionByName(within)

@@ -299,6 +299,59 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment",
+    oracle=f"""
+    WITH sets AS (
+        SELECT doc_id AS id, {_SHINGLES_SQL} AS shingles
+        FROM documents
+        WHERE len({_TOKS_SQL}) >= 3
+    ), postings AS (
+        SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle
+        FROM sets WHERE len(shingles) > 0
+    ), capped AS (
+        SELECT id, set_size, shingle FROM (
+            SELECT id, set_size, shingle,
+                   count(*) OVER (PARTITION BY shingle) AS df
+            FROM postings
+        )
+        WHERE df <= greatest(CAST(ceil(0.01 * (SELECT count(*) FROM documents)) AS BIGINT), 1)
+    ), pair_counts AS (
+        SELECT a.id AS id_a, b.id AS id_b,
+               a.set_size AS size_a, b.set_size AS size_b,
+               count(*) AS n_common
+        FROM capped a JOIN capped b USING (shingle)
+        WHERE a.id < b.id
+        GROUP BY 1, 2, 3, 4
+    ), directional AS (
+        SELECT id_a AS src_id, id_b AS dst_id, n_common,
+               CAST(n_common AS DOUBLE) / size_a AS c
+        FROM pair_counts
+        UNION ALL
+        SELECT id_b, id_a, n_common, CAST(n_common AS DOUBLE) / size_b
+        FROM pair_counts
+    )
+    SELECT src_id, dst_id, n_common, round(c, 6) AS containment
+    FROM directional
+    WHERE c >= 0.6
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL containment near-dup pairs: C(src→dst) = |src∩dst|/|src|
+    ≥ 0.6 over 3-gram shingle sets — the subset-duplicate detector Jaccard
+    structurally misses (a doc quoted whole inside a bigger one has
+    Jaccard ≈ |small|/|big| → 0 but containment(small→big) ≈ 1; Broder
+    1997's containment coefficient). Same sublinear candidate plan as the
+    capped Jaccard family (df ≤ 1% of docs before the self-join, overlap
+    counted ONCE per unordered pair, both directions thresholded from that
+    one aggregate); the DuckDB oracle replays the identical cap and
+    expansion (operators/dedup.py:containment_pairs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(
+        d, "doc_id", "text", n=3, threshold=0.6, max_doc_frac=0.01
+    )
+
+
+@register(
     "dedup_jaccard_prefix",
     oracle=f"""
     WITH sets AS (
@@ -597,6 +650,77 @@ def _collapsed_pairs_sql(threshold: float, frac_cap: float | None = None) -> str
     FROM members m1 JOIN members m2 USING (set_fp, set_size)
     WHERE m1.id < m2.id
       AND CAST(m1.n_kept AS DOUBLE) / (2 * m1.set_size - m1.n_kept) >= {threshold}
+    """
+
+
+def _collapsed_containment_sql(threshold: float, frac_cap: float | None = None) -> str:
+    """Collapse-based DuckDB twin of containment_pairs (optionally
+    df-capped): the _collapsed_pairs_sql construction with DIRECTIONAL
+    expansion — per-direction containment at the representative level
+    (n_common / the src side's set_size) is exactly every member pair's
+    value, and within-group ordered pairs share the whole filtered set
+    (containment = n_kept/set_size). Value-identical to the naive driver
+    oracle (proven by the sf0.01 in-suite stand-in equality check) but
+    linear in clone-family size at the replicated fixtures."""
+    cap = ""
+    if frac_cap is not None:
+        cap = f""", capped AS MATERIALIZED (
+        SELECT id, set_size, shingle FROM (
+            SELECT id, set_size, shingle,
+                   count(*) OVER (PARTITION BY shingle) AS df
+            FROM postings
+        )
+        WHERE df <= greatest(CAST(ceil({frac_cap} * (SELECT count(*) FROM documents)) AS BIGINT), 1)
+    )"""
+    src = "capped" if frac_cap is not None else "postings"
+    return f"""
+    WITH sets AS MATERIALIZED (
+        SELECT doc_id AS id, {_SHINGLES_SQL} AS shingles
+        FROM documents
+        WHERE len({_TOKS_SQL}) >= 3
+    ), postings AS MATERIALIZED (
+        SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle
+        FROM sets WHERE len(shingles) > 0
+    ){cap}, set_fps AS (
+        SELECT id, set_size, count(*) AS n_kept,
+               concat(bit_xor(hash(shingle)), ':', sum(hash(shingle)::HUGEINT), ':', count(*)) AS set_fp
+        FROM {src} GROUP BY id, set_size
+    ), reps AS (
+        SELECT set_fp, set_size, min(id) AS rep FROM set_fps GROUP BY 1, 2
+    ), members AS MATERIALIZED (
+        SELECT s.set_fp, s.set_size, s.id, s.n_kept, r.rep
+        FROM set_fps s JOIN reps r USING (set_fp, set_size)
+    ), rpost AS MATERIALIZED (
+        SELECT p.id, p.set_size, p.shingle
+        FROM {src} p JOIN (SELECT DISTINCT rep FROM reps) r ON p.id = r.rep
+    ), rep_counts AS MATERIALIZED (
+        SELECT a.id AS id_a, b.id AS id_b,
+               a.set_size AS size_a, b.set_size AS size_b,
+               count(*) AS n_common
+        FROM rpost a JOIN rpost b USING (shingle)
+        WHERE a.id < b.id
+        GROUP BY 1, 2, 3, 4
+    ), rep_dir AS (
+        SELECT id_a AS src, id_b AS dst, n_common,
+               CAST(n_common AS DOUBLE) / size_a AS c
+        FROM rep_counts
+        UNION ALL
+        SELECT id_b, id_a, n_common, CAST(n_common AS DOUBLE) / size_b
+        FROM rep_counts
+    )
+    SELECT ms.id AS src_id, md.id AS dst_id, rd.n_common,
+           round(rd.c, 6) AS containment
+    FROM rep_dir rd
+    JOIN members ms ON ms.rep = rd.src
+    JOIN members md ON md.rep = rd.dst
+    WHERE rd.c >= {threshold}
+    UNION ALL
+    SELECT m1.id AS src_id, m2.id AS dst_id,
+           CAST(m1.n_kept AS BIGINT) AS n_common,
+           round(CAST(m1.n_kept AS DOUBLE) / m1.set_size, 6) AS containment
+    FROM members m1 JOIN members m2 USING (set_fp, set_size)
+    WHERE m1.id <> m2.id
+      AND CAST(m1.n_kept AS DOUBLE) / m1.set_size >= {threshold}
     """
 
 
@@ -996,6 +1120,7 @@ SCALE_ORACLES: dict[str, str] = {
     """,
     "dedup_ngram_jaccard": _collapsed_pairs_sql(0.05),
     "dedup_ngram_jaccard_capped": _collapsed_pairs_sql(0.05, frac_cap=0.01),
+    "dedup_containment": _collapsed_containment_sql(0.6, frac_cap=0.01),
     # identical-VECTOR collapse for the quantization recall audit (VERDICT
     # r5 #4 — the last 100× oracle residual): byte-identical embeddings
     # have identical quantized codes, identical cosines to everything, and

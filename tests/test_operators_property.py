@@ -1513,6 +1513,12 @@ _AB_OPS = {
     "prefix": lambda dedup, docs: dedup.jaccard_prefix_filter_pairs(
         docs, "doc_id", "text", n=3, threshold=0.3,
     ),
+    "containment": lambda dedup, docs: dedup.containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.3,
+    ),
+    "containment_df_frac": lambda dedup, docs: dedup.containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.3, max_doc_frac=0.1,
+    ),
 }
 
 
@@ -1546,9 +1552,9 @@ def test_collapse_and_direct_paths_agree(spark, sf_dir, op):
     finally:
         dedup.COLLAPSE_MIN_CLONE_FRAC = saved
 
-    as_set = lambda rows: {
-        (r["id_a"], r["id_b"], round(r["jaccard"], 6)) for r in rows
-    }
+    # positional: (id_a/src_id, id_b/dst_id, ..., jaccard/containment) —
+    # the Jaccard family and the directional containment op share shape
+    as_set = lambda rows: {(r[0], r[1], round(r[-1], 6)) for r in rows}
     got_c, got_d = as_set(collapsed), as_set(direct)
     assert got_c == got_d
     # the planted clones must actually exercise the within-group emission
