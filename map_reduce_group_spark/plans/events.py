@@ -525,3 +525,61 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     picked = e.join(F.broadcast(top), "user_id")
     return bucketed_gapfill_locf(picked, "user_id", "ts", "value")
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ), med AS (
+        SELECT event_type, CAST(median(2 * n) AS BIGINT) AS med2
+        FROM hourly GROUP BY 1
+    ), dev AS (
+        SELECT h.event_type, h.hour, h.n, abs(2 * h.n - m.med2) AS dev2
+        FROM hourly h JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, CAST(median(2 * dev2) AS BIGINT) AS mad4
+        FROM dev GROUP BY 1
+    )
+    SELECT d.event_type, d.hour, CAST(d.n AS BIGINT) AS n,
+           CAST(d.dev2 AS BIGINT) AS dev2, CAST(m.mad4 AS BIGINT) AS mad4,
+           (2 * d.dev2 > 3 * m.mad4) AS is_anomaly
+    FROM dev d JOIN mad m USING (event_type)
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust time-series anomaly flags: hourly event counts per type,
+    flagged where the deviation from the per-type MEDIAN exceeds 3× the
+    median absolute deviation — the median/MAD robust-z screen that survives
+    the outliers a mean/stddev screen is distorted by. All medians run on
+    DOUBLED integers (median of an even-cardinality set of even integers is
+    integral → exact in both engines; the 3×MAD comparison is pure BIGINT —
+    no float medians cross the oracle, CLAUDE.md rule 1). The 3×MAD
+    threshold is data-relative (rule 7): the flagged fraction is stable as
+    the corpus grows. Scale: one partial-agg shuffle to hourly counts
+    (output is hours×types — calendar-bounded, not event-bounded), then
+    per-type medians over that bounded frame; the med/mad frames are
+    type-cardinality broadcast dims."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", col("ts")).alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = hourly.groupBy("event_type").agg(
+        F.median(2 * col("n")).cast("long").alias("med2")
+    )
+    dev = hourly.join(F.broadcast(med), "event_type").select(
+        "event_type", "hour", "n", F.abs(2 * col("n") - col("med2")).alias("dev2")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.median(2 * col("dev2")).cast("long").alias("mad4")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "hour",
+        "n",
+        "dev2",
+        "mad4",
+        (2 * col("dev2") > 3 * col("mad4")).alias("is_anomaly"),
+    )

@@ -3646,3 +3646,222 @@ def dedup_suffix_longest_span(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return cross_doc_longest_spans(d, "doc_id", "text", cap=32)
+
+
+@register(
+    "doc_ngram_novelty",
+    oracle=f"""
+    WITH sets AS (
+        SELECT doc_id AS id, {_SHINGLES_SQL} AS shingles FROM documents
+        WHERE len({_TOKS_SQL}) >= 3
+    ), posts AS (
+        SELECT id, unnest(shingles) AS shingle FROM sets WHERE len(shingles) > 0
+    ), firsts AS (
+        SELECT shingle, min(id) AS first_id FROM posts GROUP BY 1
+    )
+    SELECT id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN first_id = id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST((10000 * sum(CASE WHEN first_id = id THEN 1 ELSE 0 END))
+                // count(*) AS BIGINT) AS novelty_bp
+    FROM posts JOIN firsts USING (shingle)
+    GROUP BY id
+    """,
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY score: the fraction (integer basis
+    points) of a document's distinct word-3-grams whose global first
+    occurrence — min doc_id over the corpus — is this document. The
+    curriculum/data-mixing signal of RefinedWeb-style pipelines: low
+    novelty = the document is mostly re-treading earlier text. Scale: one
+    shuffle to aggregate first occurrence per shingle (partial-agg min), a
+    shingle-keyed equi-join back to the postings (both sides hash-partition
+    by shingle — no broadcast of the vocabulary-sized side), one re-agg by
+    doc. Integer ``div`` fixed point — no float division (CLAUDE.md rule 1);
+    output is one row per document (scale-linear, rule 7)."""
+    d = load_table(spark, sf_dir, "documents")
+    posts = dedup.shingle_postings(d, "doc_id", "text", n=3).select("id", "shingle")
+    firsts = posts.groupBy("shingle").agg(F.min("id").alias("first_id"))
+    per_doc = (
+        posts.join(firsts, "shingle")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((col("first_id") == col("id")).cast("long")).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        col("id").alias("doc_id"),
+        "n_shingles",
+        "n_novel",
+        F.expr("(10000 * n_novel) div n_shingles").alias("novelty_bp"),
+    )
+
+
+_BIGRAMS_SQL = f"""
+        list_distinct(list_transform(
+            range(1, greatest(len({_TOKS_SQL}), 1)),
+            i -> array_to_string(list_slice({_TOKS_SQL}, i, i + 1), ' ')))
+"""
+
+
+@register(
+    "text_source_bigram_overlap",
+    oracle=f"""
+    WITH st AS (
+        SELECT DISTINCT source, unnest({_BIGRAMS_SQL}) AS gram FROM documents
+        WHERE len({_TOKS_SQL}) >= 2
+    ), sizes AS (
+        SELECT source, count(*) AS vocab FROM st GROUP BY 1
+    ), inter AS (
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_inter
+        FROM st a JOIN st b USING (gram)
+        WHERE a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           CAST(sa.vocab + sb.vocab - n_inter AS BIGINT) AS n_union,
+           CAST((10000 * n_inter)
+                // (sa.vocab + sb.vocab - n_inter) AS BIGINT) AS jaccard_bp
+    FROM inter
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    """,
+)
+def text_source_bigram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE-vocabulary overlap: Jaccard (integer basis points) of
+    the distinct word-BIGRAM vocabularies of every source pair — the corpus
+    diagnostic that decides which web snapshots/domains duplicate each other
+    before mixing. Bigrams are assembled per document with posexplode + a
+    doc-partitioned lead window (never a lead over the source — documents
+    sharing a source must not concatenate; rule-2 shape, no interpreted
+    lambdas), then distinct'd on (source, gram). Scale: the distinct and the
+    gram-keyed self-join hash-partition by gram; output is |sources|² rows —
+    a dimension-bounded matrix, never corpus-sized. The per-source vocab
+    sizes are a broadcast dim."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source", col("doc_id").alias("_did"), F.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    from pyspark.sql import Window as W
+
+    nxt = F.lead("tok", 1).over(W.partitionBy("_did").orderBy("pos"))
+    st = (
+        t.select("source", F.concat_ws(" ", col("tok"), nxt).alias("gram"), nxt.alias("_n"))
+        .filter(col("_n").isNotNull())
+        .select("source", "gram")
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
+    a, b = st.alias("a"), st.alias("b")
+    inter = (
+        a.join(b, "gram")
+        .filter(col("a.source") < col("b.source"))
+        .groupBy(col("a.source").alias("source_a"), col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(F.broadcast(sizes.withColumnRenamed("source", "source_a")
+                               .withColumnRenamed("vocab", "va")), "source_a")
+        .join(F.broadcast(sizes.withColumnRenamed("source", "source_b")
+                          .withColumnRenamed("vocab", "vb")), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_inter",
+            (col("va") + col("vb") - col("n_inter")).alias("n_union"),
+            F.expr("(10000 * n_inter) div (va + vb - n_inter)").alias("jaccard_bp"),
+        )
+    )
+
+
+@register(
+    "embed_rank_fusion",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), {_LSH_BUCKET_CTES.strip()}, exact_pairs AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               {_COS_SQL.format(a="q.v", b="c.v")} AS cos
+        FROM e q JOIN e c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % 50 = 0
+    ), ecand AS (
+        SELECT q_id, c_id, rnk FROM (
+            SELECT q_id, c_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, c_id) AS rnk
+            FROM exact_pairs
+        ) WHERE rnk <= 5
+    ), c AS (
+        SELECT e.vec_id AS c_id, e.v AS cv, b.bucket
+        FROM e JOIN bkt b USING (vec_id)
+    ), qv AS (
+        SELECT e.vec_id AS q_id, e.v AS qv, b.bucket
+        FROM e JOIN bkt b USING (vec_id)
+        WHERE e.vec_id % 50 = 0
+    ), probes AS (
+        SELECT q_id, qv,
+               unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                       xor(bucket, 4), xor(bucket, 8)]) AS bucket
+        FROM qv
+    ), ipairs AS (
+        SELECT p.q_id, c.c_id, {_COS_SQL.format(a="p.qv", b="c.cv")} AS cos
+        FROM probes p JOIN c USING (bucket)
+        WHERE c.c_id <> p.q_id
+    ), icand AS (
+        SELECT q_id, c_id, rnk FROM (
+            SELECT q_id, c_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, c_id) AS rnk
+            FROM ipairs
+        ) WHERE rnk <= 5
+    ), fused AS (
+        SELECT coalesce(x.q_id, y.q_id) AS q_id, coalesce(x.c_id, y.c_id) AS c_id,
+               coalesce(1000000 // (60 + x.rnk), 0)
+             + coalesce(1000000 // (60 + y.rnk), 0) AS rrf_micros
+        FROM ecand x FULL OUTER JOIN icand y
+          ON x.q_id = y.q_id AND x.c_id = y.c_id
+    )
+    SELECT q_id, c_id, CAST(rrf_micros AS BIGINT) AS rrf_micros,
+           CAST(rn AS BIGINT) AS fused_rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY rrf_micros DESC, c_id) AS rn
+        FROM fused
+    ) WHERE rn <= 5
+    """,
+)
+def embed_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. SIGIR'09, k=60) of two
+    retrievers over the same query set (vec_id % 50 = 0): the exact
+    brute-force cosine top-5 and the IVF/LSH multiprobe top-5
+    (operators/similarity.py:cosine_topk / ivf_topk, portable mode). Scores
+    are integer fixed point — floor(10⁶/(60+rank)) summed across lists, 0
+    for an absent list (``div`` == DuckDB ``//``) — so the fused ranking is
+    cross-engine deterministic with a (score DESC, c_id ASC) tie-break.
+    Scale: both inputs are top-k-bounded (≤ 5 rows/query each), the fusion
+    join keys on (q_id, c_id) and the final window partitions by q_id —
+    everything after retrieval is query-count-sized, never corpus-sized."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(col("vec_id") % 50 == 0)
+    ex = similarity.cosine_topk(q, e, k=5).select(
+        "q_id", "c_id", col("rank").alias("rank_e")
+    )
+    iv = similarity.ivf_topk(q, e, k=5, portable=True).select(
+        "q_id", "c_id", col("rank").alias("rank_i")
+    )
+    fused = ex.join(iv, ["q_id", "c_id"], "full_outer").select(
+        "q_id",
+        "c_id",
+        (
+            F.coalesce(F.expr("1000000 div (60 + rank_e)"), F.lit(0))
+            + F.coalesce(F.expr("1000000 div (60 + rank_i)"), F.lit(0))
+        ).alias("rrf_micros"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("q_id").orderBy(col("rrf_micros").desc(), col("c_id").asc())
+    return fused.select(
+        "q_id", "c_id", "rrf_micros", F.row_number().over(w).cast("long").alias("fused_rank")
+    ).filter(col("fused_rank") <= 5)

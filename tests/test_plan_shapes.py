@@ -429,6 +429,7 @@ def test_scd2_increment_aggregate_is_broadcast(spark, sf_dir):
 BNLJ_ALLOWED = {
     "agg_price_histogram",          # one-row min/max envelope
     "corpus_data_card",             # one-row corpus totals
+    "dedup_containment",            # one-row n_docs scalar for the df cap
     "dedup_minhash_lsh_capped",     # one-row n_docs scalar for the bucket cap
     "dedup_ngram_jaccard_capped",   # one-row n_docs scalar for the df cap
     "doc_token_rarity",             # one-row corpus token total
