@@ -607,3 +607,65 @@ def scd2_customer_balance_history(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(F.max("o_totalprice").alias("balance"))
     )
     return scd2_merge(existing, upd, ["c_custkey"], "ts")
+
+
+@register(
+    "agg_winsorized_revenue",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    ), g AS (
+        SELECT o_orderpriority, cents,
+               row_number() OVER (PARTITION BY o_orderpriority ORDER BY cents) AS rn,
+               count(*)    OVER (PARTITION BY o_orderpriority)                 AS n
+        FROM c
+    ), b AS (
+        SELECT o_orderpriority,
+               min(CASE WHEN rn >= ceil(0.05 * n) THEN cents END) AS lo_cents,
+               min(CASE WHEN rn >= ceil(0.95 * n) THEN cents END) AS hi_cents
+        FROM g GROUP BY 1
+    )
+    SELECT c.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(max(b.lo_cents) AS BIGINT) AS lo_cents,
+           CAST(max(b.hi_cents) AS BIGINT) AS hi_cents,
+           CAST(sum(CASE WHEN c.cents < b.lo_cents OR c.cents > b.hi_cents
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+           CAST(sum(least(greatest(c.cents, b.lo_cents), b.hi_cents))
+                AS BIGINT) AS winsorized_cents
+    FROM c JOIN b USING (o_orderpriority)
+    GROUP BY 1
+    """,
+)
+def agg_winsorized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized revenue per order priority: clip order totals at the exact
+    per-group p5/p95 DISCONTINUOUS percentiles, then aggregate — the
+    outlier-robust accounting rollup (and the standard guard before fitting
+    anything to heavy-tailed revenue). Percentile bounds are data-relative
+    (rule 7) and computed by the two-phase bucket-histogram percentile
+    (operators/quantiles.py:grouped_percentile_disc — never a per-group
+    whole-partition sort), over exact integer CENTS (2-decimal money × 100
+    through DECIMAL — rule 1: no double rounding, and the winsorized sum is
+    a pure BIGINT aggregate accumulated in DECIMAL(38,0) for overflow
+    safety at scale). The tiny per-group bounds frame broadcasts back onto
+    the fact scan; one partial-agg shuffle finishes."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        (money("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    from map_reduce_group_spark.operators.quantiles import grouped_percentile_disc
+
+    pct = grouped_percentile_disc(o, "o_orderpriority", "cents", [0.05, 0.95])
+    j = o.join(F.broadcast(pct), "o_orderpriority")
+    clipped = F.least(F.greatest(col("cents"), col("p5")), col("p95"))
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("p5").alias("lo_cents"),
+        F.max("p95").alias("hi_cents"),
+        F.sum(
+            ((col("cents") < col("p5")) | (col("cents") > col("p95"))).cast("long")
+        ).alias("n_clipped"),
+        F.sum(clipped.cast("decimal(38,0)")).cast("long").alias("winsorized_cents"),
+    )

@@ -3865,3 +3865,74 @@ def embed_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.select(
         "q_id", "c_id", "rrf_micros", F.row_number().over(w).cast("long").alias("fused_rank")
     ).filter(col("fused_rank") <= 5)
+
+
+@register(
+    "corpus_token_gini",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), cnt AS (
+        SELECT lang, tok, count(*) AS c FROM tok GROUP BY 1, 2
+    ), ranked AS (
+        SELECT lang, c,
+               row_number() OVER (PARTITION BY lang ORDER BY c, tok) AS i,
+               count(*) OVER (PARTITION BY lang) AS n,
+               sum(c) OVER (PARTITION BY lang) AS t
+        FROM cnt
+    )
+    SELECT lang,
+           CAST(max(n) AS BIGINT) AS n_types,
+           CAST(max(t) AS BIGINT) AS n_tokens,
+           CAST((10000 * (2 * sum(i * c) - (max(n) + 1) * max(t)))
+                // (max(n) * max(t)) AS BIGINT) AS gini_bp
+    FROM ranked GROUP BY lang
+    """,
+)
+def corpus_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Gini coefficient (integer basis points) of the token
+    FREQUENCY distribution — the vocabulary-concentration diagnostic (a
+    boilerplate-flooded language shows high concentration; a healthy mix
+    follows its natural Zipf curve). Gini = (2·Σᵢ i·cᵢ − (n+1)·T)/(n·T)
+    with types ranked ascending by count. The engine never ranks the
+    vocabulary row-by-row: within a tie run of equal counts every
+    permutation yields the same Σ i·cᵢ, so it aggregates types into
+    (count → run size) runs and computes the run-sum closed form
+    c·(m·B + m(m+1)/2) — the rank window then runs over DISTINCT count
+    values per language (heavy-tailed: orders of magnitude below the
+    vocabulary, which is itself orders below the corpus). The DuckDB
+    oracle keeps the naive per-type row_number form; both are exact
+    integer arithmetic (products accumulated in DECIMAL(38,0) — a BIGINT
+    Σ i·cᵢ overflows once n·T passes 9.2e18, which a 100 TB corpus does).
+    Final score is exact DECIMAL(38,0) ``div`` (== DuckDB HUGEINT ``//``,
+    both floor on non-negatives — rule 1: no float division)."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    cnt = (
+        d.select("lang", F.explode(tokens("text")).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    runs = cnt.groupBy("lang", "c").agg(F.count(F.lit(1)).alias("m"))
+    w = W.partitionBy("lang").orderBy("c")
+    cum = runs.withColumn("b", F.sum("m").over(w) - col("m"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = cum.groupBy("lang").agg(
+        F.sum("m").cast("long").alias("n_types"),
+        F.sum(col("c") * col("m")).cast("long").alias("n_tokens"),
+        F.sum(
+            dec(col("c")) * (dec(col("m")) * dec(col("b"))
+                             + dec(F.expr("m * (m + 1) div 2")))
+        ).cast("decimal(38,0)").alias("s"),
+    )
+    return agg.select(
+        "lang",
+        "n_types",
+        "n_tokens",
+        F.expr(
+            "CAST(10000 * (2 * s - CAST((n_types + 1) AS DECIMAL(38,0))"
+            " * n_tokens) AS DECIMAL(38,0))"
+            " div CAST(CAST(n_types AS DECIMAL(38,0)) * n_tokens AS DECIMAL(38,0))"
+        ).alias("gini_bp"),
+    )
