@@ -443,3 +443,47 @@ def video_frame_sample_features(
 
     flat = df.select(col(id_col).alias(id_col), col(payload_col).alias(payload_col))
     return flat.mapInPandas(featurize, VIDEO_FEATURE_SCHEMA)
+
+
+AHASH_SCHEMA = "id bigint, width int, height int, ahash_hi bigint, ahash_lo bigint"
+
+
+def bmp_ahash(df: DataFrame, id_col: str = "id", payload_col: str = "payload") -> DataFrame:
+    """Perceptual average-hash (aHash) of BMP payloads — the classic
+    image near-dup fingerprint: decode, collapse to a gray intensity,
+    area-map onto an 8×8 grid (pixel row r → block (r·8)//h, the standard
+    integer box mapping), and set bit k = [block-mean > image-mean]. All
+    comparisons are integer cross-multiplications (sum_block · n_pixels >
+    sum_image · n_block) — no float division anywhere, so the 64 hash bits
+    are bit-identical on any engine that replays the pixel math. The hash
+    is emitted as two BIGINT halves (``ahash_hi``/``ahash_lo``) because a
+    1<<63 top bit has engine-specific signed-overflow behavior. Runs as
+    Arrow-batched ``mapInPandas`` (one decode + NumPy block reduce per
+    image, nothing driver-side); grouping/joining on the hash downstream
+    is an ordinary key shuffle."""
+
+    def hasher(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, rgb = decode_bmp24(bytes(payload))
+                g3 = rgb.sum(axis=2, dtype=np.int64)  # gray proxy: r+g+b
+                total = int(g3.sum())
+                npx = w * h
+                bi = (np.arange(h, dtype=np.int64) * 8) // h
+                bj = (np.arange(w, dtype=np.int64) * 8) // w
+                row_onehot = (bi[:, None] == np.arange(8)[None, :]).astype(np.int64)
+                col_onehot = (bj[:, None] == np.arange(8)[None, :]).astype(np.int64)
+                sb = row_onehot.T @ g3 @ col_onehot  # 8x8 block sums
+                nb = row_onehot.sum(axis=0)[:, None] * col_onehot.sum(axis=0)[None, :]
+                bits = (sb * npx > total * nb).astype(np.uint64).ravel()
+                ks = np.arange(64, dtype=np.uint64)
+                lo = int((bits[:32] << ks[:32]).sum())
+                hi = int((bits[32:] << ks[:32]).sum())
+                rows.append((doc_id, w, h, hi, lo))
+            yield pd.DataFrame(
+                rows, columns=["id", "width", "height", "ahash_hi", "ahash_lo"]
+            )
+
+    flat = df.select(col(id_col).alias(id_col), col(payload_col).alias(payload_col))
+    return flat.mapInPandas(hasher, AHASH_SCHEMA)

@@ -669,3 +669,40 @@ def agg_winsorized_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_clipped"),
         F.sum(clipped.cast("decimal(38,0)")).cast("long").alias("winsorized_cents"),
     )
+
+
+@register(
+    "quality_k_anonymity",
+    oracle="""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment, count(*) AS n
+        FROM customer GROUP BY 1, 2
+    ), stats AS (
+        SELECT count(*) AS n_groups, sum(n) AS nc FROM g
+    )
+    SELECT g.c_nationkey, g.c_mktsegment, CAST(g.n AS BIGINT) AS group_size,
+           (2 * g.n * s.n_groups < s.nc) AS below_half_avg
+    FROM g CROSS JOIN stats s
+    """,
+)
+def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier (nation, market
+    segment): the size of every equivalence class, flagging classes
+    smaller than HALF THE AVERAGE class size — the re-identification
+    screen run before releasing grouped data. The threshold is
+    data-relative (2·n·n_groups < total, pure BIGINT cross-multiplication
+    — no division, rule 1; a fixed k goes vacuous as data grows, rule 7).
+    Scale: one partial-agg shuffle to class sizes (output is
+    |quasi-identifier domain|-bounded); the two-scalar stats frame is a
+    broadcast crossJoin."""
+    c = load_table(spark, sf_dir, "customer")
+    g = c.groupBy("c_nationkey", "c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    stats = g.agg(
+        F.count(F.lit(1)).alias("n_groups"), F.sum("n").alias("nc")
+    )
+    return g.crossJoin(F.broadcast(stats)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        col("n").alias("group_size"),
+        (2 * col("n") * col("n_groups") < col("nc")).alias("below_half_avg"),
+    )

@@ -583,3 +583,67 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mad4",
         (2 * col("dev2") > 3 * col("mad4")).alias("is_anomaly"),
     )
+
+
+@register(
+    "events_hourly_trend",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, epoch_us(ts) // 3600000000 AS x, count(*) AS y
+        FROM events GROUP BY 1, 2
+    ), base AS (
+        SELECT event_type, min(x) AS x0 FROM hourly GROUP BY 1
+    ), xy AS (
+        SELECT h.event_type, h.x - b.x0 AS x, h.y
+        FROM hourly h JOIN base b USING (event_type)
+    ), s AS (
+        SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM xy GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_hours,
+           CAST(sy AS BIGINT) AS total_events,
+           CAST((1000000 * (n * sxy - sx * sy))
+                // (n * sxx - sx * sx) AS BIGINT) AS slope_micro_per_hour
+    FROM s
+    """,
+)
+def events_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event-rate TREND: exact OLS slope of hourly counts against
+    the hour index, in integer micro-events/hour — the "is this metric
+    growing" monitor. The closed-form slope (n·Σxy − Σx·Σy)/(n·Σx² −
+    (Σx)²) runs entirely in integers: hour indexes are unix_micros ``div``
+    3600e6 (rule-1 interval policy) re-based to each type's first hour, the
+    1e6-scaled numerator accumulates in DECIMAL(38,0) (a 100 TB corpus
+    overflows BIGINT there), and the final ``div`` truncates identically
+    to DuckDB ``//`` (both toward zero, verified on negatives). Scale: one
+    partial-agg shuffle to hourly counts (calendar-bounded frame), then a
+    per-type scalar aggregate; no windows, no sorts."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.expr("unix_micros(ts) div 3600000000").alias("x")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    base = hourly.groupBy("event_type").agg(F.min("x").alias("x0"))
+    xy = hourly.join(F.broadcast(base), "event_type").select(
+        "event_type", (col("x") - col("x0")).alias("x"), "y"
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    s = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(col("x") * col("x")).alias("sxx"),
+        F.sum(dec(col("x")) * dec(col("y"))).alias("sxy"),
+    )
+    return s.select(
+        "event_type",
+        col("n").cast("long").alias("n_hours"),
+        col("sy").cast("long").alias("total_events"),
+        F.expr(
+            "CAST(1000000 * (CAST(n AS DECIMAL(38,0)) * sxy"
+            " - CAST(sx AS DECIMAL(38,0)) * sy) AS DECIMAL(38,0))"
+            " div CAST(CAST(n AS DECIMAL(38,0)) * sxx"
+            " - CAST(sx AS DECIMAL(38,0)) * sx AS DECIMAL(38,0))"
+        ).alias("slope_micro_per_hour"),
+    )

@@ -349,3 +349,93 @@ def multimodal_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame
 
     clips = d.mapInPandas(render, "id bigint, payload binary")
     return multimodal.video_frame_sample_features(clips, sample_stride=2)
+
+
+_AHASH_G3 = """((doc_id + 31 * (k // (8 + doc_id % 9)) + 7 * (k % (8 + doc_id % 9))) % 256
+          + (doc_id + 31 * (k // (8 + doc_id % 9)) + 7 * (k % (8 + doc_id % 9)) + 13) % 256
+          + (doc_id + 31 * (k // (8 + doc_id % 9)) + 7 * (k % (8 + doc_id % 9)) + 26) % 256)"""
+
+
+@register(
+    "multimodal_bmp_ahash_groups",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents
+    ), px AS (
+        SELECT doc_id, w, h, unnest(range(0, w * h)) AS k FROM d
+    ), g AS (
+        SELECT doc_id, w, h, (k // w) AS r, (k % w) AS c,
+               {_AHASH_G3} AS g3
+        FROM px
+    ), blk AS (
+        SELECT doc_id, w, h, (r * 8) // h AS bi, (c * 8) // w AS bj,
+               sum(g3) AS sb, count(*) AS nb
+        FROM g GROUP BY 1, 2, 3, 4, 5
+    ), tot AS (
+        SELECT doc_id, sum(sb) AS st, sum(nb) AS nt FROM blk GROUP BY 1
+    ), bits AS (
+        SELECT b.doc_id, b.w, b.h,
+               CASE WHEN b.sb * t.nt > t.st * b.nb THEN 1 ELSE 0 END AS bit,
+               b.bi * 8 + b.bj AS k
+        FROM blk b JOIN tot t USING (doc_id)
+    ), hashes AS (
+        SELECT doc_id, CAST(max(w) AS INT) AS width, CAST(max(h) AS INT) AS height,
+               CAST(sum(CASE WHEN k >= 32 THEN bit * (1 << (k - 32)) ELSE 0 END)
+                    AS BIGINT) AS ahash_hi,
+               CAST(sum(CASE WHEN k < 32 THEN bit * (1 << k) ELSE 0 END)
+                    AS BIGINT) AS ahash_lo
+        FROM bits GROUP BY doc_id
+    )
+    SELECT doc_id AS id, width, height, ahash_hi, ahash_lo,
+           CAST(count(*) OVER (PARTITION BY ahash_hi, ahash_lo) AS BIGINT) AS n_same,
+           CAST(min(doc_id) OVER (PARTITION BY ahash_hi, ahash_lo) AS BIGINT) AS rep_id
+    FROM hashes
+    """,
+)
+def multimodal_bmp_ahash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup via average hash: render each document as
+    a REAL 24-bit BMP (the multimodal_bmp_decode pixel formula), decode the
+    actual bytes, compute the 64-bit aHash (8×8 area-mapped block means vs
+    the image mean, integer cross-multiplication only —
+    operators/multimodal.py:bmp_ahash), and group images by hash: per
+    image, the size of its perceptual-duplicate family and the family
+    representative (min id). The image-dedup primitive of web-scale
+    multimodal pipelines (aHash/pHash family; real codecs stay
+    import-gated — the BMP path proves decode + hash plumbing end-to-end).
+    Scale: hashing is map-only Arrow batches; the family window shuffles
+    by the 64-bit hash (near-uniform key space, no hot partition). The
+    DuckDB oracle replays pixel enumeration, block mapping, bit
+    thresholds, and both hash halves in closed form."""
+    import numpy as np
+    import pandas as pd
+
+    from collections.abc import Iterator
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def render(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w, h = 8 + doc_id % 9, 8 + doc_id % 7
+                r = np.arange(h, dtype=np.int64)[:, None, None]
+                c = np.arange(w, dtype=np.int64)[None, :, None]
+                ch = np.arange(3, dtype=np.int64)[None, None, :] * 13
+                px = ((doc_id + 31 * r + 7 * c + ch) % 256).astype(np.uint8)
+                payloads.append(multimodal.encode_bmp24(px))
+            yield pd.DataFrame({"id": pdf["doc_id"], "payload": payloads})
+
+    images = d.mapInPandas(render, "id bigint, payload binary")
+    hashed = multimodal.bmp_ahash(images)
+    from pyspark.sql import Window as W
+
+    fam = W.partitionBy("ahash_hi", "ahash_lo")
+    return hashed.select(
+        "id",
+        "width",
+        "height",
+        "ahash_hi",
+        "ahash_lo",
+        F.count(F.lit(1)).over(fam).cast("long").alias("n_same"),
+        F.min("id").over(fam).cast("long").alias("rep_id"),
+    )

@@ -441,6 +441,7 @@ BNLJ_ALLOWED = {
     "q20_excess_suppliers",         # one-row availqty threshold scalar
     "q22_global_sales_opportunity", # one-row avg balance scalar
     "quality_checks_relational",    # one-row expected-count scalars
+    "quality_k_anonymity",          # one-row (n_groups, total) scalar frame
     "text_tfidf_top_terms",         # one-row doc-count scalar
     "window_ntile_quartiles",       # one-row quartile-edge frame (e1..e3)
     # intermediate frames surfaced once capture_actions saw localCheckpoint
