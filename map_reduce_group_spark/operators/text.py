@@ -410,3 +410,53 @@ def unigram_rarity(df, id_col: str, text_col: str):
             ).alias("mean_rarity"),
         )
     )
+
+
+def bigram_surprisal(df, id_col: str, text_col: str):
+    """Bigram-conditional surprisal score per document — the next step up
+    from :func:`unigram_rarity`'s order-free frequencies: for each adjacent
+    token pair (a, b), the inverse conditional probability
+    count(a·*)/count(a·b) in 1/1024 integer fixed point (Spark ``div`` ==
+    DuckDB ``//``), summed and averaged per document. High mean surprisal =
+    token transitions rarely seen in the corpus (disfluent/shuffled text);
+    low = formulaic boilerplate. Same exactness policy as unigram_rarity:
+    no float logs, integer fixed point end-to-end, the only division a
+    final exact-int double display division rounded at 4.
+
+    Scale shape: bigrams assemble per document with posexplode + a
+    doc-partitioned lead window (rule-2 shape, no interpreted lambdas);
+    the corpus collapses to (a, b) counts with one shuffle; prefix counts
+    are a second aggregation of that reduced relation; the scoring joins
+    are bigram-/prefix-keyed (hot prefixes are single build-side rows —
+    AQE skew split covers the probe). Documents with < 2 tokens carry no
+    bigrams and drop identically in both engines."""
+    from pyspark.sql import Window
+
+    t = df.select(
+        F.col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    bg = (
+        t.select("id", F.col("tok").alias("a"), F.lead("tok", 1).over(w).alias("b"))
+        .filter(F.col("b").isNotNull())
+    )
+    bc = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    pc = bc.groupBy("a").agg(F.sum("cab").alias("ca"))
+    s = F.expr("(ca * 1024) div cab")
+    return (
+        bg.join(bc, ["a", "b"])
+        .join(pc, "a")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(s).cast("long").alias("sum_surprisal_fp"),
+        )
+        .select(
+            "id",
+            "n_bigrams",
+            "sum_surprisal_fp",
+            F.round(
+                F.col("sum_surprisal_fp").cast("double") / 1024.0 / F.col("n_bigrams"), 4
+            ).alias("mean_surprisal"),
+        )
+    )

@@ -3936,3 +3936,35 @@ def corpus_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div CAST(CAST(n_types AS DECIMAL(38,0)) * n_tokens AS DECIMAL(38,0))"
         ).alias("gini_bp"),
     )
+
+
+@register(
+    "doc_bigram_surprisal",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), bg AS (
+        SELECT doc_id, toks[i] AS a, toks[i+1] AS b
+        FROM t, unnest(range(1, len(toks))) s(i)
+    ), bc AS (
+        SELECT a, b, count(*) AS cab FROM bg GROUP BY 1, 2
+    ), pc AS (
+        SELECT a, sum(cab) AS ca FROM bc GROUP BY 1
+    )
+    SELECT bg.doc_id AS id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum((pc.ca * 1024) // bc.cab) AS BIGINT) AS sum_surprisal_fp,
+           round(CAST(sum((pc.ca * 1024) // bc.cab) AS DOUBLE) / 1024.0 / count(*), 4)
+               AS mean_surprisal
+    FROM bg JOIN bc USING (a, b) JOIN pc USING (a)
+    GROUP BY bg.doc_id
+    """,
+)
+def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-conditional LM surprisal per document
+    (operators/text.py:bigram_surprisal) — the order-SENSITIVE quality
+    filter unigram rarity can't express: count(prefix)/count(bigram) in
+    1/1024 integer fixed point, averaged per doc. The CCNet-style LM
+    quality screen with the model trained on the corpus itself."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.bigram_surprisal(d, "doc_id", "text")

@@ -384,3 +384,43 @@ def stream_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="complete",
         state_partitions=4,
     )
+
+
+@register(
+    "stream_cms_cells",
+    oracle="""
+    WITH counts AS (
+        SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
+        FROM events GROUP BY 1
+    ), cells AS (
+        SELECT CAST(r.r * 1024 AS BIGINT)
+               + CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':' || key), 1, 16))::UBIGINT
+                      % 1024 AS BIGINT) AS cell,
+               sum(n) AS cnt
+        FROM counts CROSS JOIN range(0, 4) r(r)
+        GROUP BY 1
+    )
+    SELECT cell, CAST(cnt AS BIGINT) AS cnt FROM cells
+    """,
+)
+def stream_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min sketch over the event stream's user keys: each
+    micro-batch emits its LOCAL 4×1024 partial matrix (one Arrow pass,
+    ≤ d·w rows — operators/sketches.py:cms_sketch_cells), and a complete-
+    mode groupBy(cell).sum maintains the merged matrix as EXACTLY ≤ 4096
+    state rows forever — frequency tracking over an unbounded stream with
+    fixed-size state, the add-monoid sibling of stream_hll_cardinality's
+    max-monoid registers. CMS linearity makes micro-batch boundaries
+    invisible: Σ_batches sketch(batch) = sketch(Σ batches), so the
+    streaming matrix must equal the batch SQL rebuild from exact per-user
+    counts (the oracle), regardless of how the files split into batches."""
+    from map_reduce_group_spark.operators.sketches import cms_sketch_cells
+
+    stream = es.read_events_stream(spark, _events_stream_dir(sf_dir))
+    cells = cms_sketch_cells(stream, "user_id")
+    return es.run_to_memory(
+        cells,
+        f"q_stream_cms_{next(_COUNTER)}",
+        output_mode="complete",
+        state_partitions=4,
+    )
