@@ -3968,3 +3968,55 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality screen with the model trained on the corpus itself."""
     d = load_table(spark, sf_dir, "documents")
     return text.bigram_surprisal(d, "doc_id", "text")
+
+
+@register(
+    "text_lang_confusion",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               {_occ_sql(' the ')} AS c_en,
+               {_occ_sql(' le ')}  AS c_fr,
+               {_occ_sql(' el ')}  AS c_es,
+               {_occ_sql(' der ')} AS c_de
+        FROM documents
+    ), pred AS (
+        SELECT lang,
+               CASE
+                 WHEN c_en > 0 AND c_en = greatest(c_en, c_fr, c_es, c_de) THEN 'en'
+                 WHEN c_fr > 0 AND c_fr = greatest(c_en, c_fr, c_es, c_de) THEN 'fr'
+                 WHEN c_es > 0 AND c_es = greatest(c_en, c_fr, c_es, c_de) THEN 'es'
+                 WHEN c_de > 0 AND c_de = greatest(c_en, c_fr, c_es, c_de) THEN 'de'
+                 ELSE 'und'
+               END AS pred_lang
+        FROM scored
+    ), cm AS (
+        SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2
+    ), tot AS (
+        SELECT lang, sum(n) AS nl FROM cm GROUP BY 1
+    )
+    SELECT cm.lang, cm.pred_lang, CAST(cm.n AS BIGINT) AS n_docs,
+           CAST((10000 * cm.n) // t.nl AS BIGINT) AS row_frac_bp
+    FROM cm JOIN tot t USING (lang)
+    """,
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID CONFUSION MATRIX: labeled language × marker-heuristic
+    prediction (the doc_lang_id classifier), with per-true-language row
+    fractions in integer basis points — the classifier-evaluation rollup a
+    pipeline runs before trusting a lang filter. Scale: one partial-agg
+    shuffle to the |langs|² matrix; row totals are a matrix-sized
+    re-aggregate. Integer ``div`` fixed point, rule 1."""
+    d = load_table(spark, sf_dir, "documents")
+    cm = (
+        d.select("lang", predicted_lang(col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cm.groupBy("lang").agg(F.sum("n").alias("nl"))
+    return cm.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "pred_lang",
+        col("n").alias("n_docs"),
+        F.expr("(10000 * n) div nl").alias("row_frac_bp"),
+    )

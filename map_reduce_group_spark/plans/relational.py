@@ -839,3 +839,74 @@ def join_fuzzy_name_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - 1).cast("long").alias("n_variants"),
         F.sum("b_count").cast("long").alias("n_fuzzy"),
     ).select(col("a_name").alias("p_name"), "n_exact", "n_variants", "n_fuzzy")
+
+
+@register(
+    "market_basket_lift",
+    oracle="""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey AS o, p.p_brand AS b
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ), n AS (
+        SELECT count(DISTINCT o) AS n_orders FROM ob
+    ), singles AS (
+        SELECT b, count(*) AS c FROM ob GROUP BY 1
+    ), pairs AS (
+        SELECT a.b AS brand_a, bb.b AS brand_b, count(*) AS cab
+        FROM ob a JOIN ob bb USING (o)
+        WHERE a.b < bb.b
+        GROUP BY 1, 2
+    )
+    SELECT brand_a, brand_b, CAST(cab AS BIGINT) AS n_co,
+           CAST((10000 * n.n_orders * cab) // (sa.c * sb.c) AS BIGINT) AS lift_bp
+    FROM pairs
+    JOIN singles sa ON sa.b = brand_a
+    JOIN singles sb ON sb.b = brand_b
+    CROSS JOIN n
+    WHERE cab * 1000 >= n.n_orders
+    """,
+)
+def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: LIFT between part brands
+    co-purchased in the same order — lift(a,b) = P(ab)/(P(a)·P(b)) =
+    N·c_ab/(c_a·c_b) in integer basis points (DECIMAL(38,0) product before
+    the exact ``div`` — 10⁴·N·c_ab overflows BIGINT at warehouse scale).
+    The support floor is data-relative (c_ab ≥ N/1000, rule 7 — a fixed
+    floor goes all-row or 0-row as data grows). Scale: the within-order
+    self-join fans out per order-basket size (bounded by order width, not
+    corpus), pair counts partial-agg on compact (brand, brand) keys, the
+    brand dimension broadcasts, and N rides a one-row broadcast. The
+    classic co-occurrence shape whose output is |brands|²-bounded."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(broadcast(pt), col("l_partkey") == col("p_partkey"))
+        .select(col("l_orderkey").alias("o"), col("p_brand").alias("b"))
+        .distinct()
+    )
+    n = ob.agg(F.count_distinct("o").alias("n_orders"))
+    singles = ob.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    a, bb = ob.alias("x"), ob.alias("y")
+    pairs = (
+        a.join(bb, "o")
+        .filter(col("x.b") < col("y.b"))
+        .groupBy(col("x.b").alias("brand_a"), col("y.b").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    sa = singles.select(col("b").alias("brand_a"), col("c").alias("ca"))
+    sb = singles.select(col("b").alias("brand_b"), col("c").alias("cb"))
+    return (
+        pairs.join(broadcast(sa), "brand_a")
+        .join(broadcast(sb), "brand_b")
+        .crossJoin(broadcast(n))
+        .filter(col("cab") * 1000 >= col("n_orders"))
+        .select(
+            "brand_a",
+            "brand_b",
+            col("cab").alias("n_co"),
+            F.expr(
+                "CAST(10000 * CAST(n_orders AS DECIMAL(38,0)) * cab AS DECIMAL(38,0))"
+                " div CAST(CAST(ca AS DECIMAL(38,0)) * cb AS DECIMAL(38,0))"
+            ).alias("lift_bp"),
+        )
+    )

@@ -437,6 +437,7 @@ BNLJ_ALLOWED = {
     "join_anti_inactive_customers", # one-row derived date cutoff
     "join_cross_region_nation",     # the deliberate cross join (5x25)
     "join_range_price_bands",       # non-equi band join, broadcast band dim
+    "market_basket_lift",           # one-row n_orders scalar for lift/support
     "q11_important_stock",          # one-row value threshold
     "q20_excess_suppliers",         # one-row availqty threshold scalar
     "q22_global_sales_opportunity", # one-row avg balance scalar
