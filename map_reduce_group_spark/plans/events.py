@@ -647,3 +647,42 @@ def events_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - CAST(sx AS DECIMAL(38,0)) * sx AS DECIMAL(38,0))"
         ).alias("slope_micro_per_hour"),
     )
+
+
+@register(
+    "events_dow_seasonality",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS BIGINT) AS dow,
+               count(*) AS c
+        FROM events GROUP BY 1, 2
+    ), t AS (
+        SELECT event_type, sum(c) AS total FROM d GROUP BY 1
+    )
+    SELECT d.event_type, d.dow, CAST(d.c AS BIGINT) AS n_events,
+           CAST((10000 * 7 * d.c) // t.total AS BIGINT) AS share_bp_of_uniform
+    FROM d JOIN t USING (event_type)
+    """,
+)
+def events_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: each weekday's share
+    relative to a uniform week, in integer basis points (10 000 = exactly
+    1/7 of the type's events) — the weekly-rhythm diagnostic behind traffic
+    forecasting. The weekday derives from pure epoch arithmetic
+    ((unix_micros div 86 400e6 + 4) mod 7; 1970-01-01 was a Thursday, so
+    0 = Sunday) rather than engine calendar functions, whose week-start
+    conventions differ (rule-1 interval policy). Scale: one partial-agg
+    shuffle to the |types|×7 matrix; integer ``div`` fixed point."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.groupBy(
+        "event_type",
+        F.expr("(unix_micros(ts) div 86400000000 + 4) % 7").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    t = d.groupBy("event_type").agg(F.sum("c").alias("total"))
+    return d.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "dow",
+        col("c").alias("n_events"),
+        F.expr("(10000 * 7 * c) div total").alias("share_bp_of_uniform"),
+    )

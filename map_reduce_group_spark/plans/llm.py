@@ -1043,6 +1043,36 @@ SCALE_ORACLES: dict[str, str] = {
     + """
     SELECT id_a, id_b, n_common, jaccard FROM pairs
     """,
+    # identical-TEXT collapse for the novelty oracle: clone members share
+    # every shingle with their (min-id) rep, so a non-rep member's first-
+    # occurrence count is 0 by construction and its n_shingles equals the
+    # rep's; global shingle first-occurrence over reps == over all docs
+    # (each family's min id IS its rep). Value-identical to the naive
+    # driver oracle (verified at sf0.01 and 10×: byte-equal, 142 s → 7.8 s)
+    # while shingling only DISTINCT texts.
+    "doc_ngram_novelty": f"""
+    WITH t0 AS MATERIALIZED (
+        SELECT doc_id, text FROM documents WHERE len({_TOKS_SQL}) >= 3
+    ), fam AS MATERIALIZED (
+        SELECT text, min(doc_id) AS rep FROM t0 GROUP BY text
+    ), reps AS (
+        SELECT rep AS id, {_SHINGLES_SQL} AS shingles FROM fam
+    ), posts AS (
+        SELECT id, unnest(shingles) AS shingle FROM reps WHERE len(shingles) > 0
+    ), firsts AS (
+        SELECT shingle, min(id) AS first_id FROM posts GROUP BY 1
+    ), repstats AS (
+        SELECT id, CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN first_id = id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        FROM posts JOIN firsts USING (shingle) GROUP BY id
+    )
+    SELECT d.doc_id,
+           r.n_shingles,
+           CASE WHEN d.doc_id = f.rep THEN r.n_novel ELSE 0 END AS n_novel,
+           CASE WHEN d.doc_id = f.rep THEN (10000 * r.n_novel) // r.n_shingles
+                ELSE 0 END AS novelty_bp
+    FROM t0 d JOIN fam f ON f.text = d.text JOIN repstats r ON r.id = f.rep
+    """,
     "dedup_clusters": _clusters_scale_oracle(),
     "embed_semdedup_prune": _semdedup_scale_oracle(),
     "dedup_minhash_lsh": _collapsed_minhash_scale_oracle(),

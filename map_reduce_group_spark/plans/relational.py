@@ -910,3 +910,60 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_bp"),
         )
     )
+
+
+@register(
+    "orders_pareto_share",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ), g AS (
+        SELECT cents,
+               row_number() OVER (ORDER BY cents) AS rn,
+               count(*) OVER () AS n
+        FROM cust
+    ), b AS (
+        SELECT min(CASE WHEN rn >= ceil(0.9 * n) THEN cents END) AS p90 FROM g
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(CASE WHEN c.cents >= b.p90 THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+           CAST(sum(CASE WHEN c.cents >= b.p90 THEN c.cents ELSE 0 END)
+                AS BIGINT) AS top_cents,
+           CAST(sum(c.cents) AS BIGINT) AS total_cents,
+           CAST((10000 * sum(CASE WHEN c.cents >= b.p90 THEN c.cents ELSE 0 END))
+                // sum(c.cents) AS BIGINT) AS top_share_bp
+    FROM cust c CROSS JOIN b
+    """,
+)
+def orders_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) audit: the share of total revenue
+    held by customers at or above the exact p90 of per-customer spend, in
+    integer basis points. The p90 bound is data-relative (rule 7) and
+    found by the two-phase bucket-histogram percentile over exact integer
+    cents (operators/quantiles.py — no per-group whole-partition sort; a
+    constant group key keeps phase 1 fully parallel); sums accumulate in
+    DECIMAL before the BIGINT cast (rule 1). Output is a single audit row
+    at any scale."""
+    from map_reduce_group_spark.operators.quantiles import grouped_percentile_disc
+
+    o = load_table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        (F.sum(money("o_totalprice")) * 100).cast("long").alias("cents")
+    )
+    pct = grouped_percentile_disc(
+        cust.withColumn("grp", F.lit(1)), "grp", "cents", [0.9]
+    ).select(col("p90"))
+    top = F.when(col("cents") >= col("p90"), col("cents")).otherwise(F.lit(0))
+    return cust.crossJoin(broadcast(pct)).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum((col("cents") >= col("p90")).cast("long")).alias("n_top"),
+        F.sum(top.cast("decimal(38,0)")).cast("long").alias("top_cents"),
+        F.sum(col("cents").cast("decimal(38,0)")).cast("long").alias("total_cents"),
+        F.expr(
+            "CAST(10000 * sum(CASE WHEN cents >= p90 THEN CAST(cents AS DECIMAL(38,0))"
+            " ELSE 0 END) AS DECIMAL(38,0))"
+            " div sum(CAST(cents AS DECIMAL(38,0)))"
+        ).alias("top_share_bp"),
+    )

@@ -438,6 +438,7 @@ BNLJ_ALLOWED = {
     "join_cross_region_nation",     # the deliberate cross join (5x25)
     "join_range_price_bands",       # non-equi band join, broadcast band dim
     "market_basket_lift",           # one-row n_orders scalar for lift/support
+    "orders_pareto_share",          # one-row p90-bound scalar frame
     "q11_important_stock",          # one-row value threshold
     "q20_excess_suppliers",         # one-row availqty threshold scalar
     "q22_global_sales_opportunity", # one-row avg balance scalar
@@ -468,6 +469,9 @@ GLOBAL_WINDOW_ALLOWED = {
     "corpus_mixture_rebalance": "per-source rate table (rows = n_sources)",
     "corpus_mixture_temperature": "per-source rate table (rows = n_sources)",
     "window_ntile_quartiles": "histogram buckets (≤ value_range/2^bucket_bits rows)",
+    # the constant group key folds out of the percentile's phase-1 window;
+    # its frame is the same bounded bucket histogram as ntile_quartiles
+    "orders_pareto_share": "histogram buckets (≤ value_range/2^bucket_bits rows)",
 }
 
 
