@@ -427,15 +427,14 @@ def multimodal_bmp_ahash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     images = d.mapInPandas(render, "id bigint, payload binary")
     hashed = multimodal.bmp_ahash(images)
-    from pyspark.sql import Window as W
-
-    fam = W.partitionBy("ahash_hi", "ahash_lo")
-    return hashed.select(
-        "id",
-        "width",
-        "height",
-        "ahash_hi",
-        "ahash_lo",
-        F.count(F.lit(1)).over(fam).cast("long").alias("n_same"),
-        F.min("id").over(fam).cast("long").alias("rep_id"),
+    # family stats as groupBy + join, NOT a window over the hash partition:
+    # count/min partial-aggregate map-side, so a pathological hot hash
+    # (e.g. a corpus of near-uniform thumbnails) never single-partition
+    # sorts; the join back is hash-keyed and AQE-skew-splittable
+    fams = hashed.groupBy("ahash_hi", "ahash_lo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_same"),
+        F.min("id").cast("long").alias("rep_id"),
+    )
+    return hashed.join(fams, ["ahash_hi", "ahash_lo"]).select(
+        "id", "width", "height", "ahash_hi", "ahash_lo", "n_same", "rep_id"
     )
