@@ -448,6 +448,30 @@ def video_frame_sample_features(
 AHASH_SCHEMA = "id bigint, width int, height int, ahash_hi bigint, ahash_lo bigint"
 
 
+def ahash_halves(rgb: np.ndarray) -> tuple[int, int]:
+    """64-bit average-hash of one decoded (h, w, 3) image, as (hi, lo)
+    32-bit halves. Gray proxy is r+g+b (scale cancels in the comparison);
+    pixel row r maps to block row (r·8)//h (standard integer box mapping);
+    bit k = bi·8+bj is set iff sum_block·n_pixels > sum_image·n_block —
+    integer cross-multiplication, no float division, so any engine
+    replaying the pixel math reproduces every bit."""
+    h, w = rgb.shape[0], rgb.shape[1]
+    g3 = rgb.sum(axis=2, dtype=np.int64)
+    total = int(g3.sum())
+    npx = w * h
+    bi = (np.arange(h, dtype=np.int64) * 8) // h
+    bj = (np.arange(w, dtype=np.int64) * 8) // w
+    row_onehot = (bi[:, None] == np.arange(8)[None, :]).astype(np.int64)
+    col_onehot = (bj[:, None] == np.arange(8)[None, :]).astype(np.int64)
+    sb = row_onehot.T @ g3 @ col_onehot  # 8x8 block sums
+    nb = row_onehot.sum(axis=0)[:, None] * col_onehot.sum(axis=0)[None, :]
+    bits = (sb * npx > total * nb).astype(np.uint64).ravel()
+    ks = np.arange(64, dtype=np.uint64)
+    lo = int((bits[:32] << ks[:32]).sum())
+    hi = int((bits[32:] << ks[:32]).sum())
+    return hi, lo
+
+
 def bmp_ahash(df: DataFrame, id_col: str = "id", payload_col: str = "payload") -> DataFrame:
     """Perceptual average-hash (aHash) of BMP payloads — the classic
     image near-dup fingerprint: decode, collapse to a gray intensity,
@@ -467,19 +491,7 @@ def bmp_ahash(df: DataFrame, id_col: str = "id", payload_col: str = "payload") -
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 w, h, rgb = decode_bmp24(bytes(payload))
-                g3 = rgb.sum(axis=2, dtype=np.int64)  # gray proxy: r+g+b
-                total = int(g3.sum())
-                npx = w * h
-                bi = (np.arange(h, dtype=np.int64) * 8) // h
-                bj = (np.arange(w, dtype=np.int64) * 8) // w
-                row_onehot = (bi[:, None] == np.arange(8)[None, :]).astype(np.int64)
-                col_onehot = (bj[:, None] == np.arange(8)[None, :]).astype(np.int64)
-                sb = row_onehot.T @ g3 @ col_onehot  # 8x8 block sums
-                nb = row_onehot.sum(axis=0)[:, None] * col_onehot.sum(axis=0)[None, :]
-                bits = (sb * npx > total * nb).astype(np.uint64).ravel()
-                ks = np.arange(64, dtype=np.uint64)
-                lo = int((bits[:32] << ks[:32]).sum())
-                hi = int((bits[32:] << ks[:32]).sum())
+                hi, lo = ahash_halves(rgb)
                 rows.append((doc_id, w, h, hi, lo))
             yield pd.DataFrame(
                 rows, columns=["id", "width", "height", "ahash_hi", "ahash_lo"]

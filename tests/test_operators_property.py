@@ -1772,3 +1772,41 @@ def test_hll_grouped_equals_per_group_ungrouped(spark):
         assert got == solo, g
         solo_regs = {r["bucket"]: r["register"] for r in hll_registers(sub, "k", p=10).collect()}
         assert regs_by[g] == solo_regs, g
+
+
+def test_ahash_halves_match_bruteforce_reference():
+    """ahash_halves' vectorized block reduce must equal a per-pixel
+    brute-force reference (independent block membership loop, per-bit
+    integer comparison, explicit bit packing) on random small images —
+    including degenerate 1×1 and uniform images (all bits 0: block mean
+    is never strictly greater than the image mean)."""
+    import numpy as np
+
+    from map_reduce_group_spark.operators.multimodal import ahash_halves
+
+    rng = np.random.RandomState(7)
+
+    def reference(rgb):
+        h, w = rgb.shape[0], rgb.shape[1]
+        g = rgb.astype(np.int64).sum(axis=2)
+        total, npx = int(g.sum()), h * w
+        bits = []
+        for bi in range(8):
+            for bj in range(8):
+                rows = [r for r in range(h) if (r * 8) // h == bi]
+                cols = [c for c in range(w) if (c * 8) // w == bj]
+                sb = int(g[np.ix_(rows, cols)].sum()) if rows and cols else 0
+                nb = len(rows) * len(cols)
+                bits.append(1 if sb * npx > total * nb else 0)
+        lo = sum(b << k for k, b in enumerate(bits[:32]))
+        hi = sum(b << k for k, b in enumerate(bits[32:]))
+        return hi, lo
+
+    cases = [rng.randint(0, 256, size=(h, w, 3), dtype=np.int64)
+             for h, w in [(1, 1), (3, 17), (16, 14), (8, 8), (25, 4)]
+             for _ in range(4)]
+    cases.append(np.full((9, 9, 3), 77, dtype=np.int64))  # uniform -> hash 0
+    for rgb in cases:
+        assert ahash_halves(rgb.astype(np.uint8)) == reference(rgb)
+    hi, lo = ahash_halves(np.full((9, 9, 3), 77, dtype=np.uint8))
+    assert (hi, lo) == (0, 0)
