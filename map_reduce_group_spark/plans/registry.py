@@ -76,7 +76,9 @@ COST_HINT = {
     "stream_hll_cardinality": 2.0,
     "dedup_ngram_jaccard_capped": 3.3, "dedup_simhash": 3.3, "doc_bpe_merges": 1.9,
     "doc_ngram_novelty": 2.2, "text_source_bigram_overlap": 1.9, "embed_rank_fusion": 1.6,
-    "agg_winsorized_revenue": 2.1,
+    "agg_winsorized_revenue": 2.1, "multimodal_bmp_ahash_groups": 2.6,
+    "stream_cms_cells": 3.0, "doc_bigram_surprisal": 2.2, "market_basket_lift": 3.3,
+    "orders_pareto_share": 1.5,
     "doc_bpe_token_count": 2.7, "doc_repetition_signals": 1.2, "doc_winnow_fingerprints": 1.2,
     "embed_ann_ivf_quantized": 1.4, "embed_quantized_topk_agreement": 1.8, "embed_semdedup_prune": 1.2,
     "events_ohlc_resample": 1.1, "graph_pagerank_simgraph": 8.3, "mr_wordcount_pipe": 2.0,
