@@ -4050,3 +4050,51 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("n").alias("n_docs"),
         F.expr("(10000 * n) div nl").alias("row_frac_bp"),
     )
+
+
+@register(
+    "embed_cohort_drift",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, CAST(vec_id % 2 AS INT) AS cohort,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ), u AS (
+        SELECT label, cohort, generate_subscripts(v, 1) - 1 AS dim,
+               CAST(floor(unnest(v) * 1048576.0) AS BIGINT) AS qx
+        FROM e
+    ), s AS (
+        SELECT label, cohort, dim, sum(qx) AS s, count(*) AS n
+        FROM u GROUP BY 1, 2, 3
+    ), j AS (
+        SELECT a.label, a.dim, a.n AS n_a, b.n AS n_b,
+               abs(a.s * b.n - b.s * a.n) AS dfp
+        FROM s a JOIN s b USING (label, dim)
+        WHERE a.cohort = 0 AND b.cohort = 1
+    )
+    SELECT label, CAST(dim AS BIGINT) AS dim,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           CAST(dfp // (n_a * n_b) AS BIGINT) AS drift_mean_fp,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY label
+                                     ORDER BY dfp DESC, dim ASC) AS rnk
+        FROM j
+    ) WHERE rnk <= 5
+    """,
+)
+def embed_cohort_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift audit between two cohorts (vec_id
+    parity as the snapshot stand-in): the top-5 dimensions per label whose
+    cohort means moved most, ranked by the EXACT cross-multiplied gap
+    |sum_a·n_b − sum_b·n_a| over floor(v·2^20) fixed-point sums and
+    reported as the mean gap in 2^20 units
+    (operators/drift.py:cohort_centroid_drift). The retrain-trigger check
+    of embedding pipelines. Scale: one Arrow pass of per-batch partial
+    sums — the vector column never shuffles; everything after is
+    (labels × dims)-sized. The DuckDB oracle replays sums, products, and
+    ranks bit-for-bit."""
+    from map_reduce_group_spark.operators.drift import cohort_centroid_drift
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return cohort_centroid_drift(e, "label", "embedding")

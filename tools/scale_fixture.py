@@ -46,7 +46,7 @@ KEYED = {
                                 "l_quantity", "l_extendedprice", "l_discount",
                                 "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"]),
     "events": ("event_id", ["ts", "user_id", "event_type", "value", "props"]),
-    "embeddings": ("vec_id", ["embedding"]),
+    "embeddings": ("vec_id", ["embedding", "label"]),
 }
 
 
