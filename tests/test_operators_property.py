@@ -1561,6 +1561,34 @@ def test_collapse_and_direct_paths_agree(spark, sf_dir, op):
     assert any(b - a == offset for a, b, _ in got_c)
 
 
+def test_worth_collapsing_ignores_null_texts(spark, sf_dir):
+    """A NULL-heavy zero-clone corpus must NOT engage the identical-set
+    collapse (VERDICT r6 #4 "Done" criterion): count(*) counted NULL texts
+    in the numerator while count_distinct(md5) skipped them in the
+    denominator, so 5% NULLs read as a 5% clone fraction — pure collapse
+    overhead with zero clone families. The fixed gate excludes NULLs from
+    both sides; a corpus that IS ≥1% clones among its non-NULL texts must
+    still engage."""
+    import map_reduce_group_spark.operators.dedup as dedup
+
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(100)
+        .select("doc_id", "text")
+    )
+    # 5% NULL texts, all non-NULL texts distinct (organic fixture) → no clones
+    nulled = base.withColumn(
+        "text", F.when(F.col("doc_id") % 20 == 0, F.lit(None)).otherwise(F.col("text"))
+    )
+    assert not dedup._worth_collapsing(nulled, "text")
+
+    # sanity: planting real clones among the non-NULLs re-engages the gate
+    clones = base.filter(F.col("doc_id") % 20 != 0).limit(5).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text"
+    )
+    assert dedup._worth_collapsing(nulled.unionByName(clones), "text")
+
+
 def test_minhash_hot_bucket_cap(spark, sf_dir):
     """The max_bucket_frac cap (VERDICT r5 #2) on a planted near-identical
     -but-DISTINCT boilerplate family (the identical-set collapse can't
