@@ -42,6 +42,10 @@ def cohort_centroid_drift(
     flat = df.select(
         col(label_col).alias("label"), cohort.alias("cohort"), col(vec_col).alias("v")
     )
+    # label dtype follows the INPUT column (the similarity.py _id_type
+    # convention — ADVICE r6 #3: a hardcoded `label int` crashed the Arrow
+    # pass for string/long label columns)
+    label_t = dict(flat.dtypes)["label"]
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -51,11 +55,11 @@ def cohort_centroid_drift(
             for (lab, coh), grp in pdf.groupby(["label", "cohort"]):
                 m = np.stack(grp["v"].to_numpy())
                 qx = np.floor(m.astype(np.float64) * 1048576.0).astype(np.int64)
-                rows.append((int(lab), int(coh), len(grp), qx.sum(axis=0).tolist()))
+                rows.append((lab, int(coh), len(grp), qx.sum(axis=0).tolist()))
             yield pd.DataFrame(rows, columns=["label", "cohort", "n", "sums"])
 
     p = flat.mapInPandas(
-        partials, "label int, cohort int, n long, sums array<long>"
+        partials, f"label {label_t}, cohort int, n long, sums array<long>"
     )
     # partials are tiny (partitions × labels × 2) — exploding them is free
     per_dim = (

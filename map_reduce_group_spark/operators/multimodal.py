@@ -465,7 +465,19 @@ def ahash_halves(rgb: np.ndarray) -> tuple[int, int]:
     col_onehot = (bj[:, None] == np.arange(8)[None, :]).astype(np.int64)
     sb = row_onehot.T @ g3 @ col_onehot  # 8x8 block sums
     nb = row_onehot.sum(axis=0)[:, None] * col_onehot.sum(axis=0)[None, :]
-    bits = (sb * npx > total * nb).astype(np.uint64).ravel()
+    # cross-multiply in PYTHON ints (ADVICE r6 #4): sb·npx is ≤ 765·npx²,
+    # which wraps int64 silently past ~1e8 pixels (NumPy doesn't raise);
+    # 64 arbitrary-precision comparisons per image are free next to decode
+    sb_l, nb_l = sb.tolist(), nb.tolist()
+    bits = np.fromiter(
+        (
+            1 if sb_l[i][j] * npx > total * nb_l[i][j] else 0
+            for i in range(8)
+            for j in range(8)
+        ),
+        dtype=np.uint64,
+        count=64,
+    )
     ks = np.arange(64, dtype=np.uint64)
     lo = int((bits[:32] << ks[:32]).sum())
     hi = int((bits[32:] << ks[:32]).sum())

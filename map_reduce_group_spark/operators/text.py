@@ -455,8 +455,18 @@ def bigram_surprisal(df, id_col: str, text_col: str):
             "id",
             "n_bigrams",
             "sum_surprisal_fp",
-            F.round(
-                F.col("sum_surprisal_fp").cast("double") / 1024.0 / F.col("n_bigrams"), 4
+            # display mean in 1/10000 integer fixed point, NOT round(double)
+            # (ADVICE r6 #2: rule-1 exactness — Spark's HALF_UP BigDecimal
+            # round and DuckDB's rint can disagree at representation
+            # boundaries; an integer div then one exact int→double division
+            # is bit-identical in both engines). DECIMAL(38,0) to keep the
+            # ×10000 product overflow-proof at any document length.
+            (
+                F.expr(
+                    "CAST(CAST(sum_surprisal_fp AS DECIMAL(38,0)) * 10000 AS DECIMAL(38,0))"
+                    " div CAST(CAST(n_bigrams AS DECIMAL(38,0)) * 1024 AS DECIMAL(38,0))"
+                ).cast("double")
+                / 10000.0
             ).alias("mean_surprisal"),
         )
     )

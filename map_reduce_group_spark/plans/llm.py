@@ -3984,7 +3984,12 @@ def corpus_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT bg.doc_id AS id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
            CAST(sum((pc.ca * 1024) // bc.cab) AS BIGINT) AS sum_surprisal_fp,
-           round(CAST(sum((pc.ca * 1024) // bc.cab) AS DOUBLE) / 1024.0 / count(*), 4)
+           -- 1/10000 integer fixed point, same integer div both engines.
+           -- HUGEINT, not DECIMAL: DuckDB's // on DECIMAL promotes to
+           -- DOUBLE true division; on integer types it floors like
+           -- Spark's div
+           CAST((CAST(sum((pc.ca * 1024) // bc.cab) AS HUGEINT) * 10000)
+                // (CAST(count(*) AS HUGEINT) * 1024) AS DOUBLE) / 10000.0
                AS mean_surprisal
     FROM bg JOIN bc USING (a, b) JOIN pc USING (a)
     GROUP BY bg.doc_id

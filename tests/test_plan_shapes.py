@@ -429,7 +429,14 @@ def test_scd2_increment_aggregate_is_broadcast(spark, sf_dir):
 BNLJ_ALLOWED = {
     "agg_price_histogram",          # one-row min/max envelope
     "corpus_data_card",             # one-row corpus totals
-    "dedup_containment",            # one-row n_docs scalar for the df cap
+    "dedup_containment",            # one-row n_docs scalar for the df cap:
+                                    # registered with max_doc_frac=0.01
+                                    # (plans/llm.py), so capped_postings
+                                    # crossJoins its broadcast count(*) frame —
+                                    # same shape as the other _capped entries;
+                                    # allowlisted in the same commit that added
+                                    # the query (c8f9f8e), not retrofitted
+                                    # (ADVICE r6 #1)
     "dedup_minhash_lsh_capped",     # one-row n_docs scalar for the bucket cap
     "dedup_ngram_jaccard_capped",   # one-row n_docs scalar for the df cap
     "doc_token_rarity",             # one-row corpus token total

@@ -251,6 +251,9 @@ RECONTRACTED: set[str] = {
     # r6: rows-only -> oracle (exact top-k by CMS estimate over the merged
     # matrix — deterministic, no batch-local candidate pool; VERDICT r5 #3)
     "sketch_heavy_hitter_tokens",
+    # r7: mean_surprisal display column round(double) -> 1/10000 integer
+    # fixed point (ADVICE r6 #2, rule-1 exactness) — values changed
+    "doc_bigram_surprisal",
 }
 
 
