@@ -2375,6 +2375,58 @@ def embed_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embed_ann_ivf_trained",
+    oracle="WITH "
+    + _KMEANS_FP_CTES.strip()
+    + f"""
+    , cells AS (
+        SELECT id, j AS cell FROM (
+            SELECT id, j,
+                   row_number() OVER (PARTITION BY id ORDER BY dist2, j) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT id AS q_id, j AS cell FROM (
+            SELECT id, j,
+                   row_number() OVER (PARTITION BY id ORDER BY dist2, j) AS rn
+            FROM d2 WHERE id % 50 = 0
+        ) WHERE rn <= 2
+    ), cv AS (
+        SELECT c.id AS c_id, e.v AS cv, c.cell
+        FROM cells c JOIN e USING (id)
+    ), pairs AS (
+        SELECT p.q_id, c.c_id, c.cell,
+               {_COS_SQL.format(a="q.v", b="c.cv")} AS cos
+        FROM probes p
+        JOIN cv c USING (cell)
+        JOIN e q ON q.id = p.q_id
+        WHERE c.c_id <> p.q_id
+    )
+    SELECT q_id, c_id, cell, cos, CAST(rnk AS BIGINT) AS rank FROM (
+        SELECT q_id, c_id, cell, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+        FROM pairs
+    ) WHERE rnk <= 5
+    """,
+)
+def embed_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-5 over a TRAINED coarse quantizer (VERDICT r6 #7 — the
+    production IVF shape, operators/similarity.py:ivf_trained_topk): cells
+    are the fixed-point k-means centroids (k=8, 2 Lloyd iterations — the
+    exact embed_kmeans_assign recipe, so the oracle's _KMEANS_FP_CTES
+    replays the learned cells bit-for-bit), corpus rows land in their one
+    nearest cell, and each query probes its 2 nearest cells before the
+    exact cosine rerank. Data-adaptive cells beat the data-blind
+    hyperplane buckets of embed_ann_ivf on recall per probed candidate at
+    the same cogroup cost model."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(col("vec_id") % 50 == 0)
+    return similarity.ivf_trained_topk(
+        q, e, k=5, n_cells=8, train_iters=2, nprobe=2
+    )
+
+
+@register(
     "embed_quantize_int8",
     oracle="""
     WITH e AS (

@@ -80,7 +80,8 @@ COST_HINT = {
     "stream_cms_cells": 3.0, "doc_bigram_surprisal": 2.2, "market_basket_lift": 3.3,
     "orders_pareto_share": 1.5,
     "doc_bpe_token_count": 2.7, "doc_repetition_signals": 1.2, "doc_winnow_fingerprints": 1.2,
-    "embed_ann_ivf_quantized": 1.4, "embed_quantized_topk_agreement": 1.8, "embed_semdedup_prune": 1.2,
+    "embed_ann_ivf_quantized": 1.4, "embed_ann_ivf_trained": 2.2,
+    "embed_quantized_topk_agreement": 1.8, "embed_semdedup_prune": 1.2,
     "events_ohlc_resample": 1.1, "graph_pagerank_simgraph": 8.3, "mr_wordcount_pipe": 2.0,
     "multimodal_bmp_decode": 1.0, "multimodal_video_frame_sample": 2.1, "multimodal_wav_decode": 1.1,
     "multimodal_wav_frame_energy": 1.2, "pipeline_corpus_prep": 7.8, "pipeline_corpus_prep_v2": 3.1,
