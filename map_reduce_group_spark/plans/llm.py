@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import col
 
 from map_reduce_group_spark.catalog import load_table
-from map_reduce_group_spark.operators import dedup, similarity, text
+from map_reduce_group_spark.operators import dedup, importance, similarity, text
 from map_reduce_group_spark.operators.text import (
     LANG_MARKERS,
     bpe_ish_token_count,
@@ -2688,6 +2688,61 @@ def corpus_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     w = F.substring("source", 4, 10).cast("int") % 4 + 1
     return mixture_rebalance(d, "doc_id", "source", w)
+
+
+@register(
+    "corpus_importance_resample",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents
+    ), bg AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_target,
+               toks[i] || ' ' || toks[i+1] AS f
+        FROM t, unnest(range(1, len(toks))) s(i)
+    ), feat AS (
+        SELECT doc_id, is_target,
+               {_H60.format(e="f")} % 4096 AS bucket
+        FROM bg
+    ), bc AS (
+        SELECT bucket, count(*) AS c, sum(is_target) AS t FROM feat GROUP BY 1
+    ), tot AS (
+        SELECT sum(c) AS nc, sum(t) AS nt FROM bc
+    ), wt AS (
+        -- add-one-smoothed target/corpus rate ratio in 1/1024 fixed point;
+        -- HUGEINT so the products can't overflow, // floors like Spark div
+        SELECT bucket,
+               (CAST(t + 1 AS HUGEINT) * nc * 1024)
+               // (CAST(c + 1 AS HUGEINT) * nt) AS w_fp
+        FROM bc, tot
+    ), doc AS (
+        SELECT f.doc_id AS id, count(*) AS n_feats,
+               CAST(sum(w.w_fp) AS BIGINT) AS score_fp
+        FROM feat f JOIN wt w USING (bucket)
+        GROUP BY 1
+    ), env AS (
+        SELECT sum(score_fp) AS gs, sum(n_feats) AS gn FROM doc
+    )
+    SELECT id, CAST(n_feats AS BIGINT) AS n_feats, score_fp,
+           CAST(CASE WHEN CAST(score_fp AS HUGEINT) * gn
+                          > CAST(gs AS HUGEINT) * n_feats
+                THEN 1 ELSE 0 END AS INT) AS kept
+    FROM doc, env
+    """,
+)
+def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance scoring toward the English subcorpus
+    (operators/importance.py:importance_scores — Xie et al. 2023 with the
+    log-likelihood ratio replaced by the repo's integer fixed-point rate
+    ratio so the DuckDB oracle replays scores and keep flags exactly):
+    hashed-bigram buckets (md5-derived portable_hash60 % 4096), add-one
+    smoothed target/corpus weights, per-doc sums, and an above-corpus-mean
+    keep flag (data-relative per rule 7 — a fixed score cutoff would drift
+    as the corpus grows)."""
+    d = load_table(spark, sf_dir, "documents")
+    return importance.importance_scores(
+        d, "doc_id", "text", target=col("lang") == "en", n_buckets=4096
+    )
 
 
 @register(

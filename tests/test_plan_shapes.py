@@ -429,6 +429,8 @@ def test_scd2_increment_aggregate_is_broadcast(spark, sf_dir):
 BNLJ_ALLOWED = {
     "agg_price_histogram",          # one-row min/max envelope
     "corpus_data_card",             # one-row corpus totals
+    "corpus_importance_resample",   # one-row feature-total + corpus-mean
+                                    # envelopes (nc/nt, gs/gn scalars)
     "dedup_containment",            # one-row n_docs scalar for the df cap:
                                     # registered with max_doc_frac=0.01
                                     # (plans/llm.py), so capped_postings
