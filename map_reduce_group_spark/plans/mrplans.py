@@ -279,6 +279,42 @@ def multimodal_wav_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.wav_frame_energy(clips)
 
 
+_WAV_S_NEXT = (
+    "((doc_id * 7 + 13 * ((k // {ch}) + 1) + 101 * (k % {ch})) % 4096) - 2048"
+).format(ch=_WAV_CH)
+
+
+@register(
+    "multimodal_wav_zcr",
+    oracle=f"""
+    SELECT doc_id AS id, w AS window_idx,
+           CAST(list_sum(list_transform(
+               range(w * 160 * {_WAV_CH},
+                     least((w + 1) * 160, {_WAV_FRAMES} - 1) * {_WAV_CH}),
+               k -> CASE WHEN ({_WAV_SAMPLE}) * ({_WAV_S_NEXT}) < 0
+                    THEN 1 ELSE 0 END
+           )) AS BIGINT) AS crossings,
+           (least((w + 1) * 160, {_WAV_FRAMES} - 1) - w * 160) * {_WAV_CH}
+               AS n_pairs
+    FROM documents,
+         unnest(range(0, ({_WAV_FRAMES} + 159) // 160)) AS t(w)
+    """,
+)
+def multimodal_wav_zcr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed zero-crossing counts over REAL WAV decode
+    (operators/multimodal.py:wav_zero_crossings): per 160-frame VAD-hop
+    window, strict same-channel sign flips v(i,c)·v(i+1,c) < 0 plus the
+    pair-count denominator — the classic energy+ZCR voiced/unvoiced
+    feature pair (energy alone can't split fricatives from silence). A
+    pair belongs to the window containing its left frame, so windows tile
+    pair space exactly once; the oracle replays every pair from the
+    closed-form sample formula, so an off-by-one at window seams or a
+    de-interleave bug (crossings BETWEEN channels) hash-mismatches.
+    Integer comparisons end-to-end."""
+    clips = _render_wav_clips(spark, sf_dir)
+    return multimodal.wav_zero_crossings(clips)
+
+
 _VID_W = "(8 + doc_id % 5)"
 _VID_H = "(6 + doc_id % 4)"
 _VID_NF = "(6 + doc_id % 7)"

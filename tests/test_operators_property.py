@@ -479,6 +479,44 @@ def test_avi_roundtrip_and_frame_sampling():
         decode_avi_rgb24(b"RIFF\x04\x00\x00\x00WAVE")  # wrong form type
 
 
+def test_wav_zero_crossings_matches_naive(spark):
+    """wav_zero_crossings must equal the per-pair naive count (same-channel
+    strict sign flips, pair attributed to its LEFT frame's window) on random
+    PCM including zero samples (zero kills the product — not a crossing),
+    single-frame clips (zero pairs), and window-seam frame counts."""
+    import numpy as np
+
+    from map_reduce_group_spark.operators import multimodal
+
+    rng = np.random.default_rng(7)
+    clips = []
+    for clip_id, (frames, ch) in enumerate([(1, 1), (159, 2), (160, 1), (161, 2), (500, 2)]):
+        # small range makes exact zeros likely, exercising the strict <0 rule
+        v = rng.integers(-40, 41, (frames, ch)).astype(np.int16)
+        clips.append((clip_id, v))
+    df = spark.createDataFrame(
+        [(i, bytearray(multimodal.encode_wav_pcm16(v, 8000))) for i, v in clips],
+        "id long, payload binary",
+    )
+    got = {
+        (r["id"], r["window_idx"]): (r["crossings"], r["n_pairs"])
+        for r in multimodal.wav_zero_crossings(df, window_frames=160).collect()
+    }
+    want = {}
+    for clip_id, v in clips:
+        frames, ch = v.shape
+        for w in range((frames + 159) // 160):
+            lo, hi = w * 160, min((w + 1) * 160, frames - 1)
+            c = sum(
+                1
+                for i in range(lo, hi)
+                for cc in range(ch)
+                if int(v[i, cc]) * int(v[i + 1, cc]) < 0
+            )
+            want[(clip_id, w)] = (c, (hi - lo) * ch)
+    assert got == want
+
+
 def test_pack_sequences_matches_serial_scan(spark):
     """The two-pass distributed prefix sum must equal the serial packing:
     cumulative token count in doc_id order, seq ids = floor division. Also
