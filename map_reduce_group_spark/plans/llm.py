@@ -4210,3 +4210,65 @@ def embed_cohort_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     return cohort_centroid_drift(e, "label", "embedding")
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), tf AS (
+        SELECT doc_id AS id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2
+    ), dl AS (
+        SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), vocab AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY 1
+    ), tot AS (
+        SELECT CAST(sum(dl) AS BIGINT) AS t_tot,
+               CAST(count(*) AS BIGINT) AS n_docs FROM dl
+    ), qterms AS (
+        SELECT tok, df_t, CAST((r - 11) // 2 AS BIGINT) AS query_id
+        FROM (SELECT tok, df_t,
+                     row_number() OVER (ORDER BY df_t DESC, tok) AS r
+              FROM vocab)
+        WHERE r BETWEEN 11 AND 18
+    ), scored AS (
+        SELECT q.query_id, tf.id,
+               CAST(sum(
+                   (((t.n_docs - q.df_t + 1) * 1024) // (q.df_t + 1))
+                   * ((tf.tf * 22 * t.t_tot * 1024)
+                      // (10 * tf.tf * t.t_tot + 3 * t.t_tot
+                          + 9 * d.dl * t.n_docs))
+                   // 1024
+               ) AS BIGINT) AS score_fp,
+               CAST(count(*) AS BIGINT) AS n_terms_hit
+        FROM qterms q
+        JOIN tf ON tf.tok = q.tok
+        JOIN dl d ON d.id = tf.id
+        CROSS JOIN tot t
+        GROUP BY 1, 2
+    )
+    SELECT query_id, id AS doc_id, CAST(rnk AS BIGINT) AS rank,
+           score_fp, n_terms_hit
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score_fp DESC, id) AS rnk
+          FROM scored)
+    WHERE rnk <= 10
+    """,
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 lexical retrieval (operators/retrieval.py:bm25_topk) —
+    top-10 documents for 4 corpus-derived 2-term queries (vocabulary ranks
+    11-18 by document frequency: past the stopword head, still corpus-wide
+    terms; rank-based selection is data-size-relative). k1=1.2 / b=0.75
+    folded into exact int64 arithmetic by clearing denominators, log idf
+    replaced by the Robertson odds ratio in 1/1024 fixed point (the
+    unigram_rarity log-free convention), per-term floor before summing —
+    the DuckDB oracle replays every term contribution bit-for-bit. Scale:
+    one (id, tok, tf) shuffle reused for lengths/dfs/scoring, query terms
+    and corpus totals ride broadcasts, top-k is a WindowGroupLimit."""
+    from map_reduce_group_spark.operators.retrieval import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_topk(d, "doc_id", "text")

@@ -479,6 +479,70 @@ def test_avi_roundtrip_and_frame_sampling():
         decode_avi_rgb24(b"RIFF\x04\x00\x00\x00WAVE")  # wrong form type
 
 
+def test_bm25_topk_matches_naive(spark):
+    """bm25_topk must equal a serial reference implementing the exact same
+    fixed-point pipeline: denominator-cleared tf normalization
+    22·tf·T / (10·tf·T + 3·T + 9·dl·N), odds-ratio idf in 1/1024 fixed
+    point, per-term floor before summing, rank-11..18 query terms, top-10
+    by (score DESC, id) — scores compared exactly, not just the ranking."""
+    import random
+    import re
+    from collections import Counter
+
+    from map_reduce_group_spark.operators.retrieval import bm25_topk
+
+    rng = random.Random(19)
+    vocab = [f"w{i:02d}" for i in range(30)]
+    docs = []
+    for i in range(60):
+        n = rng.randrange(3, 40)
+        # zipf-ish: low-index words more frequent → a real df ranking
+        words = [vocab[min(rng.randrange(1, 31), rng.randrange(1, 31)) - 1] for _ in range(n)]
+        docs.append((i, " ".join(words) + (" Zz!" if i % 7 == 0 else "")))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["query_id"], r["rank"]): (r["doc_id"], r["score_fp"], r["n_terms_hit"])
+        for r in bm25_topk(df, "doc_id", "text").collect()
+    }
+
+    tf = {}
+    for i, text_ in docs:
+        toks = [t for t in re.split("[^a-z]+", text_.lower()) if t]
+        for t, c in Counter(toks).items():
+            tf[(i, t)] = c
+    dl = Counter()
+    dfreq = Counter()
+    for (i, t), c in tf.items():
+        dl[i] += c
+        dfreq[t] += 1
+    big_t, n_docs = sum(dl.values()), len(dl)
+    ranked = sorted(dfreq, key=lambda t: (-dfreq[t], t))
+    scores = Counter()
+    hits = Counter()
+    for r, t in enumerate(ranked[10:18], start=0):
+        qid = r // 2
+        idf = ((n_docs - dfreq[t] + 1) * 1024) // (dfreq[t] + 1)
+        for i in dl:
+            c = tf.get((i, t))
+            if not c:
+                continue
+            tfnorm = (c * 22 * big_t * 1024) // (
+                10 * c * big_t + 3 * big_t + 9 * dl[i] * n_docs
+            )
+            scores[(qid, i)] += (idf * tfnorm) // 1024
+            hits[(qid, i)] += 1
+    want = {}
+    for qid in sorted({q for q, _ in scores}):
+        cand = sorted(
+            (i for qq, i in scores if qq == qid),
+            key=lambda i: (-scores[(qid, i)], i),
+        )
+        for rank, i in enumerate(cand[:10], start=1):
+            want[(qid, rank)] = (i, scores[(qid, i)], hits[(qid, i)])
+    assert got == want
+
+
 def test_wav_zero_crossings_matches_naive(spark):
     """wav_zero_crossings must equal the per-pair naive count (same-channel
     strict sign flips, pair attributed to its LEFT frame's window) on random

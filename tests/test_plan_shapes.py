@@ -453,6 +453,7 @@ BNLJ_ALLOWED = {
     "q22_global_sales_opportunity", # one-row avg balance scalar
     "quality_checks_relational",    # one-row expected-count scalars
     "quality_k_anonymity",          # one-row (n_groups, total) scalar frame
+    "text_bm25_topk",               # one-row corpus-totals scalar (T, N)
     "text_tfidf_top_terms",         # one-row doc-count scalar
     "window_ntile_quartiles",       # one-row quartile-edge frame (e1..e3)
     # intermediate frames surfaced once capture_actions saw localCheckpoint
@@ -481,6 +482,9 @@ GLOBAL_WINDOW_ALLOWED = {
     # the constant group key folds out of the percentile's phase-1 window;
     # its frame is the same bounded bucket histogram as ntile_quartiles
     "orders_pareto_share": "histogram buckets (≤ value_range/2^bucket_bits rows)",
+    # query-term ranking: row_number over the orderBy().limit(18) frame
+    # (TakeOrderedAndProject), never the full vocabulary
+    "text_bm25_topk": "≤ 18-row query-term limit frame",
 }
 
 
