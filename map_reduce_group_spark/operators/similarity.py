@@ -1054,3 +1054,180 @@ def kmeans_assign_fixedpoint(
     return flat.mapInPandas(
         assign_final, f"id {out_id_type}, cluster bigint, dist2 bigint"
     )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_subspaces: int = 4,
+    n_codes: int = 8,
+    train_iters: int = 2,
+    levels: int = 256,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    PAMI'11): the vector dimension splits into ``n_subspaces`` blocks, each
+    block trains its own ``n_codes``-centroid codebook, and every corpus
+    vector compresses to ``n_subspaces`` small codes — dim·4 bytes down to
+    M codes, the memory shape that lets a 100 TB vector corpus fit its
+    scan working set in RAM. Queries stay UNcompressed: ADC builds one
+    (M × K) integer distance table per query and scores a corpus vector as
+    the sum of M table lookups — no decompression, no per-pair vector math.
+
+    Exactness: vectors quantize to integer codes with the corpus-wide
+    envelope (``quantize_embeddings`` arithmetic); each subspace codebook
+    trains with the fixed-point Lloyd recipe of
+    :func:`kmeans_assign_fixedpoint` (lowest-id init — the same seed rows
+    sliced per subspace — integer dist², ties to the lowest centroid,
+    round-half-up integer mean updates); encoding and ADC are integer
+    argmin/sums. End-to-end integer ⇒ a DuckDB oracle replays codebooks,
+    codes, and every ADC score bit-for-bit. Top-k by (adc_d2 ASC, c_id
+    ASC), self-pairs excluded.
+
+    Scale shape (mirrors :func:`cosine_topk`'s default path): training
+    moves only partitions × M × K sufficient-statistic rows per iteration;
+    encoding is a map-only Arrow pass against broadcast codebooks; the
+    encoded corpus (M ints per row) is hash-sharded once and queries — the
+    small side — replicate per shard into a cogrouped ADC kernel with
+    per-shard top-k pruning (local order == global order, so shard pruning
+    never drops a winner); one window merges shard winners. The raw corpus
+    vectors are read once for training/encoding and never shuffle.
+
+    Returns (q_id, c_id, adc_d2, rank).
+    """
+    spark = corpus.sparkSession
+    id_t = _id_type(corpus, id_col)
+    env = dimension_envelope(corpus, vec_col)
+    if env is None:
+        return spark.createDataFrame(
+            [], f"q_id {id_t}, c_id {id_t}, adc_d2 bigint, rank bigint"
+        )
+    mn, mx = env
+    rng = mx - mn
+    rng[rng == 0] = 1.0
+    scale = float(levels - 1)
+    bc_env = spark.sparkContext.broadcast((mn, rng))
+
+    def _codes(m: np.ndarray, b_mn: np.ndarray, b_rng: np.ndarray) -> np.ndarray:
+        return np.floor((m - b_mn) * scale / b_rng + 0.5).astype(np.int64)
+
+    cflat = corpus.select(col(id_col).alias("id"), col(vec_col).alias("v"))
+    qflat = queries.select(col(id_col).alias("id"), col(vec_col).alias("v"))
+
+    # deterministic init: the n_codes smallest corpus ids, sliced per subspace
+    init = cflat.orderBy("id").limit(n_codes).toPandas()
+    seed = _codes(_matrix(init["v"]), mn, rng)  # (K, dim)
+    dim = seed.shape[1]
+    if dim % n_subspaces:
+        raise ValueError(f"dim {dim} not divisible by n_subspaces {n_subspaces}")
+    sub = dim // n_subspaces
+    # (M, K, sub)
+    books = seed.reshape(n_codes, n_subspaces, sub).transpose(1, 0, 2).copy()
+
+    def make_partials(books_now: np.ndarray):
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            b_mn, b_rng = bc_env.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m3 = _codes(_matrix(pdf["v"]), b_mn, b_rng).reshape(
+                    len(pdf), n_subspaces, sub
+                )
+                rows = []
+                for mi in range(n_subspaces):
+                    d2 = (
+                        (m3[:, mi, None, :] - books_now[mi][None, :, :]) ** 2
+                    ).sum(axis=2)
+                    a = d2.argmin(axis=1)
+                    for j in np.unique(a):
+                        sel = m3[a == j, mi, :]
+                        rows.append(
+                            (mi, int(j), int(sel.shape[0]), sel.sum(axis=0).tolist())
+                        )
+                yield pd.DataFrame(rows, columns=["m", "cluster", "n", "sums"])
+
+        return partials
+
+    for _ in range(train_iters - 1):
+        got = cflat.mapInPandas(
+            make_partials(books), "m int, cluster int, n long, sums array<long>"
+        ).collect()
+        counts = np.zeros((n_subspaces, n_codes), dtype=np.int64)
+        sums = np.zeros((n_subspaces, n_codes, sub), dtype=np.int64)
+        for r in got:
+            counts[r["m"], r["cluster"]] += r["n"]
+            sums[r["m"], r["cluster"]] += np.asarray(r["sums"], dtype=np.int64)
+        books = books.copy()
+        ne = counts > 0
+        books[ne] = (2 * sums[ne] + counts[ne, None]) // (2 * counts[ne, None])
+
+    books_f = books
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        b_mn, b_rng = bc_env.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m3 = _codes(_matrix(pdf["v"]), b_mn, b_rng).reshape(
+                len(pdf), n_subspaces, sub
+            )
+            cs = np.empty((len(pdf), n_subspaces), dtype=np.int32)
+            for mi in range(n_subspaces):
+                d2 = ((m3[:, mi, None, :] - books_f[mi][None, :, :]) ** 2).sum(axis=2)
+                cs[:, mi] = d2.argmin(axis=1)  # first occurrence = lowest code
+            yield pd.DataFrame({"id": pdf["id"], "codes": list(cs)})
+
+    enc = cflat.mapInPandas(encode, f"id {id_t}, codes array<int>")
+
+    if n_shards is None:
+        n_shards = max(spark.sparkContext.defaultParallelism, 8)
+    c = enc.withColumn(
+        "shard", F.pmod(F.xxhash64(col("id")), F.lit(n_shards)).cast("int")
+    )
+    q = qflat.select(
+        "id",
+        "v",
+        F.explode(F.sequence(F.lit(0), F.lit(n_shards - 1))).alias("shard"),
+    )
+
+    def shard_adc(key, qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame({"q_id": [], "c_id": [], "adc_d2": []})
+        b_mn, b_rng = bc_env.value
+        q3 = _codes(_matrix(qpdf["v"]), b_mn, b_rng).reshape(
+            len(qpdf), n_subspaces, sub
+        )
+        # per-query ADC tables: (Q, M, K)
+        tables = (
+            (q3[:, :, None, :] - books_f[None, :, :, :]) ** 2
+        ).sum(axis=3)
+        codes = np.stack(cpdf["codes"].to_numpy()).astype(np.int64)  # (C, M)
+        c_ids = cpdf["id"].to_numpy()
+        q_ids = qpdf["id"].to_numpy()
+        # adc[qi, ci] = sum_m tables[qi, m, codes[ci, m]]
+        adc = tables[:, np.arange(n_subspaces)[None, :], codes[:, :]].sum(axis=2)
+        out_q, out_c, out_d = [], [], []
+        for qi in range(len(q_ids)):
+            mask = c_ids != q_ids[qi]
+            cand_ids, cand_d = c_ids[mask], adc[qi][mask]
+            if not len(cand_ids):
+                continue
+            order = np.lexsort((cand_ids, cand_d))[:k]
+            out_q.extend([q_ids[qi]] * len(order))
+            out_c.extend(cand_ids[order])
+            out_d.extend(cand_d[order])
+        return pd.DataFrame({"q_id": out_q, "c_id": out_c, "adc_d2": out_d})
+
+    flat = (
+        q.groupBy("shard")
+        .cogroup(c.groupBy("shard"))
+        .applyInPandas(shard_adc, f"q_id {id_t}, c_id {id_t}, adc_d2 bigint")
+    )
+    w = Window.partitionBy("q_id").orderBy(col("adc_d2").asc(), col("c_id").asc())
+    return flat.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        col("rank") <= k
+    )

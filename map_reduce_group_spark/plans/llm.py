@@ -4272,3 +4272,85 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bm25_topk(d, "doc_id", "text")
+
+
+@register(
+    "embed_ann_pq_adc",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), u AS (
+        SELECT id, i, v[i] AS x FROM e, unnest(range(1, len(v)+1)) AS t(i)
+    ), stats AS (
+        SELECT i, min(x) AS mn, max(x) AS mx FROM u GROUP BY i
+    ), codes AS (
+        SELECT id, i, CAST((i - 1) // 16 AS INT) AS m,
+               CAST(floor((x - mn) * 255.0
+                    / (CASE WHEN mx = mn THEN 1.0 ELSE mx - mn END) + 0.5)
+                    AS BIGINT) AS code
+        FROM u JOIN stats USING (i)
+    ), seed_ids AS (
+        SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS j
+        FROM (SELECT DISTINCT id FROM codes) ORDER BY id LIMIT 8
+    ), cents0 AS (
+        SELECT c.m, s.j, c.i, c.code FROM seed_ids s JOIN codes c USING (id)
+    ), d1 AS (
+        SELECT c.id, c.m, k.j,
+               sum((c.code - k.code) * (c.code - k.code)) AS dist2
+        FROM codes c JOIN cents0 k ON k.i = c.i
+        GROUP BY 1, 2, 3
+    ), a1 AS (
+        SELECT id, m, j FROM (
+            SELECT id, m, j,
+                   row_number() OVER (PARTITION BY id, m ORDER BY dist2, j) AS rn
+            FROM d1
+        ) WHERE rn = 1
+    ), upd AS (
+        SELECT a1.m, a1.j, c.i,
+               CAST((2 * sum(c.code) + count(*)) // (2 * count(*)) AS BIGINT)
+                   AS code
+        FROM a1 JOIN codes c ON c.id = a1.id AND c.m = a1.m
+        GROUP BY 1, 2, 3
+    ), cents1 AS (
+        SELECT k.m, k.j, k.i, coalesce(u2.code, k.code) AS code
+        FROM cents0 k LEFT JOIN upd u2 ON u2.j = k.j AND u2.i = k.i
+    ), d2 AS (
+        SELECT c.id, c.m, k.j,
+               sum((c.code - k.code) * (c.code - k.code)) AS dist2
+        FROM codes c JOIN cents1 k ON k.i = c.i
+        GROUP BY 1, 2, 3
+    ), enc AS (
+        SELECT id, m, j AS code_j FROM (
+            SELECT id, m, j,
+                   row_number() OVER (PARTITION BY id, m ORDER BY dist2, j) AS rn
+            FROM d2
+        ) WHERE rn = 1
+    ), adc AS (
+        SELECT qd.id AS q_id, en.id AS c_id,
+               CAST(sum(qd.dist2) AS BIGINT) AS adc_d2
+        FROM enc en
+        JOIN d2 qd ON qd.m = en.m AND qd.j = en.code_j
+        WHERE qd.id % 50 = 0 AND en.id <> qd.id
+        GROUP BY 1, 2
+    )
+    SELECT q_id, c_id, adc_d2, CAST(rnk AS BIGINT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY adc_d2, c_id) AS rnk
+        FROM adc
+    ) WHERE rnk <= 5
+    """,
+)
+def embed_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (operators/similarity.py:pq_adc_topk; Jegou et al. PAMI'11): 64 dims
+    split into 4 subspaces of 16, each training an 8-centroid codebook
+    with the fixed-point Lloyd recipe (lowest-id seeds sliced per
+    subspace, 2 iterations); corpus vectors compress to 4 codes and every
+    query scores the corpus via 4 integer table lookups per candidate —
+    the memory layout that keeps a 100 TB vector scan in RAM. End-to-end
+    integer, so the DuckDB oracle replays codebooks, codes, and every ADC
+    score bit-for-bit (the query's ADC table at (m, j) IS its d2 row —
+    shared CTE). Top-5 by (adc_d2 ASC, c_id ASC), self excluded."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(col("vec_id") % 50 == 0)
+    return similarity.pq_adc_topk(q, e, k=5, n_subspaces=4, n_codes=8, train_iters=2)

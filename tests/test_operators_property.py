@@ -265,6 +265,34 @@ def test_ivf_recall_floor(spark, sf_dir):
     assert t_recall >= 0.35, f"trained-IVF recall collapsed: {t_recall:.2f}"
 
 
+def test_pq_adc_planted_cluster_recovery(spark):
+    """PQ-ADC must retrieve same-cluster neighbors on well-separated
+    planted clusters (the regime PQ is built for — on uniform noise the
+    4×8-code quantization is honestly near-random, recall ≈ 0.1, so the
+    fixture-embedding recall floor used for IVF would be meaningless
+    here). Guards codebook training, encoding, and the table-lookup ADC:
+    a transposed code or wrong-subspace lookup breaks cluster recovery."""
+    import numpy as np
+
+    from map_reduce_group_spark.operators.similarity import pq_adc_topk
+
+    rng = np.random.default_rng(23)
+    centers = rng.uniform(-10, 10, (8, 32))
+    rows = []
+    for i in range(160):
+        c = i % 8
+        v = centers[c] + rng.normal(0, 0.05, 32)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 8")  # one query per planted cluster
+    got = pq_adc_topk(q, df, k=5, n_subspaces=4, n_codes=8, train_iters=2).collect()
+    assert len(got) == 40
+    for r in got:
+        assert r["c_id"] % 8 == r["q_id"] % 8, (
+            f"query {r['q_id']} retrieved cross-cluster {r['c_id']} at rank {r['rank']}"
+        )
+
+
 def test_approx_sketches_accuracy(spark, sf_dir):
     """HLL++ distinct counts within 5% of exact; approx median within 5% of
     exact median (documented sketch quality at default precision)."""
