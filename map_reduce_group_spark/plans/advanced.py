@@ -706,3 +706,48 @@ def quality_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("n").alias("group_size"),
         (2 * col("n") * col("n_groups") < col("nc")).alias("below_half_avg"),
     )
+
+
+_SKEW_LEGS = [
+    ("lineitem", "l_orderkey", "lineitem.l_orderkey"),
+    ("lineitem", "l_partkey", "lineitem.l_partkey"),
+    ("orders", "o_custkey", "orders.o_custkey"),
+    ("events", "user_id", "events.user_id"),
+    ("events", "event_type", "events.event_type"),
+    ("documents", "source", "documents.source"),
+]
+_SKEW_CTES = ", ".join(
+    f"c{i} AS (SELECT coalesce(CAST({k} AS VARCHAR), '<NULL>') AS k, "
+    f"CAST(count(*) AS BIGINT) AS c FROM {t} GROUP BY 1), "
+    f"s{i} AS (SELECT CAST(sum(c) AS BIGINT) AS t, "
+    f"CAST(count(*) AS BIGINT) AS d, CAST(max(c) AS BIGINT) AS mx FROM c{i})"
+    for i, (t, k, _) in enumerate(_SKEW_LEGS)
+)
+_SKEW_SELECTS = " UNION ALL ".join(
+    f"SELECT '{lbl}' AS join_key, t AS total_rows, d AS n_keys, "
+    f"mx AS max_key_count, CAST((mx * d * 100) // t AS BIGINT) AS skew_x_fp, "
+    f"(SELECT min(k) FROM c{i}, s{i} WHERE c{i}.c = s{i}.mx) AS hot_key, "
+    f"(SELECT CAST(count(*) AS BIGINT) FROM c{i}, s{i} "
+    f" WHERE c{i}.c * s{i}.d > 5 * s{i}.t) AS n_over_factor "
+    f"FROM s{i}"
+    for i, (_, _, lbl) in enumerate(_SKEW_LEGS)
+)
+
+
+@register("diag_join_key_skew", oracle="WITH " + _SKEW_CTES + " " + _SKEW_SELECTS)
+def diag_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-planning skew audit (operators/diagnostics.py:join_skew_report):
+    one summary row per prospective join key — total rows, distinct keys,
+    hottest-key count, hot/mean ratio in 1/100 fixed point, the hot key
+    itself (smallest under ties), and how many keys exceed 5× the uniform
+    mean (AQE's skewedPartitionFactor convention, integer
+    cross-multiplied). The measure-before-salting audit a 100 TB pipeline
+    runs before choosing broadcast vs shuffle vs salt per join; NULL keys
+    bucket to a sentinel because a real hash join sends them to one
+    partition. One groupBy shuffle per key; every downstream frame is a
+    one-row scalar on a broadcast."""
+    from map_reduce_group_spark.operators.diagnostics import join_skew_report
+
+    frames = {t: load_table(spark, sf_dir, t) for t in
+              {leg[0] for leg in _SKEW_LEGS}}
+    return join_skew_report([(frames[t], k, lbl) for t, k, lbl in _SKEW_LEGS])

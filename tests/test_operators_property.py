@@ -265,6 +265,33 @@ def test_ivf_recall_floor(spark, sf_dir):
     assert t_recall >= 0.35, f"trained-IVF recall collapsed: {t_recall:.2f}"
 
 
+def test_key_skew_profile_planted(spark):
+    """key_skew_profile on a planted distribution: 1 hot key (60 rows) +
+    20 cold keys (2 rows each) + NULLs bucketed to the sentinel. Exact
+    integer expectations for every column, including the AQE-convention
+    over-factor census and the deterministic hot-key tie-break."""
+    from map_reduce_group_spark.operators.diagnostics import key_skew_profile
+
+    rows = [("hot",)] * 60 + [(f"k{i:02d}",) for i in range(20) for _ in (0, 1)]
+    rows += [(None,)] * 3
+    df = spark.createDataFrame(rows, "k string")
+    got = key_skew_profile(df, "k", "t.k").collect()
+    assert len(got) == 1
+    r = got[0]
+    t, d = 103, 22
+    assert (r["join_key"], r["total_rows"], r["n_keys"]) == ("t.k", t, d)
+    assert r["max_key_count"] == 60
+    assert r["skew_x_fp"] == (60 * d * 100) // t
+    assert r["hot_key"] == "hot"
+    # only the hot key clears c*d > 5*t (60*22=1320 > 515); cold keys and
+    # the NULL bucket (2*22, 3*22) do not
+    assert r["n_over_factor"] == 1
+
+    # tie on max count -> smallest key wins
+    df2 = spark.createDataFrame([("b",), ("b",), ("a",), ("a",), ("c",)], "k string")
+    assert key_skew_profile(df2, "k", "x").collect()[0]["hot_key"] == "a"
+
+
 def test_pq_adc_planted_cluster_recovery(spark):
     """PQ-ADC must retrieve same-cluster neighbors on well-separated
     planted clusters (the regime PQ is built for — on uniform noise the

@@ -439,6 +439,8 @@ BNLJ_ALLOWED = {
                                     # allowlisted in the same commit that added
                                     # the query (c8f9f8e), not retrofitted
                                     # (ADVICE r6 #1)
+    "diag_join_key_skew",           # 6 legs × joins of one-row scalar frames
+                                    # (totals/hot-key/over-census aggregates)
     "dedup_minhash_lsh_capped",     # one-row n_docs scalar for the bucket cap
     "dedup_ngram_jaccard_capped",   # one-row n_docs scalar for the df cap
     "doc_token_rarity",             # one-row corpus token total
