@@ -4354,3 +4354,76 @@ def embed_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(col("vec_id") % 50 == 0)
     return similarity.pq_adc_topk(q, e, k=5, n_subspaces=4, n_codes=8, train_iters=2)
+
+
+_MRL_TOPK_SQL = """
+        SELECT q_id, c_id FROM (
+            SELECT q.id AS q_id, c.id AS c_id,
+                   row_number() OVER (
+                       PARTITION BY q.id
+                       ORDER BY round(list_dot_product(q.v, c.v)
+                                / (sqrt(list_dot_product(q.v, q.v))
+                                   * sqrt(list_dot_product(c.v, c.v))), 5) DESC,
+                                c.id
+                   ) AS rnk
+            FROM {src} q CROSS JOIN {src} c
+            WHERE q.id % 50 = 0 AND c.id <> q.id
+        ) WHERE rnk <= 5
+"""
+
+
+@register(
+    "embed_matryoshka_agreement",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), e16 AS (
+        SELECT id, list_slice(v, 1, 16) AS v FROM e
+    ), e32 AS (
+        SELECT id, list_slice(v, 1, 32) AS v FROM e
+    ), te AS ({_MRL_TOPK_SQL.format(src="e")}
+    ), t16 AS ({_MRL_TOPK_SQL.format(src="e16")}
+    ), t32 AS ({_MRL_TOPK_SQL.format(src="e32")}
+    )
+    SELECT te.q_id,
+           CAST(sum(CASE WHEN t16.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree_16,
+           CAST(sum(CASE WHEN t32.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_agree_32
+    FROM te
+    LEFT JOIN t16 ON te.q_id = t16.q_id AND te.c_id = t16.c_id
+    LEFT JOIN t32 ON te.q_id = t32.q_id AND te.c_id = t32.c_id
+    GROUP BY te.q_id
+    """,
+)
+def embed_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit (Kusupati et al. 2022: nested
+    prefix sub-embeddings): per query, how many of the full-64-dim exact
+    cosine top-5 survive when retrieval runs on the 16-dim and 32-dim
+    PREFIXES — the measurement behind serving shorter vectors for the
+    coarse pass of a 100 TB retrieval stack (4×/2× scan-bandwidth cuts).
+    Truncation is a native ``slice`` projection (no Python), each ranking
+    is the sharded-cogroup cosine_topk kernel, and the agreement join is
+    the same shape as embed_quantized_topk_agreement; the DuckDB oracle
+    replays all three rankings and both intersections. Output
+    (q_id, n_agree_16 ∈ 0..5, n_agree_32 ∈ 0..5)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(e.filter(col("vec_id") % 50 == 0), e, k=5)
+    te = exact.select("q_id", "c_id")
+    out = None
+    for dims in (16, 32):
+        s = e.select("vec_id", F.slice(col("embedding"), 1, dims).alias("v"))
+        tk = similarity.cosine_topk(
+            s.filter(col("vec_id") % 50 == 0), s, id_col="vec_id", vec_col="v", k=5
+        ).select(col("q_id").alias("tq_q"), col("c_id").alias("tq_c"))
+        agree = (
+            te.join(tk, (te.q_id == tk.tq_q) & (te.c_id == tk.tq_c), "left")
+            .groupBy("q_id")
+            .agg(
+                F.sum(F.when(col("tq_c").isNotNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"n_agree_{dims}")
+            )
+        )
+        out = agree if out is None else out.join(agree, "q_id")
+    return out

@@ -69,6 +69,7 @@ COST_HINT = {
     "agg_mad_outliers": 1.5,
     "corpus_importance_resample": 3.0,
     "diag_join_key_skew": 4.0,
+    "embed_matryoshka_agreement": 2.5,
     "corpus_mixture_rebalance": 1.1, "corpus_sequence_pack": 3.1, "corpus_span_dedup": 1.4,
     "dedup_clusters": 6.7, "dedup_jaccard_prefix": 5.0, "dedup_jaccard_topmatch": 5.5,
     "dedup_minhash_lsh": 3.2, "dedup_minhash_lsh_capped": 3.2, "doc_bpe_merges64": 7.5,
