@@ -29,7 +29,14 @@ _STREAM_DIRS: dict[tuple[str, int], str] = {}
 def _cleanup_temp_dirs() -> None:
     """Remove the per-process source/state temp dirs at interpreter exit
     (ADVICE r5: they were process-lifetime leaks for library use)."""
-    for d in list(_STREAM_DIRS.values()) + list(_INCMH_SRC.values()) + _INCMH_LAST:
+    dirs = (
+        list(_STREAM_DIRS.values())
+        + list(_INCMH_SRC.values())
+        + _INCMH_LAST
+        + list(_LATE_SRC.values())
+        + _LATE_LAST
+    )
+    for d in dirs:
         shutil.rmtree(d, ignore_errors=True)
 
 
@@ -423,4 +430,92 @@ def stream_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"q_stream_cms_{next(_COUNTER)}",
         output_mode="complete",
         state_partitions=4,
+    )
+
+
+_LATE_SRC: dict[str, str] = {}
+_LATE_LAST: list[str] = []
+
+
+@register(
+    "stream_late_quarantine",
+    oracle="""
+    WITH b AS (
+        SELECT event_id % 4 AS batch_id, epoch_us(ts) AS us, event_type
+        FROM events
+    ), mx AS (
+        SELECT batch_id, max(us) AS mts FROM b GROUP BY 1
+    ), wm AS (
+        SELECT a.batch_id, max(m.mts) - 1800000000 AS wm_us
+        FROM (SELECT DISTINCT batch_id FROM b) a
+        JOIN mx m ON m.batch_id < a.batch_id
+        GROUP BY 1
+    )
+    SELECT CAST(b.batch_id AS BIGINT) AS batch_id, b.event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN w.wm_us IS NOT NULL AND b.us < w.wm_us
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+    FROM b LEFT JOIN wm w ON w.batch_id = b.batch_id
+    GROUP BY 1, 2
+    """,
+)
+def stream_late_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data quarantine accounting under a REAL multi-batch streaming
+    execution (streaming/events_stream.py:quarantine_late): events split
+    into four mtime-ordered source files by event_id parity class, so each
+    micro-batch spans the full time range and arrives "out of order" —
+    the regime watermarks exist for. Per batch, rows older than
+    (max event time of PRIOR batches − 30 min) are counted as late per
+    event_type — the side-output a 100 TB ingest routes to a backfill
+    table while Spark's own watermark path only increments the private
+    numRowsDroppedByWatermark counter. Batch 0 has no watermark yet
+    (late = 0 everywhere), exactly like Spark's first micro-batch. The
+    DuckDB oracle replays the batch assignment, the running max, and
+    every lateness comparison in epoch microseconds."""
+    import glob
+    import shutil
+
+    from map_reduce_group_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    if sf_dir not in _LATE_SRC:
+        src = tempfile.mkdtemp(prefix="mrg_late_src_")
+        for i in range(4):
+            part_dir = tempfile.mkdtemp(prefix="mrg_late_part_")
+            ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(part_dir)
+            dst = os.path.join(src, f"events_{i}.parquet")
+            shutil.copyfile(glob.glob(os.path.join(part_dir, "part-*.parquet"))[0], dst)
+            os.utime(dst, (1_600_000_000 + i * 1000, 1_600_000_000 + i * 1000))
+            shutil.rmtree(part_dir)
+        _LATE_SRC[sf_dir] = src
+    src = _LATE_SRC[sf_dir]
+
+    while _LATE_LAST:
+        shutil.rmtree(_LATE_LAST.pop(), ignore_errors=True)
+    state = tempfile.mkdtemp(prefix="mrg_late_state_")
+    ckpt = tempfile.mkdtemp(prefix="mrg_late_ckpt_")
+    _LATE_LAST.extend([state, ckpt])
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        es.quarantine_late(batch_df, state, batch_id, delay_us=1_800_000_000)
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # materialize before returning: the next invocation deletes this state
+    # dir (the stream_incremental_minhash lifecycle convention, ADVICE r5)
+    return spark.read.parquet(os.path.join(state, "decisions_*")).localCheckpoint(
+        eager=True
     )

@@ -229,3 +229,64 @@ def purchases_after_clicks(events: DataFrame, within: str = "1 hour") -> DataFra
             """
         ),
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
+
+
+def quarantine_late(
+    batch_df: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    delay_us: int = 1_800_000_000,
+) -> None:
+    """Late-data quarantine accounting for one micro-batch — the
+    watermark semantic Spark applies silently (rows older than
+    ``max event time − delay`` are dropped; only the engine-private
+    ``numRowsDroppedByWatermark`` counter ever sees them), reified as an
+    explicit, replayable side output: a 100 TB ingest pipeline routes
+    late rows to a quarantine table for backfill instead of losing them.
+
+    Watermark for batch k = max event time over batches < k minus
+    ``delay_us`` — exactly Spark's global watermark under a one-file
+    micro-batch replay. All comparisons in ``unix_micros`` (CLAUDE.md
+    rule 1: never interval-on-cast('long') arithmetic). State is ONE
+    max-timestamp row per batch; decisions are per-(batch, event_type)
+    counts. Both writes are keyed by ``batch_id`` and overwrite, so a
+    redelivered micro-batch (restart after a pre-checkpoint-commit
+    crash) replaces its own output instead of double-counting — the
+    module's foreachBatch idempotence convention."""
+    import glob as _glob
+    import os as _os
+
+    spark = batch_df.sparkSession
+    b = batch_df.select("event_id", "ts", "event_type")
+    wm_us = None
+    prior = _glob.glob(_os.path.join(state_dir, "maxts_*"))
+    if prior:
+        row = spark.read.parquet(*prior).agg(F.max("max_us").alias("m")).collect()[0]
+        if row["m"] is not None:
+            wm_us = row["m"] - delay_us
+    late = (
+        F.lit(False)
+        if wm_us is None
+        else (F.unix_micros(F.col("ts")) < F.lit(wm_us))
+    )
+    (
+        b.withColumn("late", late)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("late"), 1).otherwise(0)).cast("long").alias("n_late"),
+        )
+        .select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            "event_type",
+            "n_events",
+            "n_late",
+        )
+        .write.mode("overwrite")
+        .parquet(_os.path.join(state_dir, f"decisions_{batch_id}"))
+    )
+    (
+        b.agg(F.max(F.unix_micros(F.col("ts"))).alias("max_us"))
+        .write.mode("overwrite")
+        .parquet(_os.path.join(state_dir, f"maxts_{batch_id}"))
+    )

@@ -316,3 +316,31 @@ def test_stream_incremental_minhash_equals_batch_and_replays(spark, sf_dir):
     # deterministic; and the decision set equals the first run's
     stream2 = REGISTRY["stream_incremental_minhash"].builder(spark, sf_dir)
     assert key(stream2) == k_stream
+
+
+def test_stream_late_quarantine_reinvocation_and_batch0(spark, sf_dir):
+    """Back-to-back builder invocations with deferred collection must both
+    return correct frames (the stream_incremental_minhash lifecycle lesson,
+    ADVICE r5/r6: the second invocation deletes the first's state dirs, so
+    the returned frame must be materialized, not lazily bound to them).
+    Also pins the watermark boot semantics: batch 0 has no prior max event
+    time, so nothing in it can be late."""
+    from map_reduce_group_spark.plans.registry import REGISTRY
+
+    b = REGISTRY["stream_late_quarantine"].builder
+    df1 = b(spark, sf_dir)
+    df2 = b(spark, sf_dir)  # deletes df1's state dirs before df1 collects
+    r1 = sorted(map(tuple, df1.collect()))
+    r2 = sorted(map(tuple, df2.collect()))
+    assert r1 == r2 and len(r1) > 0
+    by_batch = {}
+    for batch_id, _etype, n, late in r1:
+        tot_n, tot_late = by_batch.get(batch_id, (0, 0))
+        by_batch[batch_id] = (tot_n + n, tot_late + late)
+    assert by_batch[0][1] == 0, "batch 0 has no watermark yet"
+    assert sum(n for n, _ in by_batch.values()) == spark.read.parquet(
+        f"{sf_dir}/events.parquet"
+    ).count()
+    # the parity-class split makes later batches genuinely out-of-order:
+    # at least one of batches 1-3 must quarantine something
+    assert sum(late for _, late in by_batch.values()) > 0
