@@ -470,3 +470,69 @@ def bigram_surprisal(df, id_col: str, text_col: str):
             ).alias("mean_surprisal"),
         )
     )
+
+
+def quality_rules(df, id_col: str, text_col: str):
+    """Corpus-calibrated rule-based quality filter — the Gopher-rules
+    family (Rae et al. 2021 §A1.1: word-count bounds, mean-word-length
+    band, repetition caps), with every corpus-level threshold expressed as
+    an integer CROSS-MULTIPLICATION against corpus totals so the rules are
+    data-size-relative (CLAUDE.md rule 7) and bit-exact across engines
+    (rule 1 — no ratio ever materializes as a float):
+
+    - flag_short / flag_long: doc token count below half / above twice the
+      corpus mean (n_d·D ≶ T/2, 2T cross-multiplied);
+    - flag_tok_len: mean token length outside [2/3, 3/2]× the corpus mean
+      (3·L_d·T ≶ 2·n_d·L vs 2·L_d·T vs 3·n_d·L);
+    - flag_repetitive: the most frequent token exceeds 20 % of the doc
+      (max_tf·5 > n_d — a per-doc RATIO rule, size-free by construction);
+    - passes: none of the above fired.
+
+    Emitted alongside the raw signals (token count, mean token length and
+    max-token share in integer fixed point, distinct-token ratio) so a
+    pipeline can re-threshold without recomputing. Scale shape: one
+    (id, tok, tf) shuffle (shared with every other token statistic), one
+    bounded reduce to corpus scalars on a broadcast. Zero-token documents
+    carry no tf rows and are excluded identically in both engines."""
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"), F.length("tok").alias("toklen"))
+    )
+    per_doc = tf.groupBy("id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("toklen")).cast("long").alias("sum_len"),
+        F.max("tf").cast("long").alias("max_tf"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+    )
+    corpus = per_doc.agg(
+        F.sum("n_tokens").cast("long").alias("t_tok"),
+        F.sum("sum_len").cast("long").alias("t_len"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    return (
+        per_doc.join(F.broadcast(corpus))
+        .select(
+            "id",
+            "n_tokens",
+            F.expr("(sum_len * 100) div n_tokens").alias("mean_tok_len_fp"),
+            F.expr("(max_tf * 10000) div n_tokens").alias("max_tok_share_bp"),
+            F.expr("(n_distinct * 10000) div n_tokens").alias("distinct_ratio_bp"),
+            F.expr("2 * n_tokens * n_docs < t_tok").alias("flag_short"),
+            F.expr("n_tokens * n_docs > 2 * t_tok").alias("flag_long"),
+            F.expr(
+                "3 * sum_len * t_tok < 2 * n_tokens * t_len"
+                " OR 2 * sum_len * t_tok > 3 * n_tokens * t_len"
+            ).alias("flag_tok_len"),
+            F.expr("max_tf * 5 > n_tokens").alias("flag_repetitive"),
+        )
+        .withColumn(
+            "passes",
+            ~(
+                F.col("flag_short")
+                | F.col("flag_long")
+                | F.col("flag_tok_len")
+                | F.col("flag_repetitive")
+            ),
+        )
+    )

@@ -4427,3 +4427,55 @@ def embed_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = agree if out is None else out.join(agree, "q_id")
     return out
+
+
+@register(
+    "doc_quality_rules",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), tf AS (
+        SELECT doc_id AS id, tok, CAST(count(*) AS BIGINT) AS tf,
+               CAST(length(tok) AS BIGINT) AS toklen
+        FROM tok GROUP BY 1, 2
+    ), pd AS (
+        SELECT id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+               CAST(sum(tf * toklen) AS BIGINT) AS sum_len,
+               CAST(max(tf) AS BIGINT) AS max_tf,
+               CAST(count(*) AS BIGINT) AS n_distinct
+        FROM tf GROUP BY 1
+    ), c AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tok,
+               CAST(sum(sum_len) AS BIGINT) AS t_len,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM pd
+    )
+    SELECT id, n_tokens,
+           CAST((sum_len * 100) // n_tokens AS BIGINT) AS mean_tok_len_fp,
+           CAST((max_tf * 10000) // n_tokens AS BIGINT) AS max_tok_share_bp,
+           CAST((n_distinct * 10000) // n_tokens AS BIGINT) AS distinct_ratio_bp,
+           2 * n_tokens * n_docs < t_tok AS flag_short,
+           n_tokens * n_docs > 2 * t_tok AS flag_long,
+           (3 * sum_len * t_tok < 2 * n_tokens * t_len
+            OR 2 * sum_len * t_tok > 3 * n_tokens * t_len) AS flag_tok_len,
+           max_tf * 5 > n_tokens AS flag_repetitive,
+           NOT (2 * n_tokens * n_docs < t_tok
+                OR n_tokens * n_docs > 2 * t_tok
+                OR 3 * sum_len * t_tok < 2 * n_tokens * t_len
+                OR 2 * sum_len * t_tok > 3 * n_tokens * t_len
+                OR max_tf * 5 > n_tokens) AS passes
+    FROM pd, c
+    """,
+)
+def doc_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-calibrated rule-based quality filter
+    (operators/text.py:quality_rules) — the Gopher-rules family (Rae et
+    al. 2021 §A1.1) with corpus-relative thresholds: token count outside
+    [½, 2]× the corpus mean, mean token length outside [⅔, 1.5]× the
+    corpus mean (all integer cross-multiplications — no ratio ever
+    becomes a float), and a size-free per-doc repetition cap (one token
+    > 20 % of the doc). Raw signals ride along in integer fixed point so
+    a pipeline can re-threshold without recomputing. One token shuffle +
+    one broadcast scalar join."""
+    d = load_table(spark, sf_dir, "documents")
+    return text.quality_rules(d, "doc_id", "text")
