@@ -443,6 +443,7 @@ BNLJ_ALLOWED = {
                                     # (totals/hot-key/over-census aggregates)
     "dedup_minhash_lsh_capped",     # one-row n_docs scalar for the bucket cap
     "dedup_ngram_jaccard_capped",   # one-row n_docs scalar for the df cap
+    "doc_quality_rules",            # one-row corpus-totals scalar (T, L, D)
     "doc_token_rarity",             # one-row corpus token total
     "graph_triangle_census",        # one-row edge-count scalar
     "join_anti_inactive_customers", # one-row derived date cutoff
