@@ -65,16 +65,19 @@ def register(name: str, oracle: str | None = None) -> Callable[[Builder], Builde
 COST_HINT = {
     "agg_approx_sketches": 1.6, "agg_cube_returns": 1.8, "agg_distinct_counts": 1.2,
     "agg_stats_exact": 1.4, "corpus_contamination_check": 3.7, "corpus_duplicated_spans": 3.2,
-    "corpus_span_cut": 3.1, "text_topk_bigrams_by_lang": 0.9, "graph_triangle_census": 3.8,
+    "corpus_span_cut": 3.1, "text_topk_bigrams_by_lang": 0.9, "graph_triangle_census": 8.0,
     "agg_mad_outliers": 1.5,
     "corpus_importance_resample": 3.0,
-    "diag_join_key_skew": 4.0,
-    "embed_matryoshka_agreement": 2.5,
+    "diag_join_key_skew": 4.5,
+    "embed_ann_pq_adc": 1.3,
+    "embed_matryoshka_agreement": 1.2,
+    "stream_late_quarantine": 4.0,
+    "text_bm25_topk": 2.0,
     "corpus_mixture_rebalance": 1.1, "corpus_sequence_pack": 3.1, "corpus_span_dedup": 1.4,
     "dedup_clusters": 6.7, "dedup_jaccard_prefix": 5.0, "dedup_jaccard_topmatch": 5.5,
     "dedup_minhash_lsh": 3.2, "dedup_minhash_lsh_capped": 3.2, "doc_bpe_merges64": 7.5,
     "dedup_ngram_jaccard": 1.9, "dedup_suffix_longest_span": 4.5,
-    "dedup_incremental_minhash": 6.0,
+    "dedup_incremental_minhash": 8.0,
     "stream_incremental_minhash": 8.0,
     "stream_hll_cardinality": 2.0,
     "dedup_ngram_jaccard_capped": 3.3, "dedup_simhash": 3.3, "doc_bpe_merges": 1.9,
@@ -83,7 +86,7 @@ COST_HINT = {
     "stream_cms_cells": 3.0, "doc_bigram_surprisal": 2.2, "market_basket_lift": 3.3,
     "orders_pareto_share": 1.5,
     "doc_bpe_token_count": 2.7, "doc_repetition_signals": 1.2, "doc_winnow_fingerprints": 1.2,
-    "embed_ann_ivf_quantized": 1.4, "embed_ann_ivf_trained": 2.2,
+    "embed_ann_ivf_quantized": 1.4, "embed_ann_ivf_trained": 1.4,
     "embed_quantized_topk_agreement": 1.8, "embed_semdedup_prune": 1.2,
     "events_ohlc_resample": 1.1, "graph_pagerank_simgraph": 8.3, "mr_wordcount_pipe": 2.0,
     "multimodal_bmp_decode": 1.0, "multimodal_video_frame_sample": 2.1, "multimodal_wav_decode": 1.1,
