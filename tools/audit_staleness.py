@@ -8,19 +8,25 @@ for code that no longer exists ("verdict staleness", VERDICT r3 next-round #1).
 plans/__init__._reorder_registry reads STALE.json and ranks stale queries
 just after never-recorded ones, so the next sweep re-records them.
 
-Granularity is function-level for plan builders (a change to q11 in tpch.py
-must not mark q1 stale) and file-level for the non-plans package modules the
-builder actually references (operators/, streaming/, mr/, sources/, catalog,
-functions/), transitively closed over their in-package imports. File-level
-for operators is deliberate: those modules are cohesive (a rewrite of
-operators/clusters.py really does invalidate dedup_clusters' old verdict).
+Granularity is SYMBOL-level everywhere (VERDICT r7 next-round #1b): a change
+to one function in operators/text.py no longer stales the 15 unrelated
+queries that import other functions from the same file. The fingerprint of a
+query is the sha256 over the source segments of:
 
-Fingerprint(query) = sha256 over:
-  - the builder function's AST-extracted source segment,
-  - source segments of same-module top-level helpers it references
-    (transitively within the module),
-  - full file bytes of every referenced non-plans package module
-    (transitive closure over in-package imports, plans.* excluded).
+  - the builder function INCLUDING its decorators — the @register(...)
+    decorator carries the DuckDB oracle SQL, so an oracle-only edit now
+    correctly stales the row (it was invisible to the r1-r7 audits);
+  - every top-level symbol (function / class / assignment) the builder
+    references, transitively, across package modules: symbol imports
+    (`from ..operators.text import fingerprint`) resolve to that one
+    function's closure; module imports (`... import text` + `text.foo(...)`)
+    resolve per attribute accessed;
+  - module-level constants a referenced function reads (they are top-level
+    assignments, so they join the closure like functions do);
+  - conservative whole-module fallbacks where symbol resolution is not
+    sound: a module object used bare (passed around / getattr'd) or an
+    unresolvable symbol hashes the ENTIRE module plus its transitive
+    in-package import closure — exactly the pre-r8 file-level behavior.
 
 Historical sources come from `git show <recording-commit>:<path>` where the
 recording commit is the driver's "round N" commit that added
@@ -92,7 +98,7 @@ def _module_to_path(modname: str) -> str:
     for cand in (rel + ".py", rel + "/__init__.py"):
         if os.path.exists(os.path.join(REPO, cand)):
             return cand
-    return rel + ".py"  # historical-only module; _read handles absence
+    return rel + ".py"  # historical-only module; _Source.read handles absence
 
 
 class _Source:
@@ -121,15 +127,22 @@ class _Source:
         return text
 
 
-def _imports(tree: ast.Module, modname: str) -> dict[str, str]:
-    """Local name -> in-package dotted module it refers to (module or symbol)."""
+def _resolve_imports(tree: ast.Module, modname: str) -> dict[str, tuple[str, str | None]]:
+    """Local name -> (in-package dotted module, symbol-or-None).
+
+    symbol=None means the local name is bound to a MODULE object
+    (`from pkg.operators import text`); a string means it is bound to one
+    symbol inside that module (`from pkg.operators.text import fingerprint`).
+    Function-local imports are included (ast.walk covers nested bodies) —
+    builders routinely import operators inside the function body.
+    """
     pkg_parts = modname.split(".")
-    out: dict[str, str] = {}
+    out: dict[str, tuple[str, str | None]] = {}
     for node in ast.walk(tree):
         if isinstance(node, ast.Import):
             for a in node.names:
                 if a.name.startswith(PKG):
-                    out[(a.asname or a.name.split(".")[0])] = a.name
+                    out[(a.asname or a.name.split(".")[0])] = (a.name, None)
         elif isinstance(node, ast.ImportFrom):
             base = node.module or ""
             if node.level:  # relative import
@@ -140,93 +153,192 @@ def _imports(tree: ast.Module, modname: str) -> dict[str, str]:
             for a in node.names:
                 local = a.asname or a.name
                 # `from pkg.operators import dedup` -> module pkg.operators.dedup
-                # `from pkg.operators.dedup import fn` -> symbol in pkg.operators.dedup
+                # `from pkg.operators.dedup import fn` -> symbol fn of that module
                 child = f"{base}.{a.name}"
-                child_path = _module_to_path(child)
-                if os.path.exists(os.path.join(REPO, child_path)):
-                    out[local] = child
+                if os.path.exists(os.path.join(REPO, _module_to_path(child))):
+                    out[local] = (child, None)
                 else:
-                    out[local] = base
+                    out[local] = (base, a.name)
     return out
 
 
-def _pkg_imports_of_file(text: str, modname: str) -> set[str]:
-    """All in-package modules a file imports (for the transitive dep closure)."""
-    try:
-        tree = ast.parse(text)
-    except SyntaxError:
-        return set()
-    return set(_imports(tree, modname).values())
+def _uses(node: ast.AST) -> tuple[dict[str, set[str]], set[str]]:
+    """(attrs accessed per base name, bare name uses) inside ``node``.
+
+    `text.repetition_signals(...)` records attrs["text"] ⊇ {"repetition_signals"}
+    without counting `text` as a bare use; `do(text)` counts `text` bare —
+    the caller then falls back to whole-module hashing for that binding.
+    """
+    attrs: dict[str, set[str]] = {}
+    bare: set[str] = set()
+
+    def visit(n: ast.AST) -> None:
+        if isinstance(n, ast.Attribute) and isinstance(n.value, ast.Name):
+            attrs.setdefault(n.value.id, set()).add(n.attr)
+            for child in ast.iter_child_nodes(n):
+                if child is not n.value:
+                    visit(child)
+            return
+        if isinstance(n, ast.Name):
+            bare.add(n.id)
+            return
+        for child in ast.iter_child_nodes(n):
+            visit(child)
+
+    visit(node)
+    return attrs, bare
 
 
-def _names_used(fn: ast.AST) -> set[str]:
-    names: set[str] = set()
-    for node in ast.walk(fn):
-        if isinstance(node, ast.Name):
-            names.add(node.id)
-        elif isinstance(node, ast.Attribute) and isinstance(node.value, ast.Name):
-            names.add(node.value.id)
-    return names
+class _ModView:
+    """Parsed top-level view of one module at one source snapshot."""
+
+    def __init__(self, src: _Source, modname: str):
+        self.modname = modname
+        self.text = src.read(_module_to_path(modname))
+        self.ok = False
+        self.top: dict[str, ast.AST] = {}
+        self.imports: dict[str, tuple[str, str | None]] = {}
+        if self.text is None:
+            return
+        try:
+            tree = ast.parse(self.text)
+        except SyntaxError:
+            return
+        self.ok = True
+        for n in tree.body:
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
+                self.top[n.name] = n
+            elif isinstance(n, ast.Assign):
+                for t in n.targets:
+                    if isinstance(t, ast.Name):
+                        self.top[t.id] = n
+            elif isinstance(n, ast.AnnAssign) and isinstance(n.target, ast.Name):
+                self.top[n.target.id] = n
+        self.imports = _resolve_imports(tree, modname)
+        self._import_closure: set[str] | None = None
+
+    def segment(self, node: ast.AST) -> str:
+        """Source of a top-level symbol INCLUDING decorators (@register
+        carries the oracle SQL — it must be part of the fingerprint)."""
+        parts = [
+            "@" + (ast.get_source_segment(self.text, d) or "")
+            for d in getattr(node, "decorator_list", []) or []
+        ]
+        parts.append(ast.get_source_segment(self.text, node) or "")
+        return "\n".join(parts)
+
+    def pkg_import_closure(self) -> set[str]:
+        """All in-package modules this file imports (one hop; callers close)."""
+        return {m for m, _sym in self.imports.values()}
+
+
+def _is_plans(mod: str) -> bool:
+    return mod.startswith(f"{PKG}.plans")
+
+
+# Harness plumbing shared by EVERY query: the @register decorator body and the
+# session-conf applier. Their edits are round-global events (every row would
+# flag at once, pure noise) — when such a change actually alters semantics it
+# is a contract change and belongs in RECONTRACTED. The decorator's SOURCE
+# TEXT (query name + oracle SQL) is still fingerprinted via segment().
+INFRA_MODULES = {f"{PKG}.plans.registry", f"{PKG}.session"}
 
 
 def fingerprint(src: _Source, plan_mod: str, fn_name: str) -> str | None:
-    """sha256 fingerprint of a builder's implementation, or None if missing."""
-    plan_path = _module_to_path(plan_mod)
-    text = src.read(plan_path)
-    if text is None:
-        return None
-    try:
-        tree = ast.parse(text)
-    except SyntaxError:
-        return None
-    top: dict[str, ast.AST] = {
-        n.name: n
-        for n in tree.body
-        if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
-    }
-    if fn_name not in top:
-        return None
-    imports = _imports(tree, plan_mod)
+    """sha256 fingerprint of a builder's implementation, or None if missing.
 
-    pieces: list[str] = []
-    dep_mods: set[str] = set()
+    Symbol-level closure across the whole package; whole-module conservative
+    fallback (plus that module's transitive in-package import closure) where
+    resolution is unsound. Piece assembly is order-independent: symbols from
+    whole-hashed modules are dropped at the end, and a module entering the
+    whole set always drags its full import closure, so the discovered piece
+    set does not depend on traversal order.
+    """
+    views: dict[str, _ModView] = {}
 
-    # builder + same-module helper closure (function-level)
-    seen_fns: set[str] = set()
-    stack = [fn_name]
+    def view(m: str) -> _ModView:
+        if m not in views:
+            views[m] = _ModView(src, m)
+        return views[m]
+
+    root = view(plan_mod)
+    if not root.ok or fn_name not in root.top:
+        return None
+
+    segs: dict[tuple[str, str], str] = {}
+    whole: set[str] = set()  # modules hashed in full (conservative fallback)
+    done: set[tuple[str, str]] = set()
+
+    def add_whole(mod: str) -> None:
+        """Whole-module hash + transitive in-package import closure (the
+        pre-r8 file-level behavior). plans modules never go whole — the
+        root builder is symbol-level by design and plans files are huge."""
+        stack = [mod]
+        while stack:
+            m = stack.pop()
+            if m in whole or _is_plans(m) or m in INFRA_MODULES:
+                continue
+            whole.add(m)
+            v = view(m)
+            if v.ok:
+                stack.extend(v.pkg_import_closure())
+
+    stack: list[tuple[str, str]] = [(plan_mod, fn_name)]
     while stack:
-        f = stack.pop()
-        if f in seen_fns or f not in top:
+        mod, sym = stack.pop()
+        if (mod, sym) in done or mod in INFRA_MODULES:
             continue
-        seen_fns.add(f)
-        seg = ast.get_source_segment(text, top[f]) or ""
-        pieces.append(f"fn:{plan_mod}.{f}\n{seg}")
-        for name in _names_used(top[f]):
-            if name in top:
-                stack.append(name)
-            elif name in imports:
-                mod = imports[name]
-                if not mod.startswith(f"{PKG}.plans"):
-                    dep_mods.add(mod)
+        done.add((mod, sym))
+        v = view(mod)
+        if not v.ok:
+            segs[(mod, sym)] = "<MISSING-MODULE>"
+            continue
+        if sym not in v.top:
+            if sym in v.imports:  # re-export: follow the import
+                tmod, tsym = v.imports[sym]
+                if tsym is None:
+                    add_whole(tmod)  # re-exported module object
+                else:
+                    stack.append((tmod, tsym))
+                continue
+            # unresolvable symbol: plans -> marker; others -> whole module
+            if _is_plans(mod):
+                segs[(mod, sym)] = "<UNRESOLVED>"
+            else:
+                add_whole(mod)
+            continue
+        node = v.top[sym]
+        segs[(mod, sym)] = v.segment(node)
+        attrs, bare = _uses(node)
+        for base, anames in attrs.items():
+            if base in v.top:
+                stack.append((mod, base))
+            elif base in v.imports:
+                tmod, tsym = v.imports[base]
+                if tsym is None:  # module binding: per-attribute resolution
+                    stack.extend((tmod, a) for a in sorted(anames))
+                else:  # attribute on an imported object
+                    stack.append((tmod, tsym))
+        for n in bare:
+            if n == sym:
+                continue
+            if n in v.top:
+                stack.append((mod, n))
+            elif n in v.imports:
+                tmod, tsym = v.imports[n]
+                if tsym is None:
+                    add_whole(tmod)  # module object used bare: conservative
+                else:
+                    stack.append((tmod, tsym))
 
-    # referenced non-plans package modules, file-level, transitive closure
-    closed: set[str] = set()
-    mod_stack = sorted(dep_mods)
-    while mod_stack:
-        m = mod_stack.pop()
-        if m in closed or m.startswith(f"{PKG}.plans"):
-            continue
-        closed.add(m)
-        mtext = src.read(_module_to_path(m))
-        if mtext is None:
-            pieces.append(f"mod:{m}\n<MISSING>")
-            continue
-        pieces.append(f"mod:{m}\n{mtext}")
-        mod_stack.extend(_pkg_imports_of_file(mtext, m))
-
+    pieces = [f"mod:{m}\n{view(m).text if view(m).ok else '<MISSING>'}" for m in whole]
+    pieces += [
+        f"sym:{m}.{s}\n{seg}" for (m, s), seg in segs.items() if m not in whole
+    ]
     h = hashlib.sha256()
     for p in sorted(pieces):
         h.update(p.encode("utf-8"))
+        h.update(b"\x00")
     return h.hexdigest()
 
 
@@ -254,7 +366,33 @@ RECONTRACTED: set[str] = {
     # r7: mean_surprisal display column round(double) -> 1/10000 integer
     # fixed point (ADVICE r6 #2, rule-1 exactness) — values changed
     "doc_bigram_surprisal",
+    # r8: last two F.round-on-double display columns -> 1/10000 integer
+    # fixed point (VERDICT r7 #2, rule-1) — values changed
+    "doc_repetition_signals",
+    "doc_token_rarity",
 }
+
+# VERDICT r7 next-round #1 requires the r8 sweep to re-record ALL 35 rows the
+# r7 (file-level) audit flagged, even where the refined symbol-level
+# fingerprint proves a row's closure never actually changed. Pinned rows stay
+# stale until a green driver row from round >= the pin round lands; then the
+# pin is inert (self-clearing).
+PINNED: dict[str, int] = {name: 8 for name in [
+    "corpus_data_card", "corpus_sequence_pack", "corpus_token_gini",
+    "dedup_containment", "dedup_exact_fingerprint", "dedup_incremental_minhash",
+    "dedup_minhash_lsh_capped", "doc_bpe_merges64", "doc_lang_id",
+    "doc_ngram_novelty", "doc_pii_scrub", "doc_quality_score",
+    "doc_repetition_signals", "doc_token_rarity", "doc_token_stats",
+    "doc_winnow_fingerprints", "embed_cohort_drift", "embed_quantize_int8",
+    "embed_random_projection", "embed_rank_fusion", "multimodal_binary_meta",
+    "multimodal_bmp_ahash_groups", "multimodal_bmp_decode",
+    "multimodal_video_frame_sample", "multimodal_wav_decode",
+    "multimodal_wav_frame_energy", "pipeline_corpus_prep_v2",
+    "sample_stratified_cap", "sample_weighted_tokens", "stream_cms_cells",
+    "stream_hll_cardinality", "text_lang_confusion",
+    "text_source_bigram_overlap", "text_tfidf_top_terms",
+    "text_topk_bigrams_by_lang",
+]}
 
 
 def compute() -> dict:
@@ -276,6 +414,12 @@ def compute() -> dict:
         rnd = latest.get(name)
         if rnd is None or rnd not in hist:
             continue  # never recorded green: already rank-0 in the reorder
+        if name in PINNED and rnd < PINNED[name]:
+            stale.append(name)
+            detail[name] = {
+                "recorded_round": rnd, "commit": commits[rnd][:9], "pinned": True,
+            }
+            continue
         now = fingerprint(worktree, plan_mod, fn_name)
         then = fingerprint(hist[rnd], plan_mod, fn_name)
         if now is None:
@@ -314,7 +458,8 @@ def main() -> int:
         fh.write("\n")
     print(f"wrote STALE.json: {len(fresh['stale'])} stale of {len(_latest_green_round())} recorded")
     for n in fresh["stale"]:
-        print(f"  stale: {n} (last green r{fresh['detail'][n]['recorded_round']})")
+        pin = " [pinned]" if fresh["detail"][n].get("pinned") else ""
+        print(f"  stale: {n} (last green r{fresh['detail'][n]['recorded_round']}){pin}")
     return 0
 
 
