@@ -34,11 +34,15 @@ def key_skew_profile(
     smallest key among those at the max count (deterministic under ties).
 
     Scale shape: one groupBy shuffle on the key (the same aggregation any
-    skew probe needs); the counts relation is persisted and reused for the
-    totals scalar, the hot-key pick, and the over-factor census — all
-    downstream frames are one-row scalars riding broadcasts. NULL keys
-    count as a key (they hash to one partition in a real join — exactly
-    the skew this audit exists to catch) via a sentinel bucket.
+    skew probe needs); the counts relation is materialized once via an
+    eager localCheckpoint and reused for the totals scalar, the hot-key
+    pick, and the over-factor census — all downstream frames are one-row
+    scalars riding broadcasts. localCheckpoint, not persist: the blocks
+    are ContextCleaner-released when the returned plan is dropped, so a
+    long-lived session re-invoking the profile (the bench loop does) does
+    not accumulate cached blocks for its lifetime (ADVICE r7 #4). NULL
+    keys count as a key (they hash to one partition in a real join —
+    exactly the skew this audit exists to catch) via a sentinel bucket.
     """
     c = (
         df.select(
@@ -46,7 +50,7 @@ def key_skew_profile(
         )
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     tot = c.agg(
         F.sum("c").cast("long").alias("t"),
@@ -60,7 +64,9 @@ def key_skew_profile(
     )
     over = (
         c.join(F.broadcast(tot))
-        .where(F.expr(f"c * d > {skew_factor} * t"))
+        # DECIMAL(38,0): count*distinct products wrap int64 on high-
+        # cardinality keys at full scale (ADVICE r7 #1 headroom class)
+        .where(F.expr(f"CAST(c AS DECIMAL(38,0)) * d > {skew_factor} * CAST(t AS DECIMAL(38,0))"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_over_factor"))
     )
     return (
@@ -70,7 +76,7 @@ def key_skew_profile(
             F.col("t").alias("total_rows"),
             F.col("d").alias("n_keys"),
             F.col("mx").alias("max_key_count"),
-            F.expr("(mx * d * 100) div t").alias("skew_x_fp"),
+            F.expr("(CAST(mx AS DECIMAL(38,0)) * d * 100) div t").alias("skew_x_fp"),
             "hot_key",
             "n_over_factor",
         )

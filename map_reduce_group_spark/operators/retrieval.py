@@ -16,18 +16,26 @@ at least one token),
     tf·(k1+1) / (tf + k1·(1−b) + k1·b·dl·N/T)
       = 22·tf·T / (10·tf·T + 3·T + 9·dl·N)        (multiply through by 10·T)
 
-— a ratio of int64s (headroom: 22·tf·T stays under 2^63 past 10^12 corpus
-tokens at tf ≤ 10^4). Each term's contribution is
+— computed in DECIMAL(38,0) (== DuckDB HUGEINT), because the scaled
+numerator 22·tf·T·1024 would wrap int64 already at tf·T ≈ 4.1·10^14
+(2^63 / (22·1024)) — e.g. tf = 100 against a 4·10^12-token corpus, far
+inside the advertised 100 TB envelope; non-ANSI Spark wraps silently while
+DuckDB errors, so int64 would break the bit-identical-across-engines
+guarantee exactly at scale (ADVICE r7 #1). The idf·tfnorm product is
+widened the same way. Each term's contribution is
 (idf_fp · tfnorm_fp) div 1024, floored per term BEFORE summing, so every
 score is bit-identical across engines.
 
 Scale shape: tokenization is map-side codegen; the corpus collapses to
-(id, tok, tf) with one shuffle and is reused (persisted) for doc lengths,
-document frequencies, and scoring; query terms ride a broadcast (selected
-via orderBy().limit() → TakeOrderedAndProject, never a global window over
-the vocabulary); corpus totals ride a one-row broadcast; the final top-k is
-a query_id-partitioned row_number (WindowGroupLimit). Raw text never
-shuffles.
+(id, tok, tf) with one shuffle and is materialized once via an eager
+localCheckpoint — reused for doc lengths, document frequencies, and
+scoring, and (unlike persist-without-unpersist) the blocks are released by
+the ContextCleaner when the returned plan is dropped, so repeated builder
+invocations in one session do not accumulate cached blocks (ADVICE r7 #4).
+Query terms ride a broadcast (selected via orderBy().limit() →
+TakeOrderedAndProject, never a global window over the vocabulary); corpus
+totals ride a one-row broadcast; the final top-k is a query_id-partitioned
+row_number (WindowGroupLimit). Raw text never shuffles.
 """
 
 from __future__ import annotations
@@ -66,7 +74,7 @@ def bm25_topk(
         df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
         .groupBy("id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     dl = tf.groupBy("id").agg(F.sum("tf").cast("long").alias("dl"))
     vocab = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df_t"))
@@ -98,14 +106,20 @@ def bm25_topk(
         .withColumn("idf_fp", F.expr("((n_docs - df_t + 1) * 1024) div (df_t + 1)"))
         .withColumn(
             "tfnorm_fp",
+            # DECIMAL(38,0), not int64: see module docstring (the scaled
+            # numerator wraps int64 at tf·T ≈ 4.1e14). div on decimals
+            # returns BIGINT, and tfnorm ≤ 2.2·1024 always fits.
             F.expr(
-                "(tf * 22 * t_tot * 1024)"
-                " div (10 * tf * t_tot + 3 * t_tot + 9 * dl * n_docs)"
+                "(CAST(tf AS DECIMAL(38,0)) * 22 * t_tot * 1024)"
+                " div (CAST(10 AS DECIMAL(38,0)) * tf * t_tot"
+                "      + CAST(3 AS DECIMAL(38,0)) * t_tot"
+                "      + CAST(9 AS DECIMAL(38,0)) * dl * n_docs)"
             ),
         )
         .groupBy("query_id", "id")
         .agg(
-            F.sum(F.expr("(idf_fp * tfnorm_fp) div 1024")).cast("long").alias("score_fp"),
+            F.sum(F.expr("(CAST(idf_fp AS DECIMAL(38,0)) * tfnorm_fp) div 1024"))
+            .cast("long").alias("score_fp"),
             F.count(F.lit(1)).alias("n_terms_hit"),
         )
     )

@@ -224,15 +224,28 @@ def repetition_signals(df, id_col: str, text_col: str):
             .groupBy("id", col_name)
             .count()
         )
-        total = F.sum("count")
-        return cnt.groupBy("id").agg(
-            total.cast("long").alias(n_name),
-            F.round(
-                (total - F.count(F.lit(1))) / F.greatest(total, F.lit(1)), 6
+        agg = cnt.groupBy("id").agg(
+            F.sum("count").cast("long").alias(n_name),
+            F.count(F.lit(1)).cast("long").alias("_distinct"),
+            F.max("count").cast("long").alias("_maxc"),
+        )
+        # Display fractions in 1/10000 integer fixed point, NOT round(double)
+        # (rule 1 — same recipe as bigram_surprisal's mean_surprisal): one
+        # integer div (Spark `div` == DuckDB `//`) then a single exact
+        # int→double division is bit-identical across engines, while
+        # round(double, 6) brushes HALF_UP-vs-rint representation edges.
+        # Denominator is never 0 here: zero-token docs never reach `cnt`
+        # (they get the coalesce(0) fill below).
+        return agg.select(
+            "id",
+            n_name,
+            (
+                F.expr(f"(({n_name} - _distinct) * 10000) div {n_name}")
+                .cast("double") / 10000.0
             ).alias(f"dup_{frac_prefix}_frac"),
-            F.round(F.max("count") / F.greatest(total, F.lit(1)), 6).alias(
-                f"top_{frac_prefix}_frac"
-            ),
+            (
+                F.expr(f"(_maxc * 10000) div {n_name}").cast("double") / 10000.0
+            ).alias(f"top_{frac_prefix}_frac"),
         )
 
     tok_stats = stats("tok", "n_tokens", "token")
@@ -405,8 +418,15 @@ def unigram_rarity(df, id_col: str, text_col: str):
             "id",
             "n_tokens",
             "sum_rarity_fp",
-            F.round(
-                F.col("sum_rarity_fp").cast("double") / 1024.0 / F.col("n_tokens"), 4
+            # display mean in 1/10000 integer fixed point, NOT round(double)
+            # (rule 1 — bigram_surprisal's recipe): DECIMAL(38,0) keeps the
+            # ×10000 product overflow-proof past int64 at 100 TB corpus sums.
+            (
+                F.expr(
+                    "CAST(CAST(sum_rarity_fp AS DECIMAL(38,0)) * 10000 AS DECIMAL(38,0))"
+                    " div CAST(CAST(n_tokens AS DECIMAL(38,0)) * 1024 AS DECIMAL(38,0))"
+                ).cast("double")
+                / 10000.0
             ).alias("mean_rarity"),
         )
     )
@@ -518,11 +538,22 @@ def quality_rules(df, id_col: str, text_col: str):
             F.expr("(sum_len * 100) div n_tokens").alias("mean_tok_len_fp"),
             F.expr("(max_tf * 10000) div n_tokens").alias("max_tok_share_bp"),
             F.expr("(n_distinct * 10000) div n_tokens").alias("distinct_ratio_bp"),
-            F.expr("2 * n_tokens * n_docs < t_tok").alias("flag_short"),
-            F.expr("n_tokens * n_docs > 2 * t_tok").alias("flag_long"),
+            # DECIMAL(38,0) cross-multiplications (== DuckDB HUGEINT):
+            # sum_len·t_tok pairs a per-doc char count with the CORPUS
+            # token total, which wraps int64 well inside the 100 TB
+            # envelope — non-ANSI Spark wraps silently, flipping flags
+            # (ADVICE r7 #1 headroom class)
+            F.expr("2 * CAST(n_tokens AS DECIMAL(38,0)) * n_docs < t_tok").alias(
+                "flag_short"
+            ),
+            F.expr("CAST(n_tokens AS DECIMAL(38,0)) * n_docs > 2 * t_tok").alias(
+                "flag_long"
+            ),
             F.expr(
-                "3 * sum_len * t_tok < 2 * n_tokens * t_len"
-                " OR 2 * sum_len * t_tok > 3 * n_tokens * t_len"
+                "3 * CAST(sum_len AS DECIMAL(38,0)) * t_tok"
+                " < 2 * CAST(n_tokens AS DECIMAL(38,0)) * t_len"
+                " OR 2 * CAST(sum_len AS DECIMAL(38,0)) * t_tok"
+                " > 3 * CAST(n_tokens AS DECIMAL(38,0)) * t_len"
             ).alias("flag_tok_len"),
             F.expr("max_tf * 5 > n_tokens").alias("flag_repetitive"),
         )

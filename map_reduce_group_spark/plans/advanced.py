@@ -724,11 +724,13 @@ _SKEW_CTES = ", ".join(
     for i, (t, k, _) in enumerate(_SKEW_LEGS)
 )
 _SKEW_SELECTS = " UNION ALL ".join(
+    # HUGEINT == Spark DECIMAL(38,0): count*distinct wraps int64 at scale
     f"SELECT '{lbl}' AS join_key, t AS total_rows, d AS n_keys, "
-    f"mx AS max_key_count, CAST((mx * d * 100) // t AS BIGINT) AS skew_x_fp, "
+    f"mx AS max_key_count, "
+    f"CAST((CAST(mx AS HUGEINT) * d * 100) // t AS BIGINT) AS skew_x_fp, "
     f"(SELECT min(k) FROM c{i}, s{i} WHERE c{i}.c = s{i}.mx) AS hot_key, "
     f"(SELECT CAST(count(*) AS BIGINT) FROM c{i}, s{i} "
-    f" WHERE c{i}.c * s{i}.d > 5 * s{i}.t) AS n_over_factor "
+    f" WHERE CAST(c{i}.c AS HUGEINT) * s{i}.d > 5 * CAST(s{i}.t AS HUGEINT)) AS n_over_factor "
     f"FROM s{i}"
     for i, (_, _, lbl) in enumerate(_SKEW_LEGS)
 )

@@ -2746,6 +2746,85 @@ def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_quality_classifier",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents
+    ), bgr AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+               toks[i] || ' ' || toks[i+1] AS f
+        FROM t, unnest(range(1, len(toks))) s(i)
+    ), feat0 AS (
+        SELECT doc_id, y, {_H60.format(e="f")} % 4096 AS bucket,
+               CAST(count(*) AS BIGINT) AS x
+        FROM bgr GROUP BY 1, 2, 3
+    ), feat AS (
+        SELECT * FROM feat0
+        UNION ALL
+        SELECT doc_id, y, CAST(-1 AS BIGINT), CAST(1 AS BIGINT)
+        FROM (SELECT DISTINCT doc_id, y FROM feat0)
+    ),
+    -- epoch 1 from w = 0: every doc scores 0 (y*0 <= 0, all misclassified)
+    w1 AS (
+        SELECT bucket, CAST(sum(y * x) AS BIGINT) AS w FROM feat GROUP BY 1
+    ),
+    -- epoch 2: score with w1, update on misclassified docs
+    s2 AS (
+        SELECT f.doc_id, f.y, sum(CAST(w.w AS HUGEINT) * f.x) AS s
+        FROM feat f JOIN w1 w USING (bucket) GROUP BY 1, 2
+    ), u2 AS (
+        SELECT f.bucket, CAST(sum(f.y * f.x) AS BIGINT) AS dw
+        FROM feat f JOIN s2 ON s2.doc_id = f.doc_id
+        WHERE s2.y * s2.s <= 0 GROUP BY 1
+    ), w2 AS (
+        SELECT w1.bucket, w1.w + coalesce(u2.dw, 0) AS w
+        FROM w1 LEFT JOIN u2 USING (bucket)
+    ),
+    -- epoch 3
+    s3 AS (
+        SELECT f.doc_id, f.y, sum(CAST(w.w AS HUGEINT) * f.x) AS s
+        FROM feat f JOIN w2 w USING (bucket) GROUP BY 1, 2
+    ), u3 AS (
+        SELECT f.bucket, CAST(sum(f.y * f.x) AS BIGINT) AS dw
+        FROM feat f JOIN s3 ON s3.doc_id = f.doc_id
+        WHERE s3.y * s3.s <= 0 GROUP BY 1
+    ), w3 AS (
+        SELECT w2.bucket, w2.w + coalesce(u3.dw, 0) AS w
+        FROM w2 LEFT JOIN u3 USING (bucket)
+    )
+    SELECT f.doc_id AS id, CAST(count(*) AS BIGINT) AS n_feats,
+           CAST(sum(CAST(w.w AS HUGEINT) * f.x) AS BIGINT) AS score,
+           sum(CAST(w.w AS HUGEINT) * f.x) > 0 AS pred,
+           max(f.y) > 0 AS is_target
+    FROM feat f JOIN w3 w USING (bucket)
+    GROUP BY f.doc_id
+    """,
+)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter (operators/classifier.py) — a fastText-style
+    hashed-bigram linear classifier (the CCNet quality/language filter
+    shape, Wenzek et al. 2020; target class = the 'en' subcorpus, the same
+    convention as corpus_importance_resample) trained with a deterministic
+    integer BATCH perceptron: per epoch, score every document against the
+    current weights, then apply one order-free aggregate update — bit-exact
+    under any partitioning, so the DuckDB oracle replays all three epochs'
+    weights and every final score exactly (unrolled CTEs). Completes the
+    rules (doc_quality_rules) / distributional (corpus_importance_resample)
+    / learned filtering triad. Driver state is only the ≤ 4097-row weight
+    vector; the feature matrix localCheckpoints once and is reused across
+    epochs; scoring rides a broadcast of the weight table."""
+    from map_reduce_group_spark.operators.classifier import (
+        perceptron_quality_classifier,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return perceptron_quality_classifier(
+        d, "doc_id", "text", target=col("lang") == "en", n_buckets=4096, epochs=3
+    )
+
+
+@register(
     "corpus_mixture_temperature",
     oracle="""
     WITH counts AS (
@@ -2848,8 +2927,9 @@ def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id,
            CAST(sum(tf) AS BIGINT) AS n_tokens,
            CAST(sum(tf * ((n * 1024) // c)) AS BIGINT) AS sum_rarity_fp,
-           round(CAST(sum(tf * ((n * 1024) // c)) AS DOUBLE)
-                 / 1024.0 / sum(tf), 4) AS mean_rarity
+           CAST((CAST(sum(tf * ((n * 1024) // c)) AS HUGEINT) * 10000)
+                // (CAST(sum(tf) AS HUGEINT) * 1024) AS DOUBLE) / 10000.0
+               AS mean_rarity
     FROM tf JOIN vocab USING (tok) CROSS JOIN tot
     GROUP BY id
     """,
@@ -3045,13 +3125,17 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- CAST: DuckDB sum(BIGINT) -> HUGEINT -> pandas float64, which the
         -- driver stringifies as "N.0" vs Spark's int "N" (q12 failure class)
         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-               round((sum(c) - count(*)) / greatest(sum(c), 1), 6) AS dup_token_frac,
-               round(max(c) / greatest(sum(c), 1), 6) AS top_token_frac
+               CAST(((sum(c) - count(*)) * 10000) // sum(c) AS DOUBLE)
+                   / 10000.0 AS dup_token_frac,
+               CAST((max(c) * 10000) // sum(c) AS DOUBLE)
+                   / 10000.0 AS top_token_frac
         FROM tokc GROUP BY 1
     ), gs AS (
         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_2grams,
-               round((sum(c) - count(*)) / greatest(sum(c), 1), 6) AS dup_2gram_frac,
-               round(max(c) / greatest(sum(c), 1), 6) AS top_2gram_frac
+               CAST(((sum(c) - count(*)) * 10000) // sum(c) AS DOUBLE)
+                   / 10000.0 AS dup_2gram_frac,
+               CAST((max(c) * 10000) // sum(c) AS DOUBLE)
+                   / 10000.0 AS top_2gram_frac
         FROM gramc GROUP BY 1
     )
     SELECT d.doc_id AS id,
@@ -4235,11 +4319,14 @@ def embed_cohort_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE r BETWEEN 11 AND 18
     ), scored AS (
         SELECT q.query_id, tf.id,
+               -- HUGEINT == Spark DECIMAL(38,0): the scaled tfnorm
+               -- numerator wraps int64 at tf*t_tot ~ 4.1e14 (ADVICE r7 #1)
                CAST(sum(
-                   (((t.n_docs - q.df_t + 1) * 1024) // (q.df_t + 1))
-                   * ((tf.tf * 22 * t.t_tot * 1024)
-                      // (10 * tf.tf * t.t_tot + 3 * t.t_tot
-                          + 9 * d.dl * t.n_docs))
+                   CAST(((t.n_docs - q.df_t + 1) * 1024) // (q.df_t + 1) AS HUGEINT)
+                   * ((CAST(tf.tf AS HUGEINT) * 22 * t.t_tot * 1024)
+                      // (CAST(10 AS HUGEINT) * tf.tf * t.t_tot
+                          + CAST(3 AS HUGEINT) * t.t_tot
+                          + CAST(9 AS HUGEINT) * d.dl * t.n_docs))
                    // 1024
                ) AS BIGINT) AS score_fp,
                CAST(count(*) AS BIGINT) AS n_terms_hit
@@ -4454,15 +4541,21 @@ def embed_matryoshka_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((sum_len * 100) // n_tokens AS BIGINT) AS mean_tok_len_fp,
            CAST((max_tf * 10000) // n_tokens AS BIGINT) AS max_tok_share_bp,
            CAST((n_distinct * 10000) // n_tokens AS BIGINT) AS distinct_ratio_bp,
-           2 * n_tokens * n_docs < t_tok AS flag_short,
-           n_tokens * n_docs > 2 * t_tok AS flag_long,
-           (3 * sum_len * t_tok < 2 * n_tokens * t_len
-            OR 2 * sum_len * t_tok > 3 * n_tokens * t_len) AS flag_tok_len,
+           -- HUGEINT == Spark DECIMAL(38,0): sum_len*t_tok wraps int64
+           -- inside the 100 TB envelope (ADVICE r7 #1 headroom class)
+           2 * CAST(n_tokens AS HUGEINT) * n_docs < t_tok AS flag_short,
+           CAST(n_tokens AS HUGEINT) * n_docs > 2 * t_tok AS flag_long,
+           (3 * CAST(sum_len AS HUGEINT) * t_tok
+              < 2 * CAST(n_tokens AS HUGEINT) * t_len
+            OR 2 * CAST(sum_len AS HUGEINT) * t_tok
+              > 3 * CAST(n_tokens AS HUGEINT) * t_len) AS flag_tok_len,
            max_tf * 5 > n_tokens AS flag_repetitive,
-           NOT (2 * n_tokens * n_docs < t_tok
-                OR n_tokens * n_docs > 2 * t_tok
-                OR 3 * sum_len * t_tok < 2 * n_tokens * t_len
-                OR 2 * sum_len * t_tok > 3 * n_tokens * t_len
+           NOT (2 * CAST(n_tokens AS HUGEINT) * n_docs < t_tok
+                OR CAST(n_tokens AS HUGEINT) * n_docs > 2 * t_tok
+                OR 3 * CAST(sum_len AS HUGEINT) * t_tok
+                   < 2 * CAST(n_tokens AS HUGEINT) * t_len
+                OR 2 * CAST(sum_len AS HUGEINT) * t_tok
+                   > 3 * CAST(n_tokens AS HUGEINT) * t_len
                 OR max_tf * 5 > n_tokens) AS passes
     FROM pd, c
     """,

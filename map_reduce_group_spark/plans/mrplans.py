@@ -288,12 +288,15 @@ _WAV_S_NEXT = (
     "multimodal_wav_zcr",
     oracle=f"""
     SELECT doc_id AS id, w AS window_idx,
-           CAST(list_sum(list_transform(
+           -- coalesce: a zero-pair window (frames ≡ 1 mod 160) has an
+           -- empty range and list_sum returns NULL where the operator
+           -- emits 0 (line-107 wav oracle convention; ADVICE r7 #3)
+           CAST(coalesce(list_sum(list_transform(
                range(w * 160 * {_WAV_CH},
                      least((w + 1) * 160, {_WAV_FRAMES} - 1) * {_WAV_CH}),
                k -> CASE WHEN ({_WAV_SAMPLE}) * ({_WAV_S_NEXT}) < 0
                     THEN 1 ELSE 0 END
-           )) AS BIGINT) AS crossings,
+           )), 0) AS BIGINT) AS crossings,
            (least((w + 1) * 160, {_WAV_FRAMES} - 1) - w * 160) * {_WAV_CH}
                AS n_pairs
     FROM documents,

@@ -252,14 +252,23 @@ def quarantine_late(
     counts. Both writes are keyed by ``batch_id`` and overwrite, so a
     redelivered micro-batch (restart after a pre-checkpoint-commit
     crash) replaces its own output instead of double-counting — the
-    module's foreachBatch idempotence convention."""
+    module's foreachBatch idempotence convention. The watermark read
+    filters the state glob to batch suffixes STRICTLY below ``batch_id``:
+    a redelivery of batch k after maxts_k was written but before the
+    checkpoint commit must not see its OWN max (the watermark would
+    become max over batches <= k and the rewritten decisions_k could
+    classify more rows late than the first delivery — ADVICE r7 #2)."""
     import glob as _glob
     import os as _os
 
     spark = batch_df.sparkSession
     b = batch_df.select("event_id", "ts", "event_type")
     wm_us = None
-    prior = _glob.glob(_os.path.join(state_dir, "maxts_*"))
+    prior = [
+        p
+        for p in _glob.glob(_os.path.join(state_dir, "maxts_*"))
+        if p.rsplit("_", 1)[-1].isdigit() and int(p.rsplit("_", 1)[-1]) < batch_id
+    ]
     if prior:
         row = spark.read.parquet(*prior).agg(F.max("max_us").alias("m")).collect()[0]
         if row["m"] is not None:

@@ -1366,7 +1366,11 @@ def test_unigram_rarity_matches_integer_reference_model(spark):
         if not ts:
             continue  # zero-token docs are excluded
         sum_fp = sum((n * 1024) // vocab[t] for t in ts)
-        expected[i] = (len(ts), sum_fp, round(sum_fp / 1024.0 / len(ts), 4))
+        # mean is 1/10000 integer fixed point (floor), NOT round(double):
+        # rule-1 recipe shared with bigram_surprisal/repetition_signals
+        expected[i] = (
+            len(ts), sum_fp, (sum_fp * 10000 // (1024 * len(ts))) / 10000.0
+        )
     got = {
         r["id"]: (r["n_tokens"], r["sum_rarity_fp"], r["mean_rarity"])
         for r in unigram_rarity(df, "id_in", "body").collect()
@@ -2007,3 +2011,40 @@ def test_ahash_halves_match_bruteforce_reference():
         assert ahash_halves(rgb.astype(np.uint8)) == reference(rgb)
     hi, lo = ahash_halves(np.full((9, 9, 3), 77, dtype=np.uint8))
     assert (hi, lo) == (0, 0)
+
+
+def test_perceptron_classifier_planted_separation_and_invariance(spark):
+    """On a corpus with a planted vocabulary split (target docs draw from
+    one bigram set, background from a disjoint one), the batch perceptron
+    must separate the classes perfectly by epoch 3; and because every
+    epoch update is an order-free integer sum, retraining on a repartition
+    of the same input must reproduce identical scores bit-for-bit."""
+    import pyspark.sql.functions as F
+
+    from map_reduce_group_spark.operators.classifier import (
+        perceptron_quality_classifier,
+    )
+
+    pos_words = ["alpha", "bravo", "charlie", "delta"]
+    neg_words = ["zulu", "yankee", "xray", "whiskey"]
+    rows = []
+    for i in range(40):
+        ws = pos_words if i % 2 == 0 else neg_words
+        text = " ".join(ws[(i + j) % 4] for j in range(6))
+        rows.append((i, text, "en" if i % 2 == 0 else "de"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def run(d):
+        return {
+            r["id"]: (r["n_feats"], r["score"], r["pred"], r["is_target"])
+            for r in perceptron_quality_classifier(
+                d, "doc_id", "text", target=F.col("lang") == "en"
+            ).collect()
+        }
+
+    got = run(df)
+    assert len(got) == 40
+    # planted separation: every prediction matches its label
+    assert all(pred == is_t for _, _, pred, is_t in got.values())
+    # determinism under partitioning (the order-free-sums property)
+    assert run(df.repartition(13, "text")) == got

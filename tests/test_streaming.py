@@ -338,9 +338,56 @@ def test_stream_late_quarantine_reinvocation_and_batch0(spark, sf_dir):
         tot_n, tot_late = by_batch.get(batch_id, (0, 0))
         by_batch[batch_id] = (tot_n + n, tot_late + late)
     assert by_batch[0][1] == 0, "batch 0 has no watermark yet"
-    assert sum(n for n, _ in by_batch.values()) == spark.read.parquet(
-        f"{sf_dir}/events.parquet"
+    # catalog.load_table, not a raw parquet read: events is TIMESTAMP(NANOS)
+    # and rule 5 routes all batch loads through the catalog's normalization —
+    # a raw read only works if an earlier test left nanosAsLong set (order-
+    # dependent, fails in isolation; ADVICE r7 #5)
+    from map_reduce_group_spark.catalog import load_table
+
+    assert sum(n for n, _ in by_batch.values()) == load_table(
+        spark, sf_dir, "events"
     ).count()
     # the parity-class split makes later batches genuinely out-of-order:
     # at least one of batches 1-3 must quarantine something
     assert sum(late for _, late in by_batch.values()) > 0
+
+
+def test_quarantine_late_redelivery_ignores_own_maxts(spark, tmp_path):
+    """Crash-replay idempotence for the exact window the batch-keyed
+    overwrite targets (ADVICE r7 #2): if batch k crashed AFTER writing
+    maxts_k but BEFORE the checkpoint commit, the redelivered batch k must
+    compute its watermark from batches < k only — seeing its OWN maxts_k
+    would raise the watermark to max over batches <= k and reclassify rows
+    late that the first delivery admitted."""
+    import datetime as dt
+
+    from map_reduce_group_spark.streaming.events_stream import quarantine_late
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), "click")
+                for i, s in rows
+            ],
+            "event_id long, ts timestamp, event_type string",
+        )
+
+    state = str(tmp_path / "qstate")
+    delay = 10_000_000  # 10 s
+    # batch 0: max event time 1000 s -> watermark for batch 1 = 990 s
+    quarantine_late(mk([(1, 1000)]), state, 0, delay_us=delay)
+    # batch 1: a 995 s row is NOT late vs the 990 s watermark, but WOULD be
+    # late vs batch 1's own 2000 s max (watermark 1990 s) if the glob bug
+    # let the redelivery see maxts_1
+    b1 = mk([(2, 2000), (3, 995)])
+    quarantine_late(b1, state, 1, delay_us=delay)
+    first = sorted(
+        map(tuple, spark.read.parquet(f"{state}/decisions_1").collect())
+    )
+    assert first == [(1, "click", 2, 0)], "first delivery admits the 995s row"
+    # redelivery of batch 1: maxts_1 is on disk (the crash window)
+    quarantine_late(b1, state, 1, delay_us=delay)
+    replay = sorted(
+        map(tuple, spark.read.parquet(f"{state}/decisions_1").collect())
+    )
+    assert replay == first, "redelivery must not see its own maxts"
