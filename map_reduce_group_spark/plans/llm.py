@@ -655,44 +655,61 @@ def _collapsed_pairs_sql(threshold: float, frac_cap: float | None = None) -> str
 
 def _collapsed_containment_sql(threshold: float, frac_cap: float | None = None) -> str:
     """Collapse-based DuckDB twin of containment_pairs (optionally
-    df-capped): the _collapsed_pairs_sql construction with DIRECTIONAL
-    expansion — per-direction containment at the representative level
-    (n_common / the src side's set_size) is exactly every member pair's
-    value, and within-group ordered pairs share the whole filtered set
-    (containment = n_kept/set_size). Value-identical to the naive driver
-    oracle (proven by the sf0.01 in-suite stand-in equality check) but
-    linear in clone-family size at the replicated fixtures."""
+    df-capped): DIRECTIONAL expansion at the representative level —
+    per-direction containment (n_common / the src side's set_size) is
+    exactly every member pair's value, and within-group ordered pairs
+    share the whole filtered set (containment = n_kept/set_size).
+
+    r8 (VERDICT r7 #4): the collapse now starts with a TEXT-level
+    pre-collapse — shingling only DISTINCT texts and carrying shingle df
+    as Σ text-family size — before the identical-SET grouping. The prior
+    form still shingled every doc individually (~500M posting rows at the
+    5M-doc fixture), and DuckDB's spill for those stages filled 80 GB of
+    disk (the r7 ENOSPC); with the pre-collapse every stage before the
+    final linear member expansion is bounded by the DISTINCT-TEXT count.
+    Value-identical to the naive driver oracle (proven by the sf0.01
+    in-suite stand-in equality check): identical texts have identical
+    shingle sets, df sums are unchanged, and set-families merge
+    text-families exactly as before."""
     cap = ""
     if frac_cap is not None:
         cap = f""", capped AS MATERIALIZED (
         SELECT id, set_size, shingle FROM (
             SELECT id, set_size, shingle,
-                   count(*) OVER (PARTITION BY shingle) AS df
+                   sum(tg) OVER (PARTITION BY shingle) AS df
             FROM postings
         )
         WHERE df <= greatest(CAST(ceil({frac_cap} * (SELECT count(*) FROM documents)) AS BIGINT), 1)
     )"""
     src = "capped" if frac_cap is not None else "postings"
     return f"""
-    WITH sets AS MATERIALIZED (
-        SELECT doc_id AS id, {_SHINGLES_SQL} AS shingles
+    WITH tfam AS MATERIALIZED (
+        SELECT text, min(doc_id) AS trep, CAST(count(*) AS BIGINT) AS tg
         FROM documents
         WHERE len({_TOKS_SQL}) >= 3
+        GROUP BY text
+    ), sets AS MATERIALIZED (
+        SELECT trep AS id, tg, {_SHINGLES_SQL} AS shingles FROM tfam
     ), postings AS MATERIALIZED (
-        SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle
+        SELECT id, tg, len(shingles) AS set_size, unnest(shingles) AS shingle
         FROM sets WHERE len(shingles) > 0
     ){cap}, set_fps AS (
         SELECT id, set_size, count(*) AS n_kept,
                concat(bit_xor(hash(shingle)), ':', sum(hash(shingle)::HUGEINT), ':', count(*)) AS set_fp
         FROM {src} GROUP BY id, set_size
-    ), reps AS (
+    ), sreps AS (
         SELECT set_fp, set_size, min(id) AS rep FROM set_fps GROUP BY 1, 2
+    ), tmap AS (
+        SELECT s.id AS trep, s.set_size, s.n_kept, r.rep
+        FROM set_fps s JOIN sreps r USING (set_fp, set_size)
     ), members AS MATERIALIZED (
-        SELECT s.set_fp, s.set_size, s.id, s.n_kept, r.rep
-        FROM set_fps s JOIN reps r USING (set_fp, set_size)
+        SELECT d.doc_id AS id, t.rep, t.set_size, t.n_kept
+        FROM documents d
+        JOIN tfam f ON f.text = d.text
+        JOIN tmap t ON t.trep = f.trep
     ), rpost AS MATERIALIZED (
         SELECT p.id, p.set_size, p.shingle
-        FROM {src} p JOIN (SELECT DISTINCT rep FROM reps) r ON p.id = r.rep
+        FROM {src} p JOIN (SELECT DISTINCT rep FROM sreps) r ON p.id = r.rep
     ), rep_counts AS MATERIALIZED (
         SELECT a.id AS id_a, b.id AS id_b,
                a.set_size AS size_a, b.set_size AS size_b,
@@ -718,7 +735,7 @@ def _collapsed_containment_sql(threshold: float, frac_cap: float | None = None) 
     SELECT m1.id AS src_id, m2.id AS dst_id,
            CAST(m1.n_kept AS BIGINT) AS n_common,
            round(CAST(m1.n_kept AS DOUBLE) / m1.set_size, 6) AS containment
-    FROM members m1 JOIN members m2 USING (set_fp, set_size)
+    FROM members m1 JOIN members m2 USING (rep)
     WHERE m1.id <> m2.id
       AND CAST(m1.n_kept AS DOUBLE) / m1.set_size >= {threshold}
     """
@@ -1038,7 +1055,115 @@ def _collapsed_minhash_scale_oracle(frac_cap: float | None = None) -> str:
     """
 
 
+def _pagerank_scale_oracle(iters: int = 8, scale: int = 10**12) -> str:
+    """Identical-SET collapse of _pagerank_fixed_sql for replicated
+    fixtures (VERDICT r7 #4: the naive oracle's shingle self-join goes
+    quadratic in clone-family size — 1362 s at 10×, needing a hand retry).
+
+    Lemma (rank symmetry): docs with identical shingle sets are exchangeable
+    under the similarity graph's automorphisms — identical cross-family
+    edges (functions of the two sets), all-pairs within-family edges when
+    the capped self-similarity s/(2·sz−s) clears the threshold (one shared
+    predicate per family), identical degree. So every family member carries
+    the SAME rank at every iteration, and the power iteration can run at
+    family level with multiplicities: a member's neighbor contribution
+    Σ_b rank_b // deg_b groups into (g_F−1)·(r_F // deg_F) within plus
+    Σ_G g_G·(r_G // deg_G) across — multiplying AFTER the per-member floor,
+    so the integer arithmetic is bit-identical to the naive per-member sum.
+    Dangling mass is structurally 0 (edges are symmetric, every vertex has
+    deg ≥ 1), matching the naive oracle's always-empty dangling scan.
+    df-cap and thresholds replicate the naive oracle's expressions exactly
+    (df as Σ family sizes; the SAME double-division comparison)."""
+    head = f"""
+    WITH sets AS MATERIALIZED (
+        SELECT doc_id AS id, {_SHINGLES_SQL} AS shingles
+        FROM documents
+        WHERE len({_TOKS_SQL}) >= 3
+    ), postings AS MATERIALIZED (
+        SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle
+        FROM sets WHERE len(shingles) > 0
+    ), set_fps AS (
+        SELECT id, set_size,
+               concat(bit_xor(hash(shingle)), ':', sum(hash(shingle)::HUGEINT), ':', count(*)) AS set_fp
+        FROM postings GROUP BY id, set_size
+    ), reps AS (
+        SELECT set_fp, set_size, min(id) AS rep, count(*) AS g
+        FROM set_fps GROUP BY 1, 2
+    ), members AS MATERIALIZED (
+        SELECT s.id, r.rep FROM set_fps s JOIN reps r USING (set_fp, set_size)
+    ), rpost AS MATERIALIZED (
+        SELECT r.rep, r.set_size, r.g, p.shingle
+        FROM postings p JOIN reps r ON p.id = r.rep
+    ), dfs AS (
+        SELECT shingle, sum(g) AS df FROM rpost GROUP BY 1
+    ), capped AS MATERIALIZED (
+        SELECT rp.rep, rp.set_size, rp.g, rp.shingle
+        FROM rpost rp JOIN dfs USING (shingle)
+        WHERE dfs.df <= greatest(CAST(ceil(0.02 * (SELECT count(*) FROM documents)) AS BIGINT), 1)
+    ), surv AS (
+        SELECT rep, CAST(count(*) AS BIGINT) AS s FROM capped GROUP BY 1
+    ), xedges AS MATERIALIZED (
+        SELECT id_a, id_b FROM (
+            SELECT a.rep AS id_a, b.rep AS id_b,
+                   a.set_size AS size_a, b.set_size AS size_b,
+                   count(*) AS n_common
+            FROM capped a JOIN capped b USING (shingle)
+            WHERE a.rep < b.rep
+            GROUP BY 1, 2, 3, 4
+        ) WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= 0.3
+    ), within AS MATERIALIZED (
+        SELECT r.rep FROM reps r JOIN surv s USING (rep)
+        WHERE r.g >= 2
+          AND CAST(s.s AS DOUBLE) / (2 * r.set_size - s.s) >= 0.3
+    ), adj AS MATERIALIZED (
+        SELECT id_a AS f, id_b AS nb FROM xedges
+        UNION ALL
+        SELECT id_b AS f, id_a AS nb FROM xedges
+    ), fdeg AS MATERIALIZED (
+        SELECT v.rep, r.g, (w.rep IS NOT NULL) AS wi,
+               CAST(CASE WHEN w.rep IS NOT NULL THEN r.g - 1 ELSE 0 END
+                    + coalesce(nb.s, 0) AS BIGINT) AS deg
+        FROM (SELECT rep FROM within
+              UNION SELECT DISTINCT f AS rep FROM adj) v
+        JOIN reps r USING (rep)
+        LEFT JOIN within w USING (rep)
+        LEFT JOIN (SELECT a.f, sum(g2.g) AS s
+                   FROM adj a JOIN reps g2 ON g2.rep = a.nb
+                   GROUP BY 1) nb ON nb.f = v.rep
+    ), nn AS MATERIALIZED (
+        SELECT CAST(sum(g) AS BIGINT) AS n FROM fdeg
+    ), fr0 AS MATERIALIZED (
+        SELECT rep, CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS rank
+        FROM fdeg
+    )"""
+    steps = []
+    for k in range(1, iters + 1):
+        p = k - 1
+        steps.append(f""", c{k} AS MATERIALIZED (
+        SELECT a.f AS rep, CAST(sum(dn.g * (r.rank // dn.deg)) AS BIGINT) AS c
+        FROM adj a
+        JOIN fdeg dn ON dn.rep = a.nb
+        JOIN fr{p} r ON r.rep = a.nb
+        GROUP BY 1
+    ), fr{k} AS MATERIALIZED (
+        SELECT d.rep,
+               CAST({15 * scale} // (100 * (SELECT n FROM nn)) AS BIGINT)
+               + CAST((85 * (CASE WHEN d.wi THEN (d.g - 1) * (rp.rank // d.deg)
+                             ELSE 0 END
+                             + coalesce(c.c, 0)))
+                      // 100 AS BIGINT) AS rank
+        FROM fdeg d
+        JOIN fr{p} rp ON rp.rep = d.rep
+        LEFT JOIN c{k} c ON c.rep = d.rep
+    )""")
+    return head + "".join(steps) + f"""
+    SELECT m.id, f.rank AS rank_micro
+    FROM members m JOIN fr{iters} f ON f.rep = m.rep
+    """
+
+
 SCALE_ORACLES: dict[str, str] = {
+    "graph_pagerank_simgraph": _pagerank_scale_oracle(),
     "dedup_jaccard_prefix": _PREFIX_PAIRS_CTES
     + """
     SELECT id_a, id_b, n_common, jaccard FROM pairs
