@@ -92,6 +92,15 @@ def main() -> None:
         # replicated 100x fixture a pair-family query's result alone can
         # exceed the 1g default (simhash at 100x: 1.2 GiB of task results)
         .config("spark.driver.maxResultSize", os.environ.get("DIFF_MAX_RESULT", "16g"))
+        # the replicated fixtures are SINGLE parquet files; at 10×/100× the
+        # default 128 MB split width gives the scan only 3-4 input
+        # partitions, so tokenize-heavy map stages ran on 3 of 32 cores
+        # (r8 profiling). 32 MB restores scan parallelism at small decades
+        # without touching product sessions.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("DIFF_MAX_PART_BYTES", str(32 * 1024 * 1024)),
+        )
         .getOrCreate()
     )
     import __spark_entry__ as e
