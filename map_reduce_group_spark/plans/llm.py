@@ -693,13 +693,13 @@ def _collapsed_containment_sql(threshold: float, frac_cap: float | None = None) 
     ), postings AS MATERIALIZED (
         SELECT id, tg, len(shingles) AS set_size, unnest(shingles) AS shingle
         FROM sets WHERE len(shingles) > 0
-    ){cap}, set_fps AS (
+    ){cap}, set_fps AS MATERIALIZED (
         SELECT id, set_size, count(*) AS n_kept,
                concat(bit_xor(hash(shingle)), ':', sum(hash(shingle)::HUGEINT), ':', count(*)) AS set_fp
         FROM {src} GROUP BY id, set_size
-    ), sreps AS (
+    ), sreps AS MATERIALIZED (
         SELECT set_fp, set_size, min(id) AS rep FROM set_fps GROUP BY 1, 2
-    ), tmap AS (
+    ), tmap AS MATERIALIZED (
         SELECT s.id AS trep, s.set_size, s.n_kept, r.rep
         FROM set_fps s JOIN sreps r USING (set_fp, set_size)
     ), members AS MATERIALIZED (
@@ -1075,32 +1075,49 @@ def _pagerank_scale_oracle(iters: int = 8, scale: int = 10**12) -> str:
     df-cap and thresholds replicate the naive oracle's expressions exactly
     (df as Σ family sizes; the SAME double-division comparison)."""
     head = f"""
-    WITH sets AS MATERIALIZED (
-        SELECT doc_id AS id, {_SHINGLES_SQL} AS shingles
+    WITH tfam AS MATERIALIZED (
+        -- TEXT-level pre-collapse first (the containment-oracle r8
+        -- lesson): shingling is the dominant cost and must run over
+        -- DISTINCT texts only; the GROUP BY also re-parallelizes DuckDB's
+        -- pipeline, which is otherwise limited to the fixture file's few
+        -- row groups
+        SELECT text, min(doc_id) AS trep, CAST(count(*) AS BIGINT) AS tg
         FROM documents
         WHERE len({_TOKS_SQL}) >= 3
+        GROUP BY text
+    ), sets AS MATERIALIZED (
+        SELECT trep AS id, tg, {_SHINGLES_SQL} AS shingles FROM tfam
     ), postings AS MATERIALIZED (
-        SELECT id, len(shingles) AS set_size, unnest(shingles) AS shingle
+        SELECT id, tg, len(shingles) AS set_size, unnest(shingles) AS shingle
         FROM sets WHERE len(shingles) > 0
-    ), set_fps AS (
-        SELECT id, set_size,
+    ), set_fps AS MATERIALIZED (
+        -- MATERIALIZED throughout: non-materialized CTEs inline PER
+        -- REFERENCE in DuckDB, re-running the fingerprint aggregation for
+        -- every reference (the r8 100x oracle hang). Collapse key is the
+        -- UNCAPPED shingle set, exactly the naive oracle's doc identity.
+        SELECT id, tg, set_size,
                concat(bit_xor(hash(shingle)), ':', sum(hash(shingle)::HUGEINT), ':', count(*)) AS set_fp
-        FROM postings GROUP BY id, set_size
-    ), reps AS (
-        SELECT set_fp, set_size, min(id) AS rep, count(*) AS g
+        FROM postings GROUP BY id, tg, set_size
+    ), reps AS MATERIALIZED (
+        SELECT set_fp, set_size, min(id) AS rep, CAST(sum(tg) AS BIGINT) AS g
         FROM set_fps GROUP BY 1, 2
     ), members AS MATERIALIZED (
-        SELECT s.id, r.rep FROM set_fps s JOIN reps r USING (set_fp, set_size)
+        SELECT d.doc_id AS id, t.rep
+        FROM documents d
+        JOIN tfam f ON f.text = d.text
+        JOIN (SELECT s.id AS trep, r.rep
+              FROM set_fps s JOIN reps r USING (set_fp, set_size)) t
+          ON t.trep = f.trep
     ), rpost AS MATERIALIZED (
         SELECT r.rep, r.set_size, r.g, p.shingle
         FROM postings p JOIN reps r ON p.id = r.rep
-    ), dfs AS (
+    ), dfs AS MATERIALIZED (
         SELECT shingle, sum(g) AS df FROM rpost GROUP BY 1
     ), capped AS MATERIALIZED (
         SELECT rp.rep, rp.set_size, rp.g, rp.shingle
         FROM rpost rp JOIN dfs USING (shingle)
         WHERE dfs.df <= greatest(CAST(ceil(0.02 * (SELECT count(*) FROM documents)) AS BIGINT), 1)
-    ), surv AS (
+    ), surv AS MATERIALIZED (
         SELECT rep, CAST(count(*) AS BIGINT) AS s FROM capped GROUP BY 1
     ), xedges AS MATERIALIZED (
         SELECT id_a, id_b FROM (
