@@ -69,15 +69,16 @@ COST_HINT = {
     "agg_mad_outliers": 1.5,
     "corpus_importance_resample": 3.0,
     "diag_join_key_skew": 4.5,
+    "doc_quality_classifier": 2.7,
     "embed_ann_pq_adc": 1.3,
     "embed_matryoshka_agreement": 1.2,
     "stream_late_quarantine": 4.0,
     "text_bm25_topk": 2.0,
     "corpus_mixture_rebalance": 1.1, "corpus_sequence_pack": 3.1, "corpus_span_dedup": 1.4,
     "dedup_clusters": 6.7, "dedup_jaccard_prefix": 5.0, "dedup_jaccard_topmatch": 5.5,
-    "dedup_minhash_lsh": 3.2, "dedup_minhash_lsh_capped": 3.2, "doc_bpe_merges64": 7.5,
-    "dedup_ngram_jaccard": 1.9, "dedup_suffix_longest_span": 4.5,
-    "dedup_incremental_minhash": 8.0,
+    "dedup_minhash_lsh": 3.2, "dedup_minhash_lsh_capped": 3.2, "doc_bpe_merges64": 4.5,
+    "dedup_ngram_jaccard": 1.9, "dedup_suffix_longest_span": 6.0,
+    "dedup_incremental_minhash": 6.6,
     "stream_incremental_minhash": 8.0,
     "stream_hll_cardinality": 2.0,
     "dedup_ngram_jaccard_capped": 3.3, "dedup_simhash": 3.3, "doc_bpe_merges": 1.9,
@@ -88,7 +89,7 @@ COST_HINT = {
     "doc_bpe_token_count": 2.7, "doc_repetition_signals": 1.2, "doc_winnow_fingerprints": 1.2,
     "embed_ann_ivf_quantized": 1.4, "embed_ann_ivf_trained": 1.4,
     "embed_quantized_topk_agreement": 1.8, "embed_semdedup_prune": 1.2,
-    "events_ohlc_resample": 1.1, "graph_pagerank_simgraph": 8.3, "mr_wordcount_pipe": 2.0,
+    "events_ohlc_resample": 1.1, "graph_pagerank_simgraph": 5.5, "mr_wordcount_pipe": 2.0,
     "multimodal_bmp_decode": 1.0, "multimodal_video_frame_sample": 2.1, "multimodal_wav_decode": 1.1,
     "multimodal_wav_frame_energy": 1.2, "pipeline_corpus_prep": 7.8, "pipeline_corpus_prep_v2": 3.1,
     "q11_important_stock": 1.1, "q18_large_volume_customers": 1.7, "q1_pricing_summary": 1.1,
