@@ -2966,6 +2966,238 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# kappa numerator/denominator for one filter pair, both widened to
+# DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): n² passes int64 at 10^10 docs.
+# The FINAL step is one exact int→double division (a single IEEE op both
+# engines round identically), never round(double) — rule 1.
+def _kappa_exprs(na: str, nb: str, nagree: str) -> tuple[str, str]:
+    pe = (
+        f"(CAST({na} AS DECIMAL(38,0)) * {nb}"
+        f" + CAST(n - {na} AS DECIMAL(38,0)) * (n - {nb}))"
+    )
+    num = f"(CAST(n AS DECIMAL(38,0)) * {nagree} - {pe})"
+    den = f"(CAST(n AS DECIMAL(38,0)) * n - {pe})"
+    return num, den
+
+
+def _kappa_sql(na: str, nb: str, nagree: str) -> str:
+    pe = (
+        f"(CAST({na} AS HUGEINT) * {nb}"
+        f" + CAST(n - {na} AS HUGEINT) * (n - {nb}))"
+    )
+    num = f"(CAST(n AS HUGEINT) * {nagree} - {pe})"
+    den = f"(CAST(n AS HUGEINT) * n - {pe})"
+    return (
+        f"CASE WHEN {den} = 0 THEN CAST(0.0 AS DOUBLE)"
+        f" ELSE CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) END"
+    )
+
+
+def _agree_pair_sql(name: str, na: str, nb: str, nboth: str, nagree: str) -> str:
+    return (
+        f"SELECT '{name}' AS pair, n AS n_docs, {na} AS n_a, {nb} AS n_b,"
+        f" {nboth} AS n_both, {nagree} AS n_agree,"
+        f" CAST(({nagree} * 10000) // n AS BIGINT) AS agree_bp,"
+        f" {_kappa_sql(na, nb, nagree)} AS kappa FROM s"
+    )
+
+
+@register(
+    "corpus_filter_agreement",
+    oracle=f"""
+    WITH
+    -- branch 1: Gopher rules (doc_quality_rules oracle, reduced to passes;
+    -- CTEs deliberately duplicated under a qr_ prefix rather than shared
+    -- constants so the source queries' audit fingerprints stay untouched)
+    qr_tok AS (
+        SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), qr_tf AS (
+        SELECT doc_id AS id, tok, CAST(count(*) AS BIGINT) AS tf,
+               CAST(length(tok) AS BIGINT) AS toklen
+        FROM qr_tok GROUP BY 1, 2
+    ), qr_pd AS (
+        SELECT id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+               CAST(sum(tf * toklen) AS BIGINT) AS sum_len,
+               CAST(max(tf) AS BIGINT) AS max_tf
+        FROM qr_tf GROUP BY 1
+    ), qr_c AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tok,
+               CAST(sum(sum_len) AS BIGINT) AS t_len,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM qr_pd
+    ), qr AS (
+        SELECT id,
+               NOT (2 * CAST(n_tokens AS HUGEINT) * n_docs < t_tok
+                    OR CAST(n_tokens AS HUGEINT) * n_docs > 2 * t_tok
+                    OR 3 * CAST(sum_len AS HUGEINT) * t_tok
+                       < 2 * CAST(n_tokens AS HUGEINT) * t_len
+                    OR 2 * CAST(sum_len AS HUGEINT) * t_tok
+                       > 3 * CAST(n_tokens AS HUGEINT) * t_len
+                    OR max_tf * 5 > n_tokens) AS passes
+        FROM qr_pd, qr_c
+    ),
+    -- branch 2: DSIR importance keep flag (corpus_importance_resample)
+    ds_t AS (
+        SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents
+    ), ds_bg AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_target,
+               toks[i] || ' ' || toks[i+1] AS f
+        FROM ds_t, unnest(range(1, len(toks))) s(i)
+    ), ds_feat AS (
+        SELECT doc_id, is_target, {_H60.format(e="f")} % 4096 AS bucket
+        FROM ds_bg
+    ), ds_bc AS (
+        SELECT bucket, count(*) AS c, sum(is_target) AS t FROM ds_feat GROUP BY 1
+    ), ds_tot AS (
+        SELECT sum(c) AS nc, sum(t) AS nt FROM ds_bc
+    ), ds_wt AS (
+        SELECT bucket,
+               (CAST(t + 1 AS HUGEINT) * nc * 1024)
+               // (CAST(c + 1 AS HUGEINT) * nt) AS w_fp
+        FROM ds_bc, ds_tot
+    ), ds_doc AS (
+        SELECT f.doc_id AS id, count(*) AS n_feats,
+               CAST(sum(w.w_fp) AS BIGINT) AS score_fp
+        FROM ds_feat f JOIN ds_wt w USING (bucket)
+        GROUP BY 1
+    ), ds_env AS (
+        SELECT sum(score_fp) AS gs, sum(n_feats) AS gn FROM ds_doc
+    ), ds AS (
+        SELECT id,
+               CAST(score_fp AS HUGEINT) * gn > CAST(gs AS HUGEINT) * n_feats
+                   AS kept
+        FROM ds_doc, ds_env
+    ),
+    -- branch 3: batch-perceptron prediction (doc_quality_classifier,
+    -- 3 epochs unrolled)
+    cf_feat0 AS (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+               {_H60.format(e="f")} % 4096 AS bucket,
+               CAST(count(*) AS BIGINT) AS x
+        FROM (
+            SELECT doc_id, lang, toks[i] || ' ' || toks[i+1] AS f
+            FROM ds_t, unnest(range(1, len(toks))) s(i)
+        ) GROUP BY 1, 2, 3
+    ), cf_feat AS (
+        SELECT * FROM cf_feat0
+        UNION ALL
+        SELECT doc_id, y, CAST(-1 AS BIGINT), CAST(1 AS BIGINT)
+        FROM (SELECT DISTINCT doc_id, y FROM cf_feat0)
+    ), cf_w1 AS (
+        SELECT bucket, CAST(sum(y * x) AS BIGINT) AS w FROM cf_feat GROUP BY 1
+    ), cf_s2 AS (
+        SELECT f.doc_id, f.y, sum(CAST(w.w AS HUGEINT) * f.x) AS s
+        FROM cf_feat f JOIN cf_w1 w USING (bucket) GROUP BY 1, 2
+    ), cf_u2 AS (
+        SELECT f.bucket, CAST(sum(f.y * f.x) AS BIGINT) AS dw
+        FROM cf_feat f JOIN cf_s2 ON cf_s2.doc_id = f.doc_id
+        WHERE cf_s2.y * cf_s2.s <= 0 GROUP BY 1
+    ), cf_w2 AS (
+        SELECT cf_w1.bucket, cf_w1.w + coalesce(cf_u2.dw, 0) AS w
+        FROM cf_w1 LEFT JOIN cf_u2 USING (bucket)
+    ), cf_s3 AS (
+        SELECT f.doc_id, f.y, sum(CAST(w.w AS HUGEINT) * f.x) AS s
+        FROM cf_feat f JOIN cf_w2 w USING (bucket) GROUP BY 1, 2
+    ), cf_u3 AS (
+        SELECT f.bucket, CAST(sum(f.y * f.x) AS BIGINT) AS dw
+        FROM cf_feat f JOIN cf_s3 ON cf_s3.doc_id = f.doc_id
+        WHERE cf_s3.y * cf_s3.s <= 0 GROUP BY 1
+    ), cf_w3 AS (
+        SELECT cf_w2.bucket, cf_w2.w + coalesce(cf_u3.dw, 0) AS w
+        FROM cf_w2 LEFT JOIN cf_u3 USING (bucket)
+    ), cf AS (
+        SELECT f.doc_id AS id, sum(CAST(w.w AS HUGEINT) * f.x) > 0 AS pred
+        FROM cf_feat f JOIN cf_w3 w USING (bucket)
+        GROUP BY 1
+    ),
+    j AS (
+        SELECT qr.passes AS a_r, ds.kept AS a_d, cf.pred AS a_c
+        FROM qr JOIN ds USING (id) JOIN cf USING (id)
+    ), s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN a_r THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+               CAST(sum(CASE WHEN a_d THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+               CAST(sum(CASE WHEN a_c THEN 1 ELSE 0 END) AS BIGINT) AS ncf,
+               CAST(sum(CASE WHEN a_r AND a_d THEN 1 ELSE 0 END) AS BIGINT) AS b_rd,
+               CAST(sum(CASE WHEN a_r = a_d THEN 1 ELSE 0 END) AS BIGINT) AS g_rd,
+               CAST(sum(CASE WHEN a_r AND a_c THEN 1 ELSE 0 END) AS BIGINT) AS b_rc,
+               CAST(sum(CASE WHEN a_r = a_c THEN 1 ELSE 0 END) AS BIGINT) AS g_rc,
+               CAST(sum(CASE WHEN a_d AND a_c THEN 1 ELSE 0 END) AS BIGINT) AS b_dc,
+               CAST(sum(CASE WHEN a_d = a_c THEN 1 ELSE 0 END) AS BIGINT) AS g_dc
+        FROM j
+    )
+    {_agree_pair_sql('rules_vs_dsir', 'nr', 'nd', 'b_rd', 'g_rd')}
+    UNION ALL
+    {_agree_pair_sql('rules_vs_clf', 'nr', 'ncf', 'b_rc', 'g_rc')}
+    UNION ALL
+    {_agree_pair_sql('dsir_vs_clf', 'nd', 'ncf', 'b_dc', 'g_dc')}
+    """,
+)
+def corpus_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-ensemble agreement audit over the quality triad — the
+    analysis a curation pipeline runs before composing filters (which
+    filters overlap, which add signal; cf. the filter-ablation tables of
+    Dolma/DataComp): pairwise raw agreement and Cohen's kappa between the
+    rule-based (doc_quality_rules ``passes``), distributional
+    (corpus_importance_resample ``kept``), and learned
+    (doc_quality_classifier ``pred``) keep decisions, on their common
+    domain (docs with ≥ 1 bigram; inner join of the three). All counts are
+    exact integers; agree_bp is 1/10⁴ fixed point; kappa is the one exact
+    int→double division (DECIMAL(38,0)/HUGEINT intermediates — n² passes
+    int64 at 10¹⁰ docs). Scale shape: the three branches are the audited
+    operators themselves; the agreement reduce is ONE aggregation to a
+    single scalar row expanded to 3 pair rows — rule-7 safe (all outputs
+    corpus-relative rates)."""
+    from map_reduce_group_spark.operators.classifier import (
+        perceptron_quality_classifier,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    qr = text.quality_rules(d, "doc_id", "text").select("id", "passes")
+    ds = importance.importance_scores(
+        d, "doc_id", "text", target=col("lang") == "en", n_buckets=4096
+    ).select("id", (col("kept") == 1).alias("kept"))
+    cf = perceptron_quality_classifier(
+        d, "doc_id", "text", target=col("lang") == "en", n_buckets=4096, epochs=3
+    ).select("id", "pred")
+    j = qr.join(ds, "id").join(cf, "id")
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(col("passes").cast("long")).cast("long").alias("nr"),
+        F.sum(col("kept").cast("long")).cast("long").alias("nd"),
+        F.sum(col("pred").cast("long")).cast("long").alias("ncf"),
+        F.sum((col("passes") & col("kept")).cast("long")).cast("long").alias("b_rd"),
+        F.sum((col("passes") == col("kept")).cast("long")).cast("long").alias("g_rd"),
+        F.sum((col("passes") & col("pred")).cast("long")).cast("long").alias("b_rc"),
+        F.sum((col("passes") == col("pred")).cast("long")).cast("long").alias("g_rc"),
+        F.sum((col("kept") & col("pred")).cast("long")).cast("long").alias("b_dc"),
+        F.sum((col("kept") == col("pred")).cast("long")).cast("long").alias("g_dc"),
+    )
+
+    def pair_row(name: str, na: str, nb: str, nboth: str, nagree: str):
+        num, den = _kappa_exprs(na, nb, nagree)
+        return s.select(
+            F.lit(name).alias("pair"),
+            col("n").alias("n_docs"),
+            col(na).alias("n_a"),
+            col(nb).alias("n_b"),
+            col(nboth).alias("n_both"),
+            col(nagree).alias("n_agree"),
+            F.expr(f"({nagree} * 10000) div n").cast("long").alias("agree_bp"),
+            F.expr(
+                f"CASE WHEN {den} = 0 THEN CAST(0.0 AS DOUBLE)"
+                f" ELSE CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) END"
+            ).alias("kappa"),
+        )
+
+    return (
+        pair_row("rules_vs_dsir", "nr", "nd", "b_rd", "g_rd")
+        .unionByName(pair_row("rules_vs_clf", "nr", "ncf", "b_rc", "g_rc"))
+        .unionByName(pair_row("dsir_vs_clf", "nd", "ncf", "b_dc", "g_dc"))
+    )
+
+
 @register(
     "corpus_mixture_temperature",
     oracle="""

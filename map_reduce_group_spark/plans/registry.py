@@ -70,6 +70,7 @@ COST_HINT = {
     "corpus_importance_resample": 3.0,
     "diag_join_key_skew": 4.5,
     "doc_quality_classifier": 2.7,
+    "corpus_filter_agreement": 8.0,
     "embed_ann_pq_adc": 1.3,
     "embed_matryoshka_agreement": 1.2,
     "stream_late_quarantine": 4.0,
