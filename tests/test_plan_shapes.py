@@ -431,6 +431,11 @@ BNLJ_ALLOWED = {
     "corpus_data_card",             # one-row corpus totals
     "corpus_importance_resample",   # one-row feature-total + corpus-mean
                                     # envelopes (nc/nt, gs/gn scalars)
+    "corpus_filter_agreement",      # composes quality_rules + DSIR, so it
+                                    # inherits exactly their one-row scalar
+                                    # crossJoins (corpus totals, nc/nt and
+                                    # gs/gn envelopes); its own reduce is a
+                                    # single 1-row aggregation
     "dedup_containment",            # one-row n_docs scalar for the df cap:
                                     # registered with max_doc_frac=0.01
                                     # (plans/llm.py), so capped_postings
