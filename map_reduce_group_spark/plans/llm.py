@@ -109,6 +109,68 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_tokenizer_fertility",
+    oracle=f"""
+    WITH t AS (
+        SELECT lang, CAST(length(text) AS BIGINT) AS nch,
+               CAST(len(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS nbpe,
+               CAST(len({_TOKS_SQL}) AS BIGINT) AS nw
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(nch) AS BIGINT) AS n_chars,
+           CAST(sum(nbpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(sum(nw) AS BIGINT) AS n_word_tokens,
+           CAST((sum(nch) * 100) // greatest(sum(nbpe), 1) AS BIGINT)
+               AS chars_per_bpe_fp,
+           CAST((sum(nbpe) * 100) // greatest(sum(nw), 1) AS BIGINT)
+               AS bpe_per_word_fp
+    FROM t GROUP BY lang
+    """,
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit by language — the multilingual corpus
+    metric (chars per BPE-ish token; BPE tokens per whitespace word) that
+    decides whether a tokenizer under- or over-segments a language's
+    share of the training mix (high fertility = more tokens per char =
+    that language pays more sequence length per byte). Integer 1/100
+    fixed point over exact per-language sums (rule 1; int64 headroom:
+    Σchars·100 at a 10^14-char / 100 TB corpus is 10^16). Scale shape:
+    one map-side projection (regexp counts, no token arrays materialize)
+    and ONE partial-agg shuffle keyed by lang — ~n_langs output rows at
+    any corpus size (rule 7: pure corpus-relative rates)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        F.length("text").cast("long").alias("nch"),
+        bpe_ish_token_count("text").cast("long").alias("nbpe"),
+        token_count("text").cast("long").alias("nw"),
+    )
+    return (
+        t.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nch").cast("long").alias("n_chars"),
+            F.sum("nbpe").cast("long").alias("n_bpe_tokens"),
+            F.sum("nw").cast("long").alias("n_word_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_chars",
+            "n_bpe_tokens",
+            "n_word_tokens",
+            F.expr("(n_chars * 100) div greatest(n_bpe_tokens, 1)")
+            .cast("long").alias("chars_per_bpe_fp"),
+            F.expr("(n_bpe_tokens * 100) div greatest(n_word_tokens, 1)")
+            .cast("long").alias("bpe_per_word_fp"),
+        )
+    )
+
+
 def _occ_sql(marker: str) -> str:
     pad = "concat(' ', lower(text), ' ')"
     return (
