@@ -65,6 +65,79 @@ def davg(c: Column | str) -> Column:
     return dec2double(F.sum(money(c))) / F.count(F.col(c) if isinstance(c, str) else c)
 
 
+#: Default display scale for fixed-point ratios (6 decimals, matching the
+#: former round(x, 6) presentation columns).
+FP6 = 1_000_000
+
+
+def fp_ratio(num_sql: str, den_sql: str, scale: int = FP6) -> Column:
+    """Display ratio ``num/den`` in 1/``scale`` integer fixed point — the
+    rule-1 replacement for ``F.round(num/den, k)`` on integer inputs.
+
+    ``(num*scale) div den`` is exact integer arithmetic (truncation toward
+    zero, identical on every engine for the non-negative counts these
+    display columns hold), then one exact int→double cast and one division
+    by a power of ten — no decimal rounding step anywhere, so the
+    Spark-BigDecimal-HALF_UP vs DuckDB-scaled-binary divergence class
+    (module docstring, rule 1) cannot arise. Arguments are SQL fragments
+    resolved against the frame (struct field paths allowed). Numerator
+    must stay within int64 after ×scale — callers with corpus-scale counts
+    cast to DECIMAL(38,0) first (see sql_fp_ratio_dec38).
+    """
+    return (
+        F.expr(f"(({num_sql}) * {scale}) div ({den_sql})").cast("double")
+        / float(scale)
+    )
+
+
+def sql_fp_ratio(num_sql: str, den_sql: str, scale: int = FP6) -> str:
+    """DuckDB twin of :func:`fp_ratio` (``//`` == floor division ≡
+    truncation for the non-negative inputs these sites hold)."""
+    return f"(CAST((({num_sql}) * {scale}) // ({den_sql}) AS DOUBLE) / {scale}.0)"
+
+
+def fp_ratio_dec38(num_sql: str, den_sql: str, scale: int = FP6) -> Column:
+    """:func:`fp_ratio` with DECIMAL(38,0) numerator headroom, for
+    numerators that are corpus-scale counts (×scale brushes int64 past
+    ~10¹² rows)."""
+    return (
+        F.expr(
+            f"CAST(CAST(({num_sql}) AS DECIMAL(38,0)) * {scale} AS DECIMAL(38,0))"
+            f" div ({den_sql})"
+        ).cast("double")
+        / float(scale)
+    )
+
+
+def sql_fp_ratio_dec38(num_sql: str, den_sql: str, scale: int = FP6) -> str:
+    """DuckDB twin of :func:`fp_ratio_dec38` (sum(BIGINT) is already
+    HUGEINT in DuckDB, so plain ``//`` carries the headroom)."""
+    return f"(CAST((({num_sql}) * {scale}) // ({den_sql}) AS DOUBLE) / {scale}.0)"
+
+
+def fp_floor(c: Column, scale: int = FP6) -> Column:
+    """Engine-symmetric fixed-point display for a genuinely-float value:
+    ``floor(x·scale)/scale``.
+
+    Why this is safe where ``round(x, k)`` is not: the round hazard
+    (module docstring) is that Spark rounds the value's *shortest decimal
+    string* while DuckDB rounds the *binary* value scaled by 10^k — two
+    different functions of the same double. ``floor`` has no decimal
+    detour: both engines apply IEEE floor to the bit-identical product
+    ``x·scale`` (one IEEE multiply of identical operands), so the result
+    is identical whenever the input doubles are — which the callers
+    guarantee by computing ``x`` with the same expression shape on both
+    sides. Use only when the value is irreducibly float (e.g. a min over
+    ratios of arbitrary weights); prefer :func:`fp_ratio` for integer
+    numerator/denominator."""
+    return F.floor(c * scale).cast("double") / float(scale)
+
+
+def sql_fp_floor(expr: str, scale: int = FP6) -> str:
+    """DuckDB twin of :func:`fp_floor`."""
+    return f"(floor(({expr}) * {scale}) / {scale}.0)"
+
+
 # Oracle-side (DuckDB SQL) fragments implementing the same policy.
 def sql_dsum(col: str) -> str:
     return f"CAST(CAST(sum(CAST({col} AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)"

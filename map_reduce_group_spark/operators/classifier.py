@@ -28,7 +28,10 @@ weight and score exactly.
 Scale shape (100 TB): feature assembly is the rule-2 posexplode + lead
 shape; the feature matrix (id, y, bucket, x) materializes ONCE via an
 eager localCheckpoint and is reused across epochs (blocks are
-ContextCleaner-released when the plan is dropped). Per epoch: one
+ContextCleaner-released when the plan is dropped; the trade — ADVICE
+r8 #3 — is truncated lineage: a lost block aborts rather than recomputes,
+acceptable for the driver/bench harness, swap to persist + explicit
+unpersist where executor-loss recovery matters). Per epoch: one
 broadcast join against the ≤ n_buckets+1-row weight table, one
 doc-partitioned sum, one bucket-partitioned update aggregation. Driver
 state is exactly the weight vector (≤ n_buckets+1 collected rows per
@@ -99,7 +102,9 @@ def perceptron_quality_classifier(
 
     Returns (id, n_feats, score, pred, is_target):
 
-    - ``score``  — the final-epoch integer decision value Σ_b w[b]·x[b];
+    - ``score``  — the final-epoch decision value Σ_b w[b]·x[b], computed
+      exactly in DECIMAL(38,0) and emitted as double via the exact decimal
+      string (overflow-free at any scale; see the output-cast note below);
     - ``pred``   — score > 0 (predicted member of the target class);
     - ``is_target`` — the training label (pred vs is_target gives the
       train confusion matrix downstream);
@@ -155,7 +160,17 @@ def perceptron_quality_classifier(
         .groupBy("id", "y")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_feats"),
-            F.expr("CAST(sum(CAST(w AS DECIMAL(38,0)) * x) AS BIGINT)").alias("score"),
+            # ADVICE r8 #1: the w·x sum needs DECIMAL(38,0) precisely
+            # because it brushes int64 at full scale — casting it BACK to
+            # BIGINT reintroduced the silent-NULL-on-overflow class
+            # (non-ANSI Spark nulls, DuckDB errors). Emit as double via
+            # the exact decimal STRING (numeric.dec2double policy): no
+            # overflow at any magnitude, both engines parse the same
+            # decimal string to the same correctly-rounded double, and the
+            # sign (hence pred) is always preserved.
+            F.expr(
+                "CAST(CAST(sum(CAST(w AS DECIMAL(38,0)) * x) AS STRING) AS DOUBLE)"
+            ).alias("score"),
         )
         .select(
             "id",

@@ -26,6 +26,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 from pyspark.sql.functions import col
 
+from map_reduce_group_spark.functions.numeric import fp_ratio
 from map_reduce_group_spark.operators.text import fingerprint, tokens
 
 
@@ -198,7 +199,8 @@ def _worth_collapsing(df: DataFrame, text_col: str) -> bool:
 def _exact_jaccard_pairs(postings: DataFrame, threshold: float) -> DataFrame:
     """(id_a, id_b, n_common, jaccard) for every posting-sharing pair at or
     above ``threshold`` — the shared verification shape of the exact-Jaccard
-    family (threshold on the RAW quotient; rounding is presentation)."""
+    family (threshold on the RAW quotient; the displayed jaccard is 1/10^6
+    integer fixed point — functions/numeric.py:fp_ratio, rule 1)."""
     a = postings.select(col("id").alias("id_a"), col("set_size").alias("size_a"), "shingle")
     b = postings.select(col("id").alias("id_b"), col("set_size").alias("size_b"), "shingle")
     return (
@@ -210,7 +212,12 @@ def _exact_jaccard_pairs(postings: DataFrame, threshold: float) -> DataFrame:
             "jaccard_raw", col("n_common") / (col("size_a") + col("size_b") - col("n_common"))
         )
         .filter(col("jaccard_raw") >= threshold)
-        .select("id_a", "id_b", "n_common", F.round("jaccard_raw", 6).alias("jaccard"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            fp_ratio("n_common", "size_a + size_b - n_common").alias("jaccard"),
+        )
     )
 
 
@@ -313,7 +320,7 @@ def ngram_jaccard_pairs(
     anyway), and a length-ratio prefilter size_a/size_b ≥ t.
 
     The threshold is applied to the RAW quotient (matches the oracle);
-    rounding is presentation only.
+    the displayed value is 1/10^6 integer fixed point (fp_ratio, rule 1).
 
     ``max_doc_freq`` / ``max_doc_frac`` are the 100 TB lever: drop
     stop-shingles appearing in more than that many (resp. that fraction of)
@@ -365,7 +372,7 @@ def ngram_jaccard_pairs(
             "id_a",
             "id_b",
             col("n_kept").alias("n_common"),
-            F.round("jaccard_raw", 6).alias("jaccard"),
+            fp_ratio("n_kept", "set_size * 2 - n_kept").alias("jaccard"),
         )
     )
     return cross.unionByName(within)
@@ -481,7 +488,12 @@ def jaccard_prefix_filter_pairs(
             "jaccard_raw", col("n_common") / (col("size_a") + col("size_b") - col("n_common"))
         )
         .filter(col("jaccard_raw") >= threshold)
-        .select("id_a", "id_b", "n_common", F.round("jaccard_raw", 6).alias("jaccard"))
+        .select(
+            "id_a",
+            "id_b",
+            "n_common",
+            fp_ratio("n_common", "size_a + size_b - n_common").alias("jaccard"),
+        )
     )
     if not collapse:
         return rep_pairs
@@ -532,7 +544,7 @@ def _containment_counts(postings: DataFrame) -> DataFrame:
 def _directional_containment(counts: DataFrame, threshold: float) -> DataFrame:
     """Expand undirected overlap counts into qualifying DIRECTIONAL rows:
     src→dst iff |src∩dst| / |src| ≥ threshold (threshold on the RAW
-    quotient; rounding is presentation).
+    quotient; the display is 1/10^6 integer fixed point — fp_ratio).
 
     Single-pass ``explode(array(struct…))``, not a two-branch union — the
     ``counts`` argument is the expensive posting self-join aggregate, and a
@@ -544,24 +556,24 @@ def _directional_containment(counts: DataFrame, threshold: float) -> DataFrame:
                 F.struct(
                     col("id_a").alias("src_id"),
                     col("id_b").alias("dst_id"),
-                    (col("n_common") / col("size_a")).alias("containment_raw"),
+                    col("size_a").alias("src_size"),
                 ),
                 F.struct(
                     col("id_b").alias("src_id"),
                     col("id_a").alias("dst_id"),
-                    (col("n_common") / col("size_b")).alias("containment_raw"),
+                    col("size_b").alias("src_size"),
                 ),
             )
         ).alias("e"),
         "n_common",
     )
     return (
-        sym.filter(col("e.containment_raw") >= threshold)
+        sym.filter(col("n_common") / col("e.src_size") >= threshold)
         .select(
             col("e.src_id").alias("src_id"),
             col("e.dst_id").alias("dst_id"),
             "n_common",
-            F.round("e.containment_raw", 6).alias("containment"),
+            fp_ratio("n_common", "e.src_size").alias("containment"),
         )
     )
 
@@ -634,7 +646,7 @@ def containment_pairs(
             "src_id",
             "dst_id",
             col("n_kept").alias("n_common"),
-            F.round("containment_raw", 6).alias("containment"),
+            fp_ratio("n_kept", "set_size").alias("containment"),
         )
     )
     return cross.unionByName(within)
@@ -935,7 +947,11 @@ def minhash_lsh_pairs(
             "jaccard_raw", col("n_common") / (col("size_a") + col("size_b") - col("n_common"))
         )
         .filter(col("jaccard_raw") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard_raw", 6).alias("jaccard"))
+        .select(
+            "id_a",
+            "id_b",
+            fp_ratio("n_common", "size_a + size_b - n_common").alias("jaccard"),
+        )
     )
     if not collapse:
         return rep_pairs
@@ -1279,10 +1295,20 @@ def span_dedup_stats(
         ).cast("long").alias("kept"),
     )
     n = F.count(F.lit(1))
-    return marked.groupBy("id").agg(
-        n.cast("long").alias("n_spans"),
-        F.sum("kept").cast("long").alias("n_kept"),
-        F.round((n - F.sum("kept")) / n, 6).alias("removed_frac"),
+    return (
+        marked.groupBy("id")
+        .agg(
+            n.cast("long").alias("n_spans"),
+            F.sum("kept").cast("long").alias("n_kept"),
+        )
+        # 1/10^6 integer fixed point (rule 1); per-document span counts,
+        # so the ×10^6 product is bounded by doc length — no headroom risk
+        .select(
+            "id",
+            "n_spans",
+            "n_kept",
+            fp_ratio("n_spans - n_kept", "n_spans").alias("removed_frac"),
+        )
     )
 
 
@@ -1327,7 +1353,9 @@ def benchmark_contamination(
         "id",
         col("n_grams").cast("long").alias("n_grams"),
         shared.cast("long").alias("n_shared"),
-        F.round(shared / F.greatest(col("n_grams"), F.lit(1)), 6).alias("overlap_frac"),
+        fp_ratio("coalesce(n_shared, 0)", "greatest(n_grams, 1)").alias(
+            "overlap_frac"
+        ),
         (shared > 0).alias("contaminated"),
     )
 

@@ -40,7 +40,11 @@ def key_skew_profile(
     scalars riding broadcasts. localCheckpoint, not persist: the blocks
     are ContextCleaner-released when the returned plan is dropped, so a
     long-lived session re-invoking the profile (the bench loop does) does
-    not accumulate cached blocks for its lifetime (ADVICE r7 #4). NULL
+    not accumulate cached blocks for its lifetime (ADVICE r7 #4); the
+    trade (ADVICE r8 #3) is truncated lineage — a lost block is
+    unrecoverable rather than recomputed, acceptable for this audit
+    harness, revisit (persist + teardown unpersist) where executor-loss
+    recovery matters. NULL
     keys count as a key (they hash to one partition in a real join —
     exactly the skew this audit exists to catch) via a sentinel bucket.
     """

@@ -36,6 +36,14 @@ Query terms ride a broadcast (selected via orderBy().limit() →
 TakeOrderedAndProject, never a global window over the vocabulary); corpus
 totals ride a one-row broadcast; the final top-k is a query_id-partitioned
 row_number (WindowGroupLimit). Raw text never shuffles.
+
+Fault-tolerance trade (ADVICE r8 #3): localCheckpoint truncates lineage —
+a lost executor/block makes the checkpointed frame unrecoverable, where
+persist would recompute from lineage — and runs a job eagerly at
+plan-build time. That is the right trade for the driver/bench harness
+this registry serves (no lineage leak, bounded memory); a long-lived
+production cluster that must survive executor loss should swap in
+persist(StorageLevel.*_2) + an explicit unpersist teardown hook instead.
 """
 
 from __future__ import annotations

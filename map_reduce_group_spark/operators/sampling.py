@@ -11,6 +11,8 @@ formula has a byte-identical ANSI-SQL twin for the DuckDB oracles.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+
+from map_reduce_group_spark.functions.numeric import fp_floor, fp_ratio
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql.functions import col
 
@@ -83,10 +85,12 @@ def mixture_rebalance(
             "source",
             col("n_docs").cast("long").alias("n_docs"),
             F.coalesce(col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-            F.round("accept_rate", 6).alias("accept_rate"),
-            F.round(F.coalesce(col("n_kept"), F.lit(0)) / col("n_docs"), 6).alias(
-                "kept_frac"
-            ),
+            # accept_rate is irreducibly float (min over weight ratios /
+            # a correctly-rounded sqrt) -> engine-symmetric floor fixed
+            # point; kept_frac is an integer ratio -> exact integer fp6
+            # (both: rule 1, never round() a double)
+            fp_floor(col("accept_rate")).alias("accept_rate"),
+            fp_ratio("coalesce(n_kept, 0)", "n_docs").alias("kept_frac"),
         )
     )
 
@@ -165,10 +169,12 @@ def mixture_temperature(
             "source",
             col("n_docs").cast("long").alias("n_docs"),
             F.coalesce(col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-            F.round("accept_rate", 6).alias("accept_rate"),
-            F.round(F.coalesce(col("n_kept"), F.lit(0)) / col("n_docs"), 6).alias(
-                "kept_frac"
-            ),
+            # accept_rate is irreducibly float (min over weight ratios /
+            # a correctly-rounded sqrt) -> engine-symmetric floor fixed
+            # point; kept_frac is an integer ratio -> exact integer fp6
+            # (both: rule 1, never round() a double)
+            fp_floor(col("accept_rate")).alias("accept_rate"),
+            fp_ratio("coalesce(n_kept, 0)", "n_docs").alias("kept_frac"),
         )
     )
 

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import col
 
 from map_reduce_group_spark.catalog import load_table
+from map_reduce_group_spark.functions.numeric import fp_ratio, fp_ratio_dec38
 from map_reduce_group_spark.operators import dedup, importance, similarity, text
 from map_reduce_group_spark.operators.text import (
     LANG_MARKERS,
@@ -85,27 +86,37 @@ _PII_INJECT_SQL = """
     SELECT doc_id,
            len({_TOKS_SQL})                 AS n_tokens,
            len(list_distinct({_TOKS_SQL}))  AS n_unique,
-           round(CASE WHEN len({_TOKS_SQL}) = 0 THEN 0.0
-                 ELSE list_sum(list_transform({_TOKS_SQL}, x -> CAST(length(x) AS DOUBLE)))
-                      / len({_TOKS_SQL}) END, 4) AS avg_token_len,
+           CASE WHEN len({_TOKS_SQL}) = 0 THEN 0.0
+                ELSE CAST((CAST(list_sum(list_transform({_TOKS_SQL},
+                               x -> CAST(length(x) AS BIGINT))) AS BIGINT) * 10000)
+                          // len({_TOKS_SQL}) AS DOUBLE) / 10000.0
+           END AS avg_token_len,
            len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_ish
     FROM documents
     """,
 )
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace + BPE-ish regex) — all JVM built-ins."""
+    """Token counting (whitespace + BPE-ish regex) — all JVM built-ins.
+    avg_token_len is displayed in 1/10^4 integer fixed point (rule 1)."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     # Σ token lengths == length of the separator-less concatenation — pure
     # codegen, no interpreted aggregate lambda (CLAUDE.md rule 2)
-    total_len = F.length(F.array_join(toks, "")).cast("double")
-    avg_len = F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(total_len / F.size(toks))
     return d.select(
         "doc_id",
         token_count("text").cast("long").alias("n_tokens"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
-        F.round(avg_len, 4).alias("avg_token_len"),
+        F.length(F.array_join(toks, "")).alias("_total_len"),
+        F.size(toks).alias("_n"),
         bpe_ish_token_count("text").cast("long").alias("n_bpe_ish"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_unique",
+        F.when(col("_n") == 0, F.lit(0.0))
+        .otherwise(fp_ratio("_total_len", "_n", 10_000))
+        .alias("avg_token_len"),
+        "n_bpe_ish",
     )
 
 
@@ -223,30 +234,41 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, n_chars, n_words,
-           round(c_the / greatest(n_words, 1), 6)                        AS stopword_ratio,
-           round(least(1.0, n_words / 50.0)
-                 * (1.0 - least(1.0, c_the / greatest(n_words, 1))), 6)  AS quality_score
+           (CAST((c_the * 1000000) // greatest(n_words, 1) AS DOUBLE)
+            / 1000000.0) AS stopword_ratio,
+           (CAST((least(n_words, 50)
+                  * (greatest(n_words, 1) - least(c_the, greatest(n_words, 1)))
+                  * 1000000)
+                 // (50 * greatest(n_words, 1)) AS DOUBLE)
+            / 1000000.0) AS quality_score
     FROM t
     """,
 )
 def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring from length + stopword-density signals (the classic
-    pretraining-corpus heuristics, all SQL-expressible)."""
+    pretraining-corpus heuristics, all SQL-expressible). Both display
+    ratios are 1/10^6 integer fixed point (rule 1): the composite score
+    least(1, n/50)·(1 − least(1, c/g)) is the exact rational
+    least(n,50)·(g − least(c,g)) / (50·g), g = greatest(n,1) — numerator
+    ≤ 50·doc_len·10^6, bounded by document length, no int64 risk."""
     from map_reduce_group_spark.operators.text import occurrences
 
     d = load_table(spark, sf_dir, "documents")
-    n_words = token_count("text")
-    c_the = occurrences(col("text"), " the ")
-    ratio = c_the / F.greatest(n_words, F.lit(1))
-    score = F.least(F.lit(1.0), n_words / F.lit(50.0)) * (
-        F.lit(1.0) - F.least(F.lit(1.0), ratio)
-    )
     return d.select(
         "doc_id",
         "n_chars",
-        n_words.cast("long").alias("n_words"),
-        F.round(ratio, 6).alias("stopword_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        token_count("text").cast("long").alias("n_words"),
+        occurrences(col("text"), " the ").alias("_c_the"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        "n_words",
+        fp_ratio("_c_the", "greatest(n_words, 1)").alias("stopword_ratio"),
+        fp_ratio(
+            "least(n_words, 50)"
+            " * (greatest(n_words, 1) - least(_c_the, greatest(n_words, 1)))",
+            "50 * greatest(n_words, 1)",
+        ).alias("quality_score"),
     )
 
 
@@ -302,7 +324,8 @@ _MH_SEED_VALUES = ", ".join(
         GROUP BY 1, 2, 3, 4
     )
     SELECT id_a, id_b, n_common,
-           round(CAST(n_common AS DOUBLE) / (size_a + size_b - n_common), 6) AS jaccard
+           (CAST((n_common * 1000000) // (size_a + size_b - n_common) AS DOUBLE)
+               / 1000000.0) AS jaccard
     FROM pair_counts
     WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= 0.05
     """,
@@ -340,7 +363,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2, 3, 4
     )
     SELECT id_a, id_b, n_common,
-           round(CAST(n_common AS DOUBLE) / (size_a + size_b - n_common), 6) AS jaccard
+           (CAST((n_common * 1000000) // (size_a + size_b - n_common) AS DOUBLE)
+               / 1000000.0) AS jaccard
     FROM pair_counts
     WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= 0.05
     """,
@@ -385,16 +409,17 @@ def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE a.id < b.id
         GROUP BY 1, 2, 3, 4
     ), directional AS (
-        SELECT id_a AS src_id, id_b AS dst_id, n_common,
-               CAST(n_common AS DOUBLE) / size_a AS c
+        SELECT id_a AS src_id, id_b AS dst_id, n_common, size_a AS src_size
         FROM pair_counts
         UNION ALL
-        SELECT id_b, id_a, n_common, CAST(n_common AS DOUBLE) / size_b
+        SELECT id_b, id_a, n_common, size_b
         FROM pair_counts
     )
-    SELECT src_id, dst_id, n_common, round(c, 6) AS containment
+    SELECT src_id, dst_id, n_common,
+           (CAST((n_common * 1000000) // src_size AS DOUBLE)
+            / 1000000.0) AS containment
     FROM directional
-    WHERE c >= 0.6
+    WHERE CAST(n_common AS DOUBLE) / src_size >= 0.6
     """,
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -432,7 +457,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2, 3, 4
     )
     SELECT id_a, id_b, n_common,
-           round(CAST(n_common AS DOUBLE) / (size_a + size_b - n_common), 6) AS jaccard
+           (CAST((n_common * 1000000) // (size_a + size_b - n_common) AS DOUBLE)
+               / 1000000.0) AS jaccard
     FROM pair_counts
     WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= 0.5
     """,
@@ -628,7 +654,8 @@ _PREFIX_PAIRS_CTES = f"""
         GROUP BY 1, 2, 3, 4
     ), rep_pairs AS (
         SELECT id_a, id_b, n_common,
-               round(CAST(n_common AS DOUBLE) / (size_a + size_b - n_common), 6) AS jaccard
+               (CAST((n_common * 1000000) // (size_a + size_b - n_common) AS DOUBLE)
+               / 1000000.0) AS jaccard
         FROM pair_counts
         WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= 0.5
     ), pairs AS (
@@ -689,7 +716,8 @@ def _collapsed_pairs_sql(threshold: float, frac_cap: float | None = None) -> str
         FROM {src} p JOIN (SELECT DISTINCT rep FROM reps) r ON p.id = r.rep
     ), rep_pairs AS (
         SELECT id_a, id_b, n_common,
-               round(CAST(n_common AS DOUBLE) / (size_a + size_b - n_common), 6) AS jaccard
+               (CAST((n_common * 1000000) // (size_a + size_b - n_common) AS DOUBLE)
+               / 1000000.0) AS jaccard
         FROM (
             SELECT a.id AS id_a, b.id AS id_b,
                    a.set_size AS size_a, b.set_size AS size_b,
@@ -708,7 +736,8 @@ def _collapsed_pairs_sql(threshold: float, frac_cap: float | None = None) -> str
     UNION ALL
     SELECT m1.id AS id_a, m2.id AS id_b,
            CAST(m1.n_kept AS BIGINT) AS n_common,
-           round(CAST(m1.n_kept AS DOUBLE) / (2 * m1.set_size - m1.n_kept), 6) AS jaccard
+           (CAST((m1.n_kept * 1000000) // (2 * m1.set_size - m1.n_kept) AS DOUBLE)
+           / 1000000.0) AS jaccard
     FROM members m1 JOIN members m2 USING (set_fp, set_size)
     WHERE m1.id < m2.id
       AND CAST(m1.n_kept AS DOUBLE) / (2 * m1.set_size - m1.n_kept) >= {threshold}
@@ -780,23 +809,24 @@ def _collapsed_containment_sql(threshold: float, frac_cap: float | None = None) 
         WHERE a.id < b.id
         GROUP BY 1, 2, 3, 4
     ), rep_dir AS (
-        SELECT id_a AS src, id_b AS dst, n_common,
-               CAST(n_common AS DOUBLE) / size_a AS c
+        SELECT id_a AS src, id_b AS dst, n_common, size_a AS src_size
         FROM rep_counts
         UNION ALL
-        SELECT id_b, id_a, n_common, CAST(n_common AS DOUBLE) / size_b
+        SELECT id_b, id_a, n_common, size_b
         FROM rep_counts
     )
     SELECT ms.id AS src_id, md.id AS dst_id, rd.n_common,
-           round(rd.c, 6) AS containment
+           (CAST((rd.n_common * 1000000) // rd.src_size AS DOUBLE)
+            / 1000000.0) AS containment
     FROM rep_dir rd
     JOIN members ms ON ms.rep = rd.src
     JOIN members md ON md.rep = rd.dst
-    WHERE rd.c >= {threshold}
+    WHERE CAST(rd.n_common AS DOUBLE) / rd.src_size >= {threshold}
     UNION ALL
     SELECT m1.id AS src_id, m2.id AS dst_id,
            CAST(m1.n_kept AS BIGINT) AS n_common,
-           round(CAST(m1.n_kept AS DOUBLE) / m1.set_size, 6) AS containment
+           (CAST((m1.n_kept * 1000000) // m1.set_size AS DOUBLE)
+            / 1000000.0) AS containment
     FROM members m1 JOIN members m2 USING (rep)
     WHERE m1.id <> m2.id
       AND CAST(m1.n_kept AS DOUBLE) / m1.set_size >= {threshold}
@@ -1102,7 +1132,8 @@ def _collapsed_minhash_scale_oracle(frac_cap: float | None = None) -> str:
         GROUP BY 1, 2, 3, 4
     ), rep_pairs AS (
         SELECT id_a, id_b,
-               round(CAST(n_common AS DOUBLE) / (size_a + size_b - n_common), 6) AS jaccard
+               (CAST((n_common * 1000000) // (size_a + size_b - n_common) AS DOUBLE)
+               / 1000000.0) AS jaccard
         FROM pair_counts
         WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= 0.3
     )
@@ -1629,7 +1660,8 @@ _SIMHASH_COMBO_VALUES = ", ".join(
         GROUP BY 1, 2, 3, 4
     )
     SELECT id_a, id_b,
-           round(CAST(n_common AS DOUBLE) / (size_a + size_b - n_common), 6) AS jaccard
+           (CAST((n_common * 1000000) // (size_a + size_b - n_common) AS DOUBLE)
+               / 1000000.0) AS jaccard
     FROM pair_counts
     WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= 0.3
     """,
@@ -1698,7 +1730,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2, 3, 4
     )
     SELECT id_a, id_b,
-           round(CAST(n_common AS DOUBLE) / (size_a + size_b - n_common), 6) AS jaccard
+           (CAST((n_common * 1000000) // (size_a + size_b - n_common) AS DOUBLE)
+               / 1000000.0) AS jaccard
     FROM pair_counts
     WHERE CAST(n_common AS DOUBLE) / (size_a + size_b - n_common) >= 0.3
     """,
@@ -1992,8 +2025,18 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "term",
-            # rounded to 6 on BOTH sides: JVM Math.log and libm log may
-            # differ by 1 ulp — ranking and output use the rounded value
+            # ADJUDICATED residual round() (rule-1 exception, VERDICT r8 #1):
+            # tf-idf is irreducibly float — JVM Math.log and libm log may
+            # differ by 1 ulp, so the two engines' inputs are not
+            # bit-identical and NO discretization (round, floor, fixed
+            # point) can be divergence-free; each disagrees only when the
+            # two values straddle a grid boundary. round-6 is kept because
+            # the boundary-straddle class here is benign: the values are
+            # logs of rational numbers — irrational, never sitting ON a
+            # decimal boundary the way 2-decimal money sums do (the
+            # original rule-1 bite was x.5 EXACTLY at the cut position) —
+            # so a disagreement needs the true value within ~1 ulp of a
+            # 5e-7 grid line: ~2^-33 per value, hash-green r2-r8.
             F.round(
                 (col("tf_count").cast("double") / col("doc_len"))
                 * F.log((col("n_docs") + F.lit(1.0)) / (col("doc_freq") + F.lit(1.0))),
@@ -2133,7 +2176,8 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ex GROUP BY 1, 2
     ), rep AS (
         SELECT doc_id,
-               round((sum(c) - count(*)) / greatest(sum(c), 1), 6) AS dup
+               CAST(((sum(c) - count(*)) * 10000) // greatest(sum(c), 1) AS DOUBLE)
+                   / 10000.0 AS dup
         FROM gramc GROUP BY 1
     ), rep_all AS (
         SELECT d.doc_id, coalesce(rep.dup, 0) AS dup
@@ -2774,7 +2818,7 @@ def embed_quantized_topk_agreement(spark: SparkSession, sf_dir: str) -> DataFram
         FROM q JOIN s USING (j) GROUP BY 1, 2
     )
     SELECT id, CAST(k AS BIGINT) AS k, code,
-           round(code / 1048576.0 / sqrt(8.0), 6) AS value
+           (floor(code / 1048576.0 / sqrt(8.0) * 1000000) / 1000000.0) AS value
     FROM c
     """,
 )
@@ -2874,8 +2918,9 @@ def embed_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(n_docs AS BIGINT) AS n_docs,
            CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
-           round(accept_rate, 6) AS accept_rate,
-           round(coalesce(n_kept, 0) / n_docs, 6) AS kept_frac
+           (floor(accept_rate * 1000000) / 1000000.0) AS accept_rate,
+           (CAST((coalesce(n_kept, 0) * 1000000) // n_docs AS DOUBLE)
+            / 1000000.0) AS kept_frac
     FROM rates LEFT JOIN kept USING (source)
     """,
 )
@@ -2998,7 +3043,7 @@ def corpus_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM w2 LEFT JOIN u3 USING (bucket)
     )
     SELECT f.doc_id AS id, CAST(count(*) AS BIGINT) AS n_feats,
-           CAST(sum(CAST(w.w AS HUGEINT) * f.x) AS BIGINT) AS score,
+           CAST(CAST(sum(CAST(w.w AS HUGEINT) * f.x) AS VARCHAR) AS DOUBLE) AS score,
            sum(CAST(w.w AS HUGEINT) * f.x) > 0 AS pred,
            max(f.y) > 0 AS is_target
     FROM feat f JOIN w3 w USING (bucket)
@@ -3236,6 +3281,14 @@ def corpus_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((col("kept") & col("pred")).cast("long")).cast("long").alias("b_dc"),
         F.sum((col("kept") == col("pred")).cast("long")).cast("long").alias("g_dc"),
     )
+    # ADVICE r8 #2: the three pair_row selects below each reference `s`;
+    # without a cut, the full three-branch pipeline (rules tokenize+shuffle,
+    # DSIR scoring, 3-epoch perceptron over the checkpointed features) would
+    # execute once PER pair row. Materialize the one-row aggregate eagerly
+    # so the composite runs exactly once (~3× less work, measured 10.4→
+    # ~4 s at sf0.1). Lineage truncation is the right trade on a 1-row
+    # frame: re-deriving it costs the whole pipeline, storing it is ~100 B.
+    s = s.localCheckpoint(eager=True)
 
     def pair_row(name: str, na: str, nb: str, nboth: str, nagree: str):
         num, den = _kappa_exprs(na, nb, nagree)
@@ -3279,8 +3332,9 @@ def corpus_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang,
            CAST(n_docs AS BIGINT) AS n_docs,
            CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
-           round(accept_rate, 6) AS accept_rate,
-           round(coalesce(n_kept, 0) / n_docs, 6) AS kept_frac
+           (floor(accept_rate * 1000000) / 1000000.0) AS accept_rate,
+           (CAST((coalesce(n_kept, 0) * 1000000) // n_docs AS DOUBLE)
+            / 1000000.0) AS kept_frac
     FROM rates LEFT JOIN kept USING (lang)
     """,
 )
@@ -3318,7 +3372,9 @@ def corpus_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, split,
            CAST(count(*) AS BIGINT) AS n_docs,
-           round(count(*) / sum(count(*)) OVER (PARTITION BY source), 6) AS frac
+           (CAST((CAST(count(*) AS HUGEINT) * 1000000)
+                 // sum(count(*)) OVER (PARTITION BY source) AS DOUBLE)
+            / 1000000.0) AS frac
     FROM s GROUP BY 1, 2
     """,
 )
@@ -3344,7 +3400,14 @@ def corpus_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "split",
         col("n").cast("long").alias("n_docs"),
-        F.round(col("n") / F.sum("n").over(per_source), 6).alias("frac"),
+        F.sum("n").over(per_source).alias("_tot"),
+    ).select(
+        "source",
+        "split",
+        "n_docs",
+        # DECIMAL(38,0) headroom: n_docs is a corpus-scale count, ×10^6
+        # brushes int64 past ~9e12 rows (rule 1 + the BM25 headroom lesson)
+        fp_ratio_dec38("n_docs", "_tot").alias("frac"),
     )
 
 
@@ -3435,7 +3498,8 @@ def corpus_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT tot.doc_id AS id,
            CAST(n_grams AS BIGINT) AS n_grams,
            CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
-           round(coalesce(n_shared, 0) / greatest(n_grams, 1), 6) AS overlap_frac,
+           (CAST((coalesce(n_shared, 0) * 1000000) // greatest(n_grams, 1) AS DOUBLE)
+            / 1000000.0) AS overlap_frac,
            coalesce(n_shared, 0) > 0 AS contaminated
     FROM tot LEFT JOIN hits USING (doc_id)
     """,
@@ -3453,6 +3517,62 @@ def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(col("doc_id") % 97 == 0)
     corpus = d.filter(col("doc_id") % 97 != 0)
     return dedup.benchmark_contamination(corpus, bench, "doc_id", "text", n=3)
+
+
+@register(
+    "corpus_semantic_contamination",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 1048576) AS BIGINT)) AS qv
+        FROM embeddings
+    ), n AS (
+        SELECT vec_id, qv,
+               CAST(list_dot_product(qv, qv) AS BIGINT) AS nrm2
+        FROM q
+    ), bench AS (
+        SELECT vec_id AS b_id, qv AS bv, nrm2 AS bn FROM n WHERE vec_id % 50 = 0
+    ), corpus AS (
+        SELECT vec_id AS id, qv AS cv, nrm2 AS cn FROM n WHERE vec_id % 50 <> 0
+    ), scored AS (
+        -- portable quantized cosine: integer dot / (sqrt·sqrt), every
+        -- partial sum an exact integer < 2^53 → order-free and
+        -- bit-identical to the NumPy kernel; display = floor fixed point
+        SELECT c.id, b.b_id,
+               (floor(CAST(CAST(list_dot_product(c.cv, b.bv) AS BIGINT) AS DOUBLE)
+                      / ((CASE WHEN c.cn = 0 THEN 1.0 ELSE sqrt(CAST(c.cn AS DOUBLE)) END)
+                         * (CASE WHEN b.bn = 0 THEN 1.0 ELSE sqrt(CAST(b.bn AS DOUBLE)) END))
+                      * 100000) / 100000.0) AS cos
+        FROM corpus c CROSS JOIN bench b
+    ), best AS (
+        SELECT id, b_id AS bench_id, cos,
+               row_number() OVER (PARTITION BY id ORDER BY cos DESC, b_id) AS rn
+        FROM scored
+    )
+    SELECT id, bench_id, cos, cos >= 0.4 AS contaminated
+    FROM best WHERE rn = 1
+    """,
+)
+def corpus_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination (VERDICT r8 #3), completing the
+    two-pass decontamination suite beside the n-gram sweep above
+    (operators/similarity.py:semantic_contamination): per training vector,
+    the most-similar benchmark item by embedding cosine and a contaminated
+    flag at cosine ≥ 0.4 — the pass that catches PARAPHRASED benchmark
+    leakage n-gram overlap structurally misses (GPT-3 App. C n-gram
+    convention → Llama/DataComp-era semantic sweeps; planted-paraphrase
+    property test in tests/test_semantic_contamination.py). Benchmark
+    slice = vec_id % 50 (scale-stable fraction, rule 7); the bench matrix
+    is collected-and-broadcast (bounded, megabytes vs 100 TB), the corpus
+    streams through one narrow Arrow mapInPandas matmul — zero shuffles,
+    one output row per corpus vector."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_contamination(
+        e.filter(col("vec_id") % 50 != 0),
+        e.filter(col("vec_id") % 50 == 0),
+        threshold=0.4,
+    )
 
 
 @register(
@@ -3477,7 +3597,8 @@ def corpus_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id AS id,
            count(*) AS n_spans,
            CAST(sum(kept) AS BIGINT) AS n_kept,
-           round((count(*) - sum(kept)) / count(*), 6) AS removed_frac
+           (CAST(((count(*) - sum(kept)) * 1000000) // count(*) AS DOUBLE)
+            / 1000000.0) AS removed_frac
     FROM marked GROUP BY 1
     """,
 )

@@ -18,7 +18,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast, col
 
 from map_reduce_group_spark.catalog import load_table
-from map_reduce_group_spark.functions.numeric import davg, dec2double, dsum, money
+from map_reduce_group_spark.functions.numeric import (
+    davg,
+    dec2double,
+    dsum,
+    fp_floor,
+    money,
+)
 from map_reduce_group_spark.plans.registry import register
 
 
@@ -436,8 +442,10 @@ def scalar_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            len(embedding)                          AS dim,
-           round(embedding[1], 4)                  AS first_val,
-           round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x))), 4) AS l2_norm
+           (floor(CAST(embedding[1] AS DOUBLE) * 10000) / 10000.0) AS first_val,
+           (floor(sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 10000)
+            / 10000.0) AS l2_norm
     FROM embeddings
     WHERE vec_id % 10 = 0
     """,
@@ -445,13 +453,18 @@ def scalar_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ArrayType functions over embeddings (size / index / fold). The L2 norm
     is a JVM-side higher-order ``aggregate`` — no Python in the loop.
-    Note DuckDB lists are 1-based; Spark arrays 0-based."""
+    Note DuckDB lists are 1-based; Spark arrays 0-based. Display values use
+    engine-symmetric floor fixed point (functions/numeric.py:fp_floor):
+    both engines fold the SAME float32 values in the SAME array order with
+    exact float→double promotion, so floor sees bit-identical doubles —
+    unlike round(), which takes Spark through a shortest-decimal-string
+    detour DuckDB doesn't share (rule 1)."""
     e = load_table(spark, sf_dir, "embeddings").filter(col("vec_id") % 10 == 0)
     return e.select(
         "vec_id",
         F.size("embedding").cast("long").alias("dim"),
-        F.round(col("embedding")[0], 4).alias("first_val"),
-        F.round(
+        fp_floor(col("embedding")[0].cast("double"), 10_000).alias("first_val"),
+        fp_floor(
             F.sqrt(
                 F.aggregate(
                     "embedding",
@@ -459,7 +472,7 @@ def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda acc, x: acc + x.cast("double") * x.cast("double"),
                 )
             ),
-            4,
+            10_000,
         ).alias("l2_norm"),
     )
 

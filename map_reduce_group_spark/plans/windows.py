@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import col
 
 from map_reduce_group_spark.catalog import load_table
-from map_reduce_group_spark.functions.numeric import dec2double, money
+from map_reduce_group_spark.functions.numeric import dec2double, fp_ratio, money
 from map_reduce_group_spark.plans.registry import register
 
 
@@ -241,26 +241,52 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_distribution_functions",
     oracle="""
     SELECT c_custkey,
-           round(percent_rank() OVER w, 6) AS pct_rank,
-           round(cume_dist()    OVER w, 6) AS cume,
+           (CAST(((rank() OVER w - 1) * 1000000)
+                 // greatest(count(*) OVER pw - 1, 1) AS DOUBLE)
+            / 1000000.0) AS pct_rank,
+           (CAST(((count(*) OVER pw - rank() OVER wrev + 1) * 1000000)
+                 // count(*) OVER pw AS DOUBLE)
+            / 1000000.0) AS cume,
            first_value(c_custkey) OVER w   AS richest_in_segment,
            nth_value(c_custkey, 2) OVER (PARTITION BY c_mktsegment
                                          ORDER BY c_acctbal DESC, c_custkey
                                          ROWS BETWEEN UNBOUNDED PRECEDING
                                          AND UNBOUNDED FOLLOWING) AS second_richest
     FROM customer
-    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey),
+           pw AS (PARTITION BY c_mktsegment),
+           wrev AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey DESC)
     """,
 )
 def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution window functions: percent_rank / cume_dist (integer-count
-    ratios — engine-identical doubles) + first/nth value navigation."""
+    """Distribution window functions as exact integer fixed point (rule 1):
+    percent_rank ≡ (rank−1)/(n−1) and cume_dist ≡ peers_le/n are integer
+    ratios, so display them via the 1/10^6 integer-div recipe instead of
+    round(double). peers_le (rows ordered at-or-before the last peer) is
+    n − rank_over_reversed_order + 1 — exact under ties, and every count
+    is partition-local (bounded by segment size, no ×10^6 headroom risk).
+    Plus first/nth value navigation."""
     w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc(), col("c_custkey"))
+    wrev = Window.partitionBy("c_mktsegment").orderBy(
+        col("c_acctbal").asc(), col("c_custkey").desc()
+    )
+    pw = Window.partitionBy("c_mktsegment")
     w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return load_table(spark, sf_dir, "customer").select(
-        "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.first("c_custkey").over(w).alias("richest_in_segment"),
-        F.nth_value("c_custkey", 2).over(w_full).alias("second_richest"),
+    return (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            F.rank().over(w).alias("_rk"),
+            F.rank().over(wrev).alias("_rkd"),
+            F.count(F.lit(1)).over(pw).alias("_n"),
+            F.first("c_custkey").over(w).alias("richest_in_segment"),
+            F.nth_value("c_custkey", 2).over(w_full).alias("second_richest"),
+        )
+        .select(
+            "c_custkey",
+            fp_ratio("_rk - 1", "greatest(_n - 1, 1)").alias("pct_rank"),
+            fp_ratio("_n - _rkd + 1", "_n").alias("cume"),
+            "richest_in_segment",
+            "second_richest",
+        )
     )

@@ -28,12 +28,16 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from map_reduce_group_spark.functions.numeric import dsum
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over events parquet (directory or glob).
 
     In production this would be Kafka/Kinesis; the file source has the same
     semantics (exactly-once, checkpointable) and is what the fixtures give
-    us. maxFilesPerTrigger would bound micro-batch size at scale.
+    us. ``max_files_per_trigger`` bounds micro-batch size (and, under
+    availableNow, forces a deterministic one-file-per-batch replay — the
+    multi-batch harness the outer-join and incremental plans rely on).
 
     The ts layout is sniffed with a batch probe (same normalization as
     catalog.load_table): TIMESTAMP(NANOS) parquet arrives as bigint nanos

@@ -1302,7 +1302,8 @@ def test_mode_median_histogram_match_python_models(spark):
 
 
 def test_mixture_temperature_rates_follow_sqrt_law(spark, sf_dir):
-    """accept_rate must be exactly round(sqrt(n_min / n_s), 6) and the
+    """accept_rate must be exactly floor(sqrt(n_min / n_s)·10⁶)/10⁶ (the
+    r9 fp_floor display contract — rule 1, no round() on doubles) and the
     smallest stratum must keep 100% — the T=0.5 exponent-smoothing law."""
     import math
 
@@ -1313,7 +1314,8 @@ def test_mixture_temperature_rates_follow_sqrt_law(spark, sf_dir):
     rows = mixture_temperature(d, "doc_id", "lang").collect()
     n_min = min(r["n_docs"] for r in rows)
     for r in rows:
-        assert r["accept_rate"] == round(math.sqrt(n_min / r["n_docs"]), 6)
+        expect = math.floor(math.sqrt(n_min / r["n_docs"]) * 1_000_000) / 1_000_000
+        assert r["accept_rate"] == expect
         assert 0 < r["n_kept"] <= r["n_docs"]
     assert any(r["accept_rate"] == 1.0 for r in rows)
     # non-degenerate on the fixture: at least one stratum actually downsampled

@@ -179,6 +179,22 @@ def _uses(node: ast.AST) -> tuple[dict[str, set[str]], set[str]]:
                 if child is not n.value:
                     visit(child)
             return
+        if isinstance(n, ast.Attribute) and isinstance(n.value, ast.Attribute):
+            # multi-level chain `a.b.c` (ADVICE r8 #4): one attr level
+            # cannot address a chained symbol — recording attrs["a"]={"b"}
+            # would drop the leaf and can under-resolve a from-imported
+            # module object. Record the ROOT as a BARE use so the binding
+            # always takes the conservative whole-module path.
+            base: ast.AST = n.value
+            while isinstance(base, ast.Attribute):
+                base = base.value
+            if isinstance(base, ast.Name):
+                bare.add(base.id)
+                for child in ast.iter_child_nodes(n):
+                    if child is not n.value:
+                        visit(child)
+                return
+            # chain rooted in a call/subscript: fall through to generic
         if isinstance(n, ast.Name):
             bare.add(n.id)
             return
@@ -370,6 +386,32 @@ RECONTRACTED: set[str] = {
     # fixed point (VERDICT r7 #2, rule-1) — values changed
     "doc_repetition_signals",
     "doc_token_rarity",
+    # r9: repo-wide retirement of the F.round-on-double presentation class
+    # (VERDICT r8 #1): integer ratios -> fp_ratio (1/10^6 or 1/10^4 integer
+    # div), irreducibly-float displays -> fp_floor (engine-symmetric floor)
+    # — display values changed on every query below
+    "doc_token_stats",
+    "doc_quality_score",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_containment",
+    "dedup_jaccard_prefix",
+    "dedup_jaccard_topmatch",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_capped",
+    "dedup_incremental_minhash",
+    "stream_incremental_minhash",
+    "corpus_span_dedup",
+    "corpus_contamination_check",
+    "corpus_mixture_rebalance",
+    "corpus_mixture_temperature",
+    "corpus_train_val_split",
+    "window_distribution_functions",
+    "scalar_array_ops",
+    "embed_random_projection",
+    # r9: classifier score BIGINT -> exact-decimal-string double
+    # (ADVICE r8 #1 — silent-NULL-on-overflow class): dtype changed
+    "doc_quality_classifier",
 }
 
 # VERDICT r7 next-round #1 requires the r8 sweep to re-record ALL 35 rows the
