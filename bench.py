@@ -58,6 +58,8 @@ def main() -> None:
         load_table(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
     prescan_sec = round(time.perf_counter() - t_warm, 2)
 
+    probe_sec = _calibration_probe(spark)
+
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name, builder in sorted(qs.items()):
@@ -80,6 +82,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "prescan_sec": prescan_sec,
+        "probe_sec": probe_sec,
         "host": socket.gethostname(),
         "load_avg_1m": [round(load_start[0], 2), round(os.getloadavg()[0], 2)],
     }
@@ -91,6 +94,39 @@ def main() -> None:
         fh.write(full + "\n")
 
     print(compact_line(out, timings, errors))
+
+
+def _calibration_probe(spark) -> dict[str, float]:
+    """Fixed synthetic calibration workload (VERDICT r8 #2): three pinned
+    probes exercising the three cost regimes every registered query is
+    built from — JVM whole-stage-codegen compute, shuffle machinery, and
+    the Python/Arrow worker path. The workload is data-independent and
+    MUST NEVER CHANGE once shipped: its wall on a quiet host is a known
+    constant (see SCALING.md round-9 calibration), so any bench artifact's
+    host-noise factor is computable as probe_total / quiet_floor without
+    needing a second same-code run. Runs after the uniform-warm prescan so
+    it measures steady-state, not JVM/daemon cold-start."""
+    probes: dict[str, float] = {}
+    t0 = time.perf_counter()
+    # jvm: hash-aggregate over 200M codegen'd rows, zero shuffle rows moved
+    spark.range(0, 200_000_000, 1, 32).selectExpr(
+        "bit_xor(xxhash64(id)) AS h"  # overflow-free under ANSI mode
+    ).write.format("noop").mode("overwrite").save()
+    probes["jvm"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    # shuffle: 20M rows through a 100k-key exchange + final aggregate
+    spark.range(0, 20_000_000, 1, 32).selectExpr(
+        "id % 100000 AS k", "id AS v"
+    ).groupBy("k").sum("v").write.format("noop").mode("overwrite").save()
+    probes["shuffle"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    # arrow: 2M rows through the Python worker pool in 32 Arrow batches
+    spark.range(0, 2_000_000, 1, 32).mapInPandas(
+        lambda it: (pdf.assign(id=pdf["id"] * 2 + 1) for pdf in it), "id long"
+    ).write.format("noop").mode("overwrite").save()
+    probes["arrow"] = round(time.perf_counter() - t0, 2)
+    probes["total"] = round(sum(probes.values()), 2)
+    return probes
 
 
 def compact_line(

@@ -35,6 +35,7 @@ def _cleanup_temp_dirs() -> None:
         + _INCMH_LAST
         + list(_LATE_SRC.values())
         + _LATE_LAST
+        + list(_TSPLIT_SRC.values())
     )
     for d in dirs:
         shutil.rmtree(d, ignore_errors=True)
@@ -258,6 +259,131 @@ def stream_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"q_stream_attrib_{next(_COUNTER)}",
         output_mode="append",
         state_partitions=8,
+    )
+
+
+# time-ordered 4-file events source for the outer interval join: unlike the
+# parity split (stream_late_quarantine), batches must ASCEND in event time so
+# no input row falls below the advancing watermark (a stateful op drops such
+# rows as late, which would lose inner matches the batch oracle has)
+_TSPLIT_SRC: dict[str, str] = {}
+
+
+def _events_timesplit_dir(spark: SparkSession, sf_dir: str, n: int = 4) -> str:
+    import glob
+    import shutil
+
+    from map_reduce_group_spark.catalog import load_table
+
+    if sf_dir not in _TSPLIT_SRC:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type"
+        )
+        # exact interior quantile boundaries (data-relative, deterministic):
+        # rows at a boundary go to the earlier file; contiguous ts ranges
+        # guarantee every row arrives at-or-above the prior batches' max − 2h
+        qs = [i / n for i in range(1, n)]
+        bounds = ev.agg(
+            F.percentile(
+                F.unix_micros("ts"), F.array(*[F.lit(q) for q in qs])
+            ).alias("b")
+        ).collect()[0]["b"]
+        edges = [None] + [int(b) for b in bounds] + [None]
+        src = tempfile.mkdtemp(prefix="mrg_tsplit_src_")
+        for i in range(n):
+            part = ev
+            if edges[i] is not None:
+                part = part.filter(F.unix_micros("ts") > edges[i])
+            if edges[i + 1] is not None:
+                part = part.filter(F.unix_micros("ts") <= edges[i + 1])
+            part_dir = tempfile.mkdtemp(prefix="mrg_tsplit_part_")
+            part.coalesce(1).write.mode("overwrite").parquet(part_dir)
+            dst = os.path.join(src, f"events_{i}.parquet")
+            shutil.copyfile(
+                glob.glob(os.path.join(part_dir, "part-*.parquet"))[0], dst
+            )
+            os.utime(dst, (1_600_000_000 + i * 1000, 1_600_000_000 + i * 1000))
+            shutil.rmtree(part_dir)
+        _TSPLIT_SRC[sf_dir] = src
+    return _TSPLIT_SRC[sf_dir]
+
+
+@register(
+    "stream_purchase_attribution_outer",
+    oracle="""
+    WITH thr AS (
+        SELECT least(
+                   max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END),
+                   max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               ) - 9000000000 AS t_us
+        FROM events
+    )
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.ts AS purchase_ts,
+           c.event_id AS click_id,
+           c.ts AS click_ts
+    FROM events p
+    LEFT JOIN events c
+      ON c.event_type = 'click'
+     AND c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase'
+      AND (c.event_id IS NOT NULL OR epoch_us(p.ts) < (SELECT t_us FROM thr))
+    """,
+)
+def stream_purchase_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join with watermark-expired null
+    emission (VERDICT r8 #4): purchases attributed to same-user clicks in
+    the preceding hour; an unmatched purchase is emitted ONCE, with null
+    click columns, only after the watermark provably closes its join
+    window. Runs as a REAL multi-micro-batch streaming execution — the
+    events are replayed as four mtime-ordered, time-contiguous files
+    (maxFilesPerTrigger=1), so watermark advancement, click-state
+    eviction, and the final no-data flush batch are all exercised.
+
+    Oracle = the batch left join restricted to the watermark-closed
+    region: matched rows are compared in FULL (they emit eagerly — any
+    lost or duplicated match fails the hash); null rows are compared for
+    every purchase strictly below ``min(max click_ts, max purchase_ts)
+    − 2h delay − 30min margin``. The boundary Spark actually evicts at is
+    the 2h watermark itself (measured: every unmatched purchase below it
+    emitted, none above); the 30-minute margin only excludes the
+    ms-truncation band so both engines agree exactly. The builder applies
+    the SAME data-relative filter to the streamed result — rows excluded
+    are exactly the indeterminate-by-design band, documented here.
+    State at 100 TB: both sides' state stores hold only the interval +
+    slack horizon (watermarks bound retention on each side); null
+    emission is driven by state eviction, so unbounded streams hold
+    bounded state and every purchase still emits exactly once."""
+    from map_reduce_group_spark.catalog import load_table
+
+    src = _events_timesplit_dir(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    schema = ev.select("event_id", "ts", "user_id", "event_type").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    joined = es.purchases_after_clicks(stream, within="1 hour", how="leftOuter")
+    got = es.run_to_memory(
+        joined,
+        f"q_stream_attrib_outer_{next(_COUNTER)}",
+        output_mode="append",
+        state_partitions=8,
+    )
+    mx = ev.agg(
+        F.max(F.when(F.col("event_type") == "click", F.unix_micros("ts"))).alias("mc"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.unix_micros("ts"))
+        ).alias("mp"),
+    ).collect()[0]
+    thr_us = min(mx["mc"], mx["mp"]) - 9_000_000_000
+    return got.filter(
+        F.col("click_id").isNotNull()
+        | (F.unix_micros("purchase_ts") < F.lit(thr_us))
     )
 
 

@@ -54,7 +54,10 @@ def read_events_stream(
     probe_types = dict(spark.read.parquet(path).dtypes)
     ts_t = probe_types.get("ts", "timestamp")
     schema = ", ".join(f"{n} {t}" for n, t in probe_types.items())
-    raw = spark.readStream.schema(schema).parquet(path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(path)
     if ts_t == "bigint":  # raw nanoseconds
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if ts_t == "timestamp_ntz":
@@ -201,14 +204,27 @@ def enrich_with_static(events: DataFrame, dim: DataFrame, on: str = "user_id") -
     return events.join(dim, on, "left")
 
 
-def purchases_after_clicks(events: DataFrame, within: str = "1 hour") -> DataFrame:
+def purchases_after_clicks(
+    events: DataFrame, within: str = "1 hour", how: str = "inner"
+) -> DataFrame:
     """Stream-stream interval join: purchases matched to same-user clicks
     that happened within ``within`` BEFORE the purchase.
 
     Both sides are watermarked so the state store can evict: the join
     condition bounds click retention to the interval + watermark slack.
     This is the streaming face of the as-of/interval join family (batch
-    twin: events_asof_join / a range-join)."""
+    twin: events_asof_join / a range-join).
+
+    ``how="leftOuter"`` is the attribution-pipeline variant: an unmatched
+    purchase is emitted ONCE with null click columns as soon as the engine
+    can prove no future click can join it — i.e. when the global watermark
+    passes its purchase_ts (clicks it could still match satisfy
+    ``click_ts <= purchase_ts < watermark`` and would be dropped as late).
+    Matched rows still emit eagerly in the batch that completes the match.
+    Verified empirically (availableNow over time-ordered micro-batches,
+    Spark 4.1): the final no-data micro-batch advances the watermark to
+    ``min(max click_ts, max purchase_ts) − delay`` and flushes null rows
+    for every evicted unmatched purchase strictly below it."""
     clicks = (
         events.filter(F.col("event_type") == "click")
         .select(
@@ -232,6 +248,7 @@ def purchases_after_clicks(events: DataFrame, within: str = "1 hour") -> DataFra
             click_ts >= purchase_ts - INTERVAL {within}
             """
         ),
+        how,
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
 
 

@@ -11,11 +11,19 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-args = [a for a in sys.argv[1:] if not a.startswith("--")]
+args = []
 sf = "/root/testdata/sf0.01"
-for i, a in enumerate(sys.argv):
-    if a == "--sf":
-        sf = sys.argv[i + 1]
+_argv = sys.argv[1:]
+i = 0
+while i < len(_argv):
+    if _argv[i] == "--sf":
+        sf = _argv[i + 1]
+        i += 2
+    elif not _argv[i].startswith("--"):
+        args.append(_argv[i])
+        i += 1
+    else:
+        i += 1
 
 from pyspark.sql import SparkSession
 
