@@ -80,12 +80,17 @@ def fp_ratio(num_sql: str, den_sql: str, scale: int = FP6) -> Column:
     by a power of ten — no decimal rounding step anywhere, so the
     Spark-BigDecimal-HALF_UP vs DuckDB-scaled-binary divergence class
     (module docstring, rule 1) cannot arise. Arguments are SQL fragments
-    resolved against the frame (struct field paths allowed). Numerator
-    must stay within int64 after ×scale — callers with corpus-scale counts
-    cast to DECIMAL(38,0) first (see sql_fp_ratio_dec38).
+    resolved against the frame (struct field paths allowed). The numerator
+    is widened to BIGINT before ×scale: int-typed inputs (rank(), count()
+    over a window partition, …) overflow int32 under ANSI the moment
+    num > ~2147 at scale 10⁶ — hit by window_distribution_functions at
+    sf0.1 (r9). Numerator must stay within int64 after ×scale — callers
+    with corpus-scale counts use :func:`fp_ratio_dec38` instead.
     """
     return (
-        F.expr(f"(({num_sql}) * {scale}) div ({den_sql})").cast("double")
+        F.expr(f"(CAST(({num_sql}) AS BIGINT) * {scale}) div ({den_sql})").cast(
+            "double"
+        )
         / float(scale)
     )
 
