@@ -55,30 +55,33 @@ BIAS_BUCKET = -1  # constant-1 feature; lives beside the hashed buckets
 
 
 def _features(df: DataFrame, id_col: str, text_col: str, target: Column,
-              n_buckets: int) -> DataFrame:
+              n_buckets: int, bigram_buckets: DataFrame | None = None) -> DataFrame:
     """(id, y, bucket, x): per-document hashed-bigram counts + a bias row.
 
     y ∈ {+1, −1}; documents with < 2 tokens carry no bigrams and are
     absent (identically in both engines), so every emitted doc has the
     bias row x=1 at bucket −1.
+
+    ``bigram_buckets`` optionally injects a precomputed per-bigram
+    (id, is_target, bucket) frame (operators/importance.py:
+    hashed_bigram_buckets, same df/target/n_buckets) so a composite caller
+    (corpus_filter_agreement) runs the corpus-sized tokenize+hash pass
+    once for both the DSIR and classifier branches; y = 2·is_target − 1 is
+    the same label the inline path computes, so the output is
+    bit-identical either way.
     """
-    base = df.select(
-        col(id_col).alias("id"),
-        col(text_col).alias("text"),
-        F.when(target, F.lit(1)).otherwise(F.lit(-1)).alias("y"),
+    from map_reduce_group_spark.operators.importance import hashed_bigram_buckets
+
+    bb = (
+        bigram_buckets
+        if bigram_buckets is not None
+        else hashed_bigram_buckets(df, id_col, text_col, target, n_buckets)
     )
-    t = base.select("id", "y", F.posexplode(tokens("text")).alias("pos", "tok"))
-    w = Window.partitionBy("id").orderBy("pos")
-    bg = t.select(
-        "id", "y", col("tok").alias("a"), F.lead("tok", 1).over(w).alias("b")
-    ).filter(col("b").isNotNull())
     feat = (
-        bg.select(
+        bb.select(
             "id",
-            "y",
-            F.pmod(
-                portable_hash60(F.concat_ws(" ", "a", "b")), F.lit(n_buckets)
-            ).alias("bucket"),
+            (col("is_target") * 2 - 1).alias("y"),
+            "bucket",
         )
         .groupBy("id", "y", "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("x"))
@@ -97,6 +100,7 @@ def perceptron_quality_classifier(
     target: Column,
     n_buckets: int = 4096,
     epochs: int = 3,
+    bigram_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Train the batch perceptron for ``epochs`` epochs, then score.
 
@@ -117,7 +121,7 @@ def perceptron_quality_classifier(
     """
     if n_buckets > (1 << 18):
         raise ValueError(f"n_buckets {n_buckets} > 2^18 breaks the driver-state bound")
-    feat = _features(df, id_col, text_col, target, n_buckets).localCheckpoint(
+    feat = _features(df, id_col, text_col, target, n_buckets, bigram_buckets).localCheckpoint(
         eager=True
     )
     spark = df.sparkSession

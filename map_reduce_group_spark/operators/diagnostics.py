@@ -92,8 +92,21 @@ def join_skew_report(
 ) -> DataFrame:
     """Union of :func:`key_skew_profile` rows for a list of
     (df, key_col, label) join-key candidates — the one-page audit that
-    decides broadcast vs shuffle vs salt per join."""
-    parts = [
-        key_skew_profile(df, key, label, skew_factor) for df, key, label in profiles
-    ]
+    decides broadcast vs shuffle vs salt per join.
+
+    The per-leg profiles are INDEPENDENT jobs (each roots at its own eager
+    localCheckpoint); submitting them from a small thread pool lets each
+    leg's tail back-fill the executors freed by the previous leg instead
+    of running the N groupBy jobs strictly serially (optimization guide
+    §2.6). Output order is pinned by ``pool.map`` (list order unchanged),
+    and each profile is deterministic, so the result is bit-identical to
+    the serial loop."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(len(profiles), 4)) as pool:
+        parts = list(
+            pool.map(
+                lambda p: key_skew_profile(p[0], p[1], p[2], skew_factor), profiles
+            )
+        )
     return reduce(lambda a, b: a.unionByName(b), parts)

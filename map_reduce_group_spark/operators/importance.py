@@ -40,24 +40,21 @@ from map_reduce_group_spark.operators.dedup import portable_hash60
 from map_reduce_group_spark.operators.text import tokens
 
 
-def importance_scores(
+def hashed_bigram_buckets(
     df: DataFrame,
     id_col: str,
     text_col: str,
     target: Column,
-    n_buckets: int = 4096,
+    n_buckets: int,
 ) -> DataFrame:
-    """Per-document DSIR-style importance: (id, n_feats, score_fp, kept).
-
-    ``target`` is a boolean Column over ``df``'s rows selecting the target
-    subcorpus (must be non-empty — the rate ratio is undefined against an
-    empty target, and the weight division nulls out). ``score_fp`` is the
-    sum of the document's per-bigram bucket weights (1/1024 fixed point);
-    ``kept`` = 1 iff the document's mean feature weight exceeds the corpus
-    mean (score_fp·Σn_feats > Σscore_fp·n_feats — exact integers, no
-    division). Documents with fewer than 2 tokens carry no bigrams and are
-    absent, identically in both engines.
-    """
+    """Per-bigram hashed feature rows (id, is_target, bucket) — the shared
+    front half of :func:`importance_scores` and the perceptron's feature
+    builder (operators/classifier.py:_features): tokenize → posexplode →
+    doc-partitioned lead window → pmod(md5-hash, n_buckets). Split out so a
+    composite audit (corpus_filter_agreement) can run the corpus-sized
+    tokenize+hash pass ONCE and feed both branches — the two derivations
+    are bit-identical, so sharing cannot change either output (guide-§2.3
+    class: one scan+exchange instead of two)."""
     base = df.select(
         col(id_col).alias("id"),
         col(text_col).alias("text"),
@@ -73,12 +70,43 @@ def importance_scores(
         col("tok").alias("a"),
         F.lead("tok", 1).over(w).alias("b"),
     ).filter(col("b").isNotNull())
-    feat = bg.select(
+    return bg.select(
         "id",
         "is_target",
         F.pmod(
             portable_hash60(F.concat_ws(" ", "a", "b")), F.lit(n_buckets)
         ).alias("bucket"),
+    )
+
+
+def importance_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target: Column,
+    n_buckets: int = 4096,
+    bigram_buckets: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document DSIR-style importance: (id, n_feats, score_fp, kept).
+
+    ``target`` is a boolean Column over ``df``'s rows selecting the target
+    subcorpus (must be non-empty — the rate ratio is undefined against an
+    empty target, and the weight division nulls out). ``score_fp`` is the
+    sum of the document's per-bigram bucket weights (1/1024 fixed point);
+    ``kept`` = 1 iff the document's mean feature weight exceeds the corpus
+    mean (score_fp·Σn_feats > Σscore_fp·n_feats — exact integers, no
+    division). Documents with fewer than 2 tokens carry no bigrams and are
+    absent, identically in both engines.
+
+    ``bigram_buckets`` optionally injects a precomputed
+    :func:`hashed_bigram_buckets` frame (same df/target/n_buckets) so a
+    composite caller shares the tokenize+hash pass; None (the default)
+    keeps this operator self-contained and byte-identical to before.
+    """
+    feat = (
+        bigram_buckets
+        if bigram_buckets is not None
+        else hashed_bigram_buckets(df, id_col, text_col, target, n_buckets)
     )
     # corpus + target counts in ONE aggregation — ≤ n_buckets rows survive
     bc = feat.groupBy("bucket").agg(

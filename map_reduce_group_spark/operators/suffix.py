@@ -172,8 +172,15 @@ def cross_doc_longest_spans(
     toks_arr = docs.select(col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
     toks = toks_arr.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
 
-    # 1. order-preserving vocabulary ids (vocabulary-scale sort only)
+    # 1. order-preserving vocabulary ids (vocabulary-scale sort only).
+    # tid is narrowed LONG→INT (guide §2.3): the suffix rows each carry a
+    # cap-length prefix array of ids, and that array dominates the range
+    # sort's shuffle bytes — int ids halve it. Safe: tid ≤ |vocab| (10⁷-10⁸
+    # on a real corpus, module docstring) sits far under 2³¹, and ANSI cast
+    # fails loudly rather than wrapping if a corpus ever exceeds it. Rank
+    # ORDER is unchanged, so the suffix array and every LCP bit are too.
     vmap = global_rank(toks.select("tok").distinct(), ["tok"], "tid", dense=True)
+    vmap = vmap.withColumn("tid", col("tid").cast("int"))
     ids = toks.join(vmap, "tok")  # AQE broadcasts when the vocab is small
 
     # 2. per-doc ordered id arrays -> fixed-width suffix prefix keys

@@ -3262,11 +3262,21 @@ def corpus_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     qr = text.quality_rules(d, "doc_id", "text").select("id", "passes")
-    ds = importance.importance_scores(
+    # guide §2.3/§2.4 (r9): the DSIR and classifier branches hash the SAME
+    # bigrams into the SAME 4096 buckets — build the per-bigram bucket frame
+    # once, materialize it, and feed both. One tokenize+lead-window+md5 pass
+    # over the corpus instead of two; both branch outputs are bit-identical
+    # to their self-contained forms (hashed_bigram_buckets docstring).
+    bb = importance.hashed_bigram_buckets(
         d, "doc_id", "text", target=col("lang") == "en", n_buckets=4096
+    ).localCheckpoint(eager=True)
+    ds = importance.importance_scores(
+        d, "doc_id", "text", target=col("lang") == "en", n_buckets=4096,
+        bigram_buckets=bb,
     ).select("id", (col("kept") == 1).alias("kept"))
     cf = perceptron_quality_classifier(
-        d, "doc_id", "text", target=col("lang") == "en", n_buckets=4096, epochs=3
+        d, "doc_id", "text", target=col("lang") == "en", n_buckets=4096, epochs=3,
+        bigram_buckets=bb,
     ).select("id", "pred")
     j = qr.join(ds, "id").join(cf, "id")
     s = j.agg(

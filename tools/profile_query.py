@@ -122,11 +122,41 @@ def main() -> None:
               f" pyTot~{(tot('executorRunTime')-tot('executorCpuTime')/1e6)/1000:.1f}s")
         slow = sorted(stages, key=lambda s: -s.get("executorRunTime", 0))[:8]
         for s in slow:
-            nm = (s.get("description") or s.get("name", ""))[:70]
+            det = (s.get("details") or "").split("\n")
+            det = next((l for l in det if "map_reduce_group_spark" in l), det[0] if det else "")
+            nm = (s.get("name", "").split(" at ")[0] + " | " + det.strip())[:110]
             print(f"    stage {s['stageId']:>4} {s.get('executorRunTime',0)/1000:7.2f}s "
                   f"tasks={s.get('numCompleteTasks',0):<4} "
                   f"shufR={s.get('shuffleReadBytes',0)/1e6:8.2f}MB "
                   f"shufW={s.get('shuffleWriteBytes',0)/1e6:8.2f}MB  {nm}")
+        # per-operator attribution: SQL node metrics of every execution this
+        # query triggered (eager builder actions + the noop write)
+        try:
+            execs = rest(f"/applications/{app_id}/sql?details=true&length=200")
+            mine = [e for e in execs if f"profile:{name}" in (e.get("description") or "")]
+            for e in mine[-3:]:
+                print(f"  SQL exec {e['id']} ({e.get('duration', 0)/1000:.2f}s):")
+                nodes = []
+                for nd in e.get("nodes", []):
+                    mv = {m["name"]: m["value"] for m in nd.get("metrics", [])}
+                    t = 0.0
+                    for k, v in mv.items():
+                        if k.startswith(("duration", "time to", "time in", "task total time", "sort time", "aggregate time", "scan time", "total time")) or " time total" in k:
+                            # values like "1.2 s (0.1 s, ...)" — take the leading total
+                            head = v.split("(")[0].strip().replace(",", "")
+                            try:
+                                num, unit = head.split()[:2]
+                                mult = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0}.get(unit, 0)
+                                t += float(num) * mult
+                            except Exception:
+                                pass
+                    rows = mv.get("number of output rows", "")
+                    nodes.append((t, nd["nodeName"], rows))
+                for t, nm, rows in sorted(nodes, reverse=True)[:10]:
+                    if t > 0.2:
+                        print(f"      {t:8.1f}s  {nm[:60]:60s} rows={rows}")
+        except Exception as exc:
+            print(f"  (sql metrics unavailable: {exc})")
         if explain:
             os.makedirs(os.path.join(REPO, "plans", "r09"), exist_ok=True)
             out = os.path.join(REPO, "plans", "r09", f"{name}_{tag}.txt")
