@@ -141,11 +141,12 @@ def bpe_merges(
     with an eager ``localCheckpoint`` so the expression chain never deepens
     past one batch. n_merges=64 runs in a handful of rounds.
     """
-    from map_reduce_group_spark.operators.text import tokens
+    from map_reduce_group_spark.operators.text import spread_small_scan, tokens
 
     spark = docs.sparkSession
     words = (
-        docs.select(F.explode(tokens(text_col)).alias("word"))
+        spread_small_scan(docs.select(col(text_col).alias("_text")))
+        .select(F.explode(tokens("_text")).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
@@ -208,7 +209,7 @@ def bpe_token_counts(
 
     Returns (id, n_words, n_subwords): whitespace tokens vs BPE subwords —
     the compression the learned merges bought."""
-    from map_reduce_group_spark.operators.text import tokens
+    from map_reduce_group_spark.operators.text import spread_small_scan, tokens
 
     merges = [
         r["pair"]
@@ -216,9 +217,9 @@ def bpe_token_counts(
         .orderBy("merge_rank")
         .collect()
     ]
-    doc_words = docs.select(
-        col(id_col).alias("id"), F.explode(tokens(text_col)).alias("word")
-    )
+    doc_words = spread_small_scan(
+        docs.select(col(id_col).alias("id"), col(text_col).alias("_text"))
+    ).select("id", F.explode(tokens("_text")).alias("word"))
     word_counts = doc_words.groupBy("id", "word").agg(
         F.count(F.lit(1)).alias("occ")
     )

@@ -27,7 +27,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql.functions import col
 
 from map_reduce_group_spark.functions.numeric import fp_ratio
-from map_reduce_group_spark.operators.text import fingerprint, tokens
+from map_reduce_group_spark.operators.text import (
+    fingerprint,
+    spread_small_scan,
+    tokens,
+)
 
 
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -151,8 +155,14 @@ def shingle_postings(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> D
     One shuffle (by id, for the lead window); the distinct and the set-size
     window reuse that same hash partitioning, so Catalyst plans no further
     exchange. Documents with fewer than ``n`` tokens yield no postings.
+    The (id, text) projection is spread across the session first
+    (:func:`~map_reduce_group_spark.operators.text.spread_small_scan`) so a
+    single-row-group input cannot serialize the tokenize head.
     """
-    t = df.select(col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "tok"))
+    base = spread_small_scan(
+        df.select(col(id_col).alias("id"), col(text_col).alias("_text"))
+    )
+    t = base.select("id", F.posexplode(tokens("_text")).alias("pos", "tok"))
     w = Window.partitionBy("id").orderBy("pos")
     parts = [col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
     postings = (
@@ -238,7 +248,17 @@ def _collapsed_pair_structure(postings: DataFrame, threshold: float):
       REPRESENTATIVE level (cross-group only; within-group pairs are
       implicit: n_common = n_kept, jaccard = n_kept/(2·set_size − n_kept)).
     """
-    members = _identical_set_members(postings)
+    from pyspark import StorageLevel
+
+    # members is consumed by the rep-postings filter here AND by every
+    # caller's expansion joins (ma/mb/m1/m2 — up to 4 more subtrees);
+    # without a persist each consumer re-runs the collect_list set-
+    # fingerprint aggregation AND the postings head behind it (measured:
+    # the triangle-census plan held 132 copies of the documents scan,
+    # zero ReusedExchange — guide §2.4 "remove shuffles outright").
+    members = _identical_set_members(postings).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     rpost = postings.join(members.filter(col("id") == col("rep")).select("id"), "id")
     return members, _exact_jaccard_pairs(rpost, threshold)
 
@@ -337,9 +357,15 @@ def ngram_jaccard_pairs(
     double on both engines (identical IEEE result, oracle-stable). Default
     None = fully exact (oracle mode).
     """
+    from pyspark import StorageLevel
+
+    # persist: postings feed BOTH sides of the shingle self-join (and the
+    # collapse machinery when engaged); without it the tokenize→window→
+    # distinct head plans twice — the plan showed 2 full documents scans
+    # and zero ReusedExchange (guide §2.4)
     postings = capped_postings(
         df, id_col, text_col, n, max_doc_freq=max_doc_freq, max_doc_frac=max_doc_frac
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     if not _worth_collapsing(df, text_col):
         return _exact_jaccard_pairs(postings, threshold)
     members, rep_pairs = _collapsed_pair_structure(postings, threshold)
@@ -431,7 +457,12 @@ def jaccard_prefix_filter_pairs(
     """
     from pyspark import StorageLevel
 
-    postings = shingle_postings(df, id_col, text_col, n)
+    # persist at the head: postings feed the prefix computation, BOTH
+    # verification sides, and (when the collapse engages) the set-
+    # fingerprint aggregation — one tokenize head for all of them
+    postings = shingle_postings(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     # 0. collapse identical shingle sets: one representative per set_fp —
     # gated by the cheap clone-fraction pre-check (VERDICT r4 #5): on a
@@ -445,12 +476,17 @@ def jaccard_prefix_filter_pairs(
             )
         )
         reps = sets.groupBy("set_fp").agg(F.min("id").alias("rep"))
-        members = sets.join(reps, "set_fp").select("set_fp", "id", "rep", "set_size")
+        # members expand the rep pairs back at the end (4 more consumers)
+        members = (
+            sets.join(reps, "set_fp")
+            .select("set_fp", "id", "rep", "set_size")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         rpost = postings.join(
             members.filter(col("id") == col("rep")).select("id"), "id"
         ).persist(StorageLevel.MEMORY_AND_DISK)
     else:
-        rpost = postings.persist(StorageLevel.MEMORY_AND_DISK)
+        rpost = postings  # already persisted above
 
     w_df = Window.partitionBy("shingle")
     w_rank = Window.partitionBy("id").orderBy("df", "shingle")
@@ -615,12 +651,17 @@ def containment_pairs(
     member pair's value, and within-family ordered pairs share the whole
     filtered set (containment = n_kept/set_size, 1.0 uncapped).
     """
+    from pyspark import StorageLevel
+
+    # persist: both sides of the overlap self-join (plus the collapse
+    # machinery when engaged) consume postings — one head, not two
+    # (guide §2.4; same fix as ngram_jaccard_pairs)
     postings = capped_postings(
         df, id_col, text_col, n, max_doc_freq=max_doc_freq, max_doc_frac=max_doc_frac
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     if not _worth_collapsing(df, text_col):
         return _directional_containment(_containment_counts(postings), threshold)
-    members = _identical_set_members(postings)
+    members = _identical_set_members(postings).persist(StorageLevel.MEMORY_AND_DISK)
     rpost = postings.join(members.filter(col("id") == col("rep")).select("id"), "id")
     rep_dir = _directional_containment(_containment_counts(rpost), threshold)
     ms = members.select(col("rep").alias("src_id"), col("id").alias("m_src"))
@@ -854,7 +895,12 @@ def minhash_lsh_pairs(
     # spark.catalog.clearCache() between sweeps.
     from pyspark import StorageLevel
 
-    all_postings = shingle_postings(df, id_col, text_col, n)
+    # persist immediately: all_postings feed the signature aggregation, the
+    # verification join, AND (in the collapsed branch) the identical-set
+    # machinery — without it the tokenize head re-plans per consumer
+    all_postings = shingle_postings(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     # identical-set collapse (round 4, same lemma as the exact-Jaccard
     # family): identical shingle sets have identical signatures, identical
     # band buckets, and identical verification outcomes, so exact-clone
@@ -870,7 +916,7 @@ def minhash_lsh_pairs(
             members.filter(col("id") == col("rep")).select("id"), "id"
         ).persist(StorageLevel.MEMORY_AND_DISK)
     else:
-        postings = all_postings.persist(StorageLevel.MEMORY_AND_DISK)
+        postings = all_postings  # already persisted above
     sigs = _minhash_from_postings(postings, num_hashes, portable=portable)
     if portable:
         # bucket key = the band's raw signature slice joined as a string —
@@ -1167,7 +1213,10 @@ def simhash(df: DataFrame, id_col: str, text_col: str, portable: bool = False) -
     bit — all codegen'd; no Python.
     """
     nbits = 60 if portable else 64
-    tok = df.select(col(id_col).alias("id"), F.explode(tokens(text_col)).alias("tok"))
+    base = spread_small_scan(
+        df.select(col(id_col).alias("id"), col(text_col).alias("_text"))
+    )
+    tok = base.select("id", F.explode(tokens("_text")).alias("tok"))
     h = portable_hash60(col("tok")) if portable else F.xxhash64("tok")
     tok = tok.withColumn("h", h)
     bit_sums = [
@@ -1381,9 +1430,9 @@ def duplicated_spans(
 
     Returns (id, span_start, span_end, span_len) in token positions
     (0-based inclusive)."""
-    t = df.select(
-        col(id_col).alias("id"), F.posexplode(tokens(text_col)).alias("pos", "tok")
-    )
+    t = spread_small_scan(
+        df.select(col(id_col).alias("id"), col(text_col).alias("_text"))
+    ).select("id", F.posexplode(tokens("_text")).alias("pos", "tok"))
     wg = Window.partitionBy("id").orderBy("pos").rowsBetween(0, n - 1)
     grams = (
         t.select(
@@ -1436,9 +1485,9 @@ def cut_duplicated_spans(
     the space-joined surviving tokens (digest, not raw text, so the result
     stays driver-friendly at any corpus size; precedent doc_unicode_normalize).
     """
-    from map_reduce_group_spark.operators.text import tokens
-
-    base = df.select(col(id_col).alias("id"), tokens(text_col).alias("toks"))
+    base = spread_small_scan(
+        df.select(col(id_col).alias("id"), col(text_col).alias("_text"))
+    ).select("id", tokens("_text").alias("toks"))
     t = base.select("id", F.posexplode("toks").alias("pos", "tok"))
     wg = Window.partitionBy("id").orderBy("pos").rowsBetween(0, n - 1)
     grams = (

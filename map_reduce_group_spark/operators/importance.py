@@ -37,7 +37,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql.functions import col
 
 from map_reduce_group_spark.operators.dedup import portable_hash60
-from map_reduce_group_spark.operators.text import tokens
+from map_reduce_group_spark.operators.text import spread_small_scan, tokens
 
 
 def hashed_bigram_buckets(
@@ -55,10 +55,12 @@ def hashed_bigram_buckets(
     tokenize+hash pass ONCE and feed both branches — the two derivations
     are bit-identical, so sharing cannot change either output (guide-§2.3
     class: one scan+exchange instead of two)."""
-    base = df.select(
-        col(id_col).alias("id"),
-        col(text_col).alias("text"),
-        target.cast("int").alias("is_target"),
+    base = spread_small_scan(
+        df.select(
+            col(id_col).alias("id"),
+            col(text_col).alias("text"),
+            target.cast("int").alias("is_target"),
+        )
     )
     t = base.select(
         "id", "is_target", F.posexplode(tokens("text")).alias("pos", "tok")

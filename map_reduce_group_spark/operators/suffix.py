@@ -58,7 +58,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 from pyspark.sql.functions import col
 
-from map_reduce_group_spark.operators.text import tokens
+from map_reduce_group_spark.operators.text import spread_small_scan, tokens
 
 # range-partition on the first k prefix ids (scalar, order-consistent with
 # the full-array ordering); 4 ids distinguish ranges long before cap does
@@ -169,7 +169,9 @@ def cross_doc_longest_spans(
     docstring for the plan shape. ``cap`` must be a power of two."""
     if cap & (cap - 1):
         raise ValueError(f"cap must be a power of two, got {cap}")
-    toks_arr = docs.select(col(id_col).alias("doc_id"), tokens(text_col).alias("toks"))
+    toks_arr = spread_small_scan(
+        docs.select(col(id_col).alias("doc_id"), col(text_col).alias("_text"))
+    ).select("doc_id", tokens("_text").alias("toks"))
     toks = toks_arr.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
 
     # 1. order-preserving vocabulary ids (vocabulary-scale sort only).

@@ -60,6 +60,37 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     return F.regexp_count(c, F.lit(BPE_ISH_RE))
 
 
+def spread_small_scan(df):
+    """Round-robin repartition up to the session's default parallelism —
+    ONLY when the input plan arrives with fewer partitions than that.
+
+    Why (guide §2.5 input skew / §6 split size): a parquet row group is
+    unsplittable, so a fixture written as one row group per file scans as
+    ONE task regardless of ``maxPartitionBytes``/``minPartitionNum``, and
+    the CPU-dense tokenize→posexplode heads rooted on that scan serialize
+    onto a single core. On a real corpus (thousands of splits ≥ session
+    parallelism) the gate makes this a provable no-op — it is a
+    small-input unserializer, not a local-core tuning constant.
+
+    Callers pass a projection of ONLY the columns the head needs so the
+    round-robin exchange carries no dead payload (guide §2.3). Results are
+    unaffected: every consumer downstream of these heads is a keyed
+    window/groupBy whose own hash exchange re-partitions anyway, and
+    partitioning-invariance is an engine design invariant pinned by the
+    property suite. Keyless ``repartition(n)`` sorts before exchanging
+    (SPARK-23207) so retried tasks reproduce the same assignment — safe
+    under speculation. A/B escape hatch: ``SPARK_GRAFT_SPREAD_SCANS=0``.
+    """
+    import os
+
+    if os.environ.get("SPARK_GRAFT_SPREAD_SCANS", "1") == "0":
+        return df
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def occurrences(text: Column, marker: str) -> Column:
     """Count non-overlapping occurrences of ``marker`` in ``' '||text||' '``.
 

@@ -462,7 +462,11 @@ def source_synthetic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         spark.read.format("synthetic_docs")
         .option("n_docs", 2000)
-        .option("n_partitions", 8)
+        # generator parallelism tracks the session (guide §2.6 idle capacity):
+        # content is a pure function of (doc_id, seed) — the oracle regenerates
+        # it independently of the split count — so partitions is a pure
+        # throughput knob; a constant 8 wasted 3/4 of a 32-core session.
+        .option("n_partitions", spark.sparkContext.defaultParallelism)
         .option("seed", 42)
         .option("pushdown", "false")  # vanilla sessions lack the pushdown conf
         .load()

@@ -4182,9 +4182,13 @@ def graph_triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     d = load_table(spark, sf_dir, "documents")
+    # persist: postings feed the identical-set aggregation AND the rep-
+    # filtered verification join inside _collapsed_pair_structure — one
+    # tokenize+df-cap head for both (the unpersisted plan held 132 copies
+    # of the documents scan, zero ReusedExchange; guide §2.4)
     postings = dedup.capped_postings(
         d, "doc_id", "text", n=3, max_doc_frac=0.01
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     members, rep_pairs = dedup._collapsed_pair_structure(postings, threshold=0.05)
 
     groups = (
