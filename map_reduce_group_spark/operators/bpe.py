@@ -155,6 +155,8 @@ def bpe_merges(
     spaced = words.select(
         F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("s"), "wc"
     ).localCheckpoint()
+    ckpt = spaced  # last materialized frame (unpersisted on the next cut)
+    pending = 0  # merges applied since that cut
 
     merges: list[tuple[int, str, str, int]] = []
     while len(merges) < n_merges:
@@ -182,9 +184,20 @@ def bpe_merges(
         for pair, cnt in batch:
             merges.append((len(merges) + 1, pair, pair.replace(" ", ""), cnt))
             s = _merge_pair(s, pair)
-        old = spaced
-        spaced = spaced.select(s.alias("s"), "wc").localCheckpoint()
-        old.unpersist()
+        spaced = spaced.select(s.alias("s"), "wc")
+        pending += len(batch)
+        # cut lineage every ~8 APPLIED merges, not every round: each
+        # localCheckpoint is a full materialization job, and the serial-
+        # equivalence batches run 1-3 merges/round on real text (the head
+        # pairs share letters), so per-round cuts spent a job per ~2
+        # merges. A ≤8-deep regexp_replace chain re-evaluates inside the
+        # next round's aggregation stage for far less than a job costs
+        # (guide §1.2: fix the pass count before the per-task work).
+        if pending >= 8:
+            old = ckpt
+            ckpt = spaced = spaced.localCheckpoint()
+            old.unpersist()
+            pending = 0
     return spark.createDataFrame(
         merges, "merge_rank bigint, pair string, merged string, pair_count bigint"
     )

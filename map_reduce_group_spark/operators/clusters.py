@@ -84,10 +84,12 @@ def pagerank(
         .repartition(col("id"))
         .localCheckpoint(eager=True)
     )
-    n = vertices.count()
+    # one aggregate for both setup scalars (was two separate count jobs)
+    n, n_dangling = vertices.agg(
+        F.count(F.lit(1)), F.count(F.when(~col("has_out"), 1))
+    ).first()
     if n == 0:  # empty graph (e.g. an over-capped similarity join) — no ranks
         return vertices.select("id", F.lit(0.0).alias("rank"))
-    n_dangling = vertices.filter(~col("has_out")).count()
 
     ranks = vertices.select("id", "has_out", F.lit(1.0 / n).alias("rank"))
     dangling = n_dangling * (1.0 / n)  # Σ rank over dangling vertices
@@ -173,7 +175,10 @@ def pagerank_fixed(
         .repartition(col("id"))
         .localCheckpoint(eager=True)
     )
-    n = vertices.count()
+    # one aggregate for both setup scalars (was two separate count jobs)
+    n, n_out = vertices.agg(
+        F.count(F.lit(1)), F.count(F.when(col("has_out"), 1))
+    ).first()
     if n == 0:
         return vertices.select("id", F.lit(0).cast("long").alias("rank_micro"))
 
@@ -181,7 +186,7 @@ def pagerank_fixed(
     ranks = vertices.select(
         "id", "has_out", F.lit(scale // n).cast("long").alias("rank")
     )
-    dang = (n - vertices.filter(col("has_out")).count()) * (scale // n)
+    dang = (n - n_out) * (scale // n)
     for _ in range(iters):
         contribs = (
             contrib_edges.join(ranks, contrib_edges.src == ranks.id)

@@ -169,10 +169,16 @@ def cross_doc_longest_spans(
     docstring for the plan shape. ``cap`` must be a power of two."""
     if cap & (cap - 1):
         raise ValueError(f"cap must be a power of two, got {cap}")
+    from pyspark import StorageLevel
+
     toks_arr = spread_small_scan(
         docs.select(col(id_col).alias("doc_id"), col(text_col).alias("_text"))
     ).select("doc_id", tokens("_text").alias("toks"))
-    toks = toks_arr.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
+    # persist: toks feed BOTH the vocabulary ranking and the id-mapping
+    # join — without it the tokenize head plans twice (guide §2.4)
+    toks = toks_arr.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # 1. order-preserving vocabulary ids (vocabulary-scale sort only).
     # tid is narrowed LONG→INT (guide §2.3): the suffix rows each carry a
@@ -226,12 +232,19 @@ def cross_doc_longest_spans(
         col("grank").alias("o_grank"),
     )
 
-    def neighbor(rn_col: str) -> DataFrame:
-        return bounds.select(
-            "doc_id", "doc_len", "pos", "pref", "grank", col(rn_col).alias("o_rn")
-        ).join(other, "o_rn")  # inner: rn 0 / N+1 fall away
-
-    p = neighbor("prev_rn").unionByName(neighbor("next_rn"))
+    # single-pass explode(array(struct…)), not a two-branch union — a union
+    # would plan the bounds window subtree (and the sa scan behind it)
+    # twice, the exact double-subtree shape behind the jaccard_topmatch r6
+    # regression (operators/dedup.py:_directional_containment). Row multiset
+    # is identical; the inner join drops the rn 0 / N+1 sentinels either way.
+    p = bounds.select(
+        "doc_id",
+        "doc_len",
+        "pos",
+        "pref",
+        "grank",
+        F.explode(F.array(col("prev_rn"), col("next_rn"))).alias("o_rn"),
+    ).join(other, "o_rn")
 
     # 5. LCP: dense-rank equality answers identical (possibly truncated)
     # prefixes with the true remaining length; otherwise power-of-two

@@ -290,7 +290,14 @@ def _events_timesplit_dir(spark: SparkSession, sf_dir: str, n: int = 4) -> str:
         ).collect()[0]["b"]
         edges = [None] + [int(b) for b in bounds] + [None]
         src = tempfile.mkdtemp(prefix="mrg_tsplit_src_")
-        for i in range(n):
+
+        # the n split writes are independent single-task jobs; submit them
+        # from a thread pool so each back-fills executors the previous
+        # write's tail leaves idle (guide §2.6 — actions are only
+        # sequential because driver code calls them sequentially). File
+        # CONTENT and the mtime ordering are set per index, so concurrency
+        # cannot reorder anything the stream observes.
+        def write_split(i: int) -> None:
             part = ev
             if edges[i] is not None:
                 part = part.filter(F.unix_micros("ts") > edges[i])
@@ -304,6 +311,11 @@ def _events_timesplit_dir(spark: SparkSession, sf_dir: str, n: int = 4) -> str:
             )
             os.utime(dst, (1_600_000_000 + i * 1000, 1_600_000_000 + i * 1000))
             shutil.rmtree(part_dir)
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=n) as pool:
+            list(pool.map(write_split, range(n)))
         _TSPLIT_SRC[sf_dir] = src
     return _TSPLIT_SRC[sf_dir]
 
