@@ -144,7 +144,13 @@ def incremental_exact_dedup(
     if os.path.exists(table):
         upsert_by_key(new_fps, table, ["fingerprint"], "part")
     else:
-        new_fps.repartition("part").write.partitionBy("part").parquet(table)
+        # 16**part_chars = the table's partition-value count (a layout
+        # constant): sizing the clustering shuffle to it writes one file
+        # per partition dir instead of shuffle.partitions-many tasks each
+        # paying the per-file create/commit latency (guide §6)
+        new_fps.repartition(16**part_chars, col("part")).write.partitionBy(
+            "part"
+        ).parquet(table)
     return decided
 
 
@@ -1193,7 +1199,12 @@ def incremental_minhash_lsh(
         if has_history:
             upsert_by_key(banded, table, ["band", "bucket", "id"], "band")
         else:
-            banded.repartition("band").write.partitionBy("band").parquet(table)
+            # cluster sized to the band count (the table's partition-value
+            # count) — one file per band dir, not shuffle.partitions tasks
+            # each paying per-file create/commit latency (guide §6)
+            banded.repartition(bands, col("band")).write.partitionBy(
+                "band"
+            ).parquet(table)
         return decided
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_sp)

@@ -269,8 +269,25 @@ def udf_cogroup_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     the canonical MR join pattern, SURVEY §2B joins) with arbitrary Python
     pairing logic."""
     e = load_table(spark, sf_dir, "events")
-    purchases = e.filter(col("event_type") == "purchase").select("user_id", "event_id")
-    clicks = e.filter(col("event_type") == "click").select("user_id", "event_id")
+    # explicit key repartition: AQE's BYTE-based coalescing squeezed the
+    # exchange feeding the Python cogroup stage to ONE task (~0.5 MB of
+    # keys < the 1 MB minPartitionSize), serializing every per-group
+    # Python call — byte cost is the wrong model for Python-eval stages
+    # (guide §4). A user repartition with an explicit count is exempt
+    # from coalescing and is reused by the cogroup's own distribution;
+    # results are per-group, so partitioning never changes them.
+    # Measured 4.4 s -> 2.1 s at sf0.1.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    purchases = (
+        e.filter(col("event_type") == "purchase")
+        .select("user_id", "event_id")
+        .repartition(n_shuffle, "user_id")
+    )
+    clicks = (
+        e.filter(col("event_type") == "click")
+        .select("user_id", "event_id")
+        .repartition(n_shuffle, "user_id")
+    )
     return (
         purchases.groupBy("user_id")
         .cogroup(clicks.groupBy("user_id"))
