@@ -1441,10 +1441,15 @@ def duplicated_spans(
 
     Returns (id, span_start, span_end, span_len) in token positions
     (0-based inclusive)."""
+    from pyspark import StorageLevel
+
     t = spread_small_scan(
         df.select(col(id_col).alias("id"), col(text_col).alias("_text"))
     ).select("id", F.posexplode(tokens("_text")).alias("pos", "tok"))
     wg = Window.partitionBy("id").orderBy("pos").rowsBetween(0, n - 1)
+    # persist: grams (the md5-per-position window, the expensive stage)
+    # feed both the duplicate-fingerprint aggregate and the hits join —
+    # one gram pass, not two (guide §2.4)
     grams = (
         t.select(
             "id",
@@ -1454,6 +1459,7 @@ def duplicated_spans(
         )
         .filter(col("glen") == n)
         .drop("glen")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dup = grams.groupBy("fp").agg(F.count(F.lit(1)).alias("c")).filter(col("c") > 1)
     hits = grams.join(dup.select("fp"), "fp").select("id", "pos")
@@ -1496,9 +1502,19 @@ def cut_duplicated_spans(
     the space-joined surviving tokens (digest, not raw text, so the result
     stays driver-friendly at any corpus size; precedent doc_unicode_normalize).
     """
-    base = spread_small_scan(
-        df.select(col(id_col).alias("id"), col(text_col).alias("_text"))
-    ).select("id", tokens("_text").alias("toks"))
+    from pyspark import StorageLevel
+
+    # persist both fanout points: base feeds the token explode AND the
+    # final per-doc join; grams (the md5-per-position window, the
+    # expensive stage) feed the duplicate aggregate AND the coverage join
+    # (guide §2.4 — one tokenize head, one gram pass)
+    base = (
+        spread_small_scan(
+            df.select(col(id_col).alias("id"), col(text_col).alias("_text"))
+        )
+        .select("id", tokens("_text").alias("toks"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     t = base.select("id", F.posexplode("toks").alias("pos", "tok"))
     wg = Window.partitionBy("id").orderBy("pos").rowsBetween(0, n - 1)
     grams = (
@@ -1510,6 +1526,7 @@ def cut_duplicated_spans(
         )
         .filter(col("glen") == n)
         .drop("glen")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dup = grams.groupBy("fp").agg(F.count(F.lit(1)).alias("c")).filter(col("c") > 1)
     cov = (

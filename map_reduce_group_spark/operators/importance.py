@@ -105,10 +105,19 @@ def importance_scores(
     composite caller shares the tokenize+hash pass; None (the default)
     keeps this operator self-contained and byte-identical to before.
     """
+    from pyspark import StorageLevel
+
+    # feat feeds the bucket-count aggregation (itself read twice: totals
+    # and weights) AND the per-doc scoring join — unpersisted, the
+    # tokenize→hash head planned three times (guide §2.4). An injected
+    # precomputed frame is already materialized by the caller, so only the
+    # self-built path persists.
     feat = (
         bigram_buckets
         if bigram_buckets is not None
-        else hashed_bigram_buckets(df, id_col, text_col, target, n_buckets)
+        else hashed_bigram_buckets(df, id_col, text_col, target, n_buckets).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     )
     # corpus + target counts in ONE aggregation — ≤ n_buckets rows survive
     bc = feat.groupBy("bucket").agg(
@@ -122,10 +131,13 @@ def importance_scores(
             " div (CAST(c + 1 AS DECIMAL(38,0)) * nt) AS BIGINT)"
         ).alias("w_fp"),
     )
+    # doc is read twice (the corpus-mean envelope and the final select);
+    # 3 longs per document, spillable
     doc = (
         feat.join(F.broadcast(wt), "bucket")
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("w_fp").alias("score_fp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     env = doc.agg(F.sum("score_fp").alias("gs"), F.sum("n_feats").alias("gn"))
     return doc.crossJoin(F.broadcast(env)).select(

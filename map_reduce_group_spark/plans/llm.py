@@ -2137,14 +2137,21 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map_reduce_group_spark.operators.clusters import connected_components
     from map_reduce_group_spark.operators.text import chunk_documents, fingerprint, token_count
 
+    from pyspark import StorageLevel
+
     d = load_table(spark, sf_dir, "documents")
-    # 1. exact dedup
+    # 1. exact dedup — persisted: keep1 feeds the near-dup pair generation
+    # (clone gate + postings), the keep2 representative join, and through
+    # it the quality/chunking tail, so without a persist the fingerprint
+    # window (and the documents scan under it) plans once per consumer
+    # (guide §2.4)
     wfp = W.partitionBy("f").orderBy("doc_id")
     keep1 = (
         d.withColumn("f", fingerprint("text"))
         .withColumn("rn", F.row_number().over(wfp))
         .filter(col("rn") == 1)
         .select("doc_id", "text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # 2. near-dup clusters over survivors; keep representatives
     pairs = dedup.ngram_jaccard_pairs(

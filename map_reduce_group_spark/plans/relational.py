@@ -890,15 +890,24 @@ def market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus), pair counts partial-agg on compact (brand, brand) keys, the
     brand dimension broadcasts, and N rides a one-row broadcast. The
     classic co-occurrence shape whose output is |brands|²-bounded."""
+    from pyspark import StorageLevel
+
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # persist at the fanout: ob (the lineitem⋈part distinct — the expensive
+    # pass) feeds the order count, the brand singles (read twice as sa/sb)
+    # and BOTH sides of the basket self-join — unpersisted, that distinct
+    # planned five times (guide §2.4)
     ob = (
         li.join(broadcast(pt), col("l_partkey") == col("p_partkey"))
         .select(col("l_orderkey").alias("o"), col("p_brand").alias("b"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     n = ob.agg(F.count_distinct("o").alias("n_orders"))
-    singles = ob.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    singles = ob.groupBy("b").agg(F.count(F.lit(1)).alias("c")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a, bb = ob.alias("x"), ob.alias("y")
     pairs = (
         a.join(bb, "o")
