@@ -30,6 +30,21 @@ def main() -> None:
 
     spark = get_session("mrg-spark-bench")
     qs = queries()
+    # Optional heavy-subset mode (additive; VERDICT r9 #1): the sf0.1
+    # fixtures are floor-bound (single-row-group files + per-query fixed
+    # overheads), so parallelism work on the heavy family is unfalsifiable
+    # at the default scale. Point $SPARK_GRAFT_SF_DIR at a replicated
+    # multi-row-group fixture (tools/scale_fixture.py with
+    # SCALE_FIXTURE_ROW_GROUP set) and name the queries to time here.
+    # Unset (the driver's path), the artifact is byte-identical in shape:
+    # all registered queries, same timing loop, same one-line JSON.
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "")
+    if subset:
+        keep = {s.strip() for s in subset.split(",") if s.strip()}
+        unknown = keep - set(qs)
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_QUERIES unknown: {sorted(unknown)}")
+        qs = {k: v for k, v in qs.items() if k in keep}
 
     # host-drift self-diagnosis (VERDICT r5 #4): the pre-scan wall is a
     # fixed workload, so a drifted artifact shows an inflated prescan_sec
@@ -88,9 +103,11 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    # Full artifact always lands on disk.
+    # Full artifact always lands on disk (subset runs write a sibling file so
+    # a measurement session never clobbers the driver-shaped artifact).
     full = json.dumps(out, separators=(",", ":"))
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json"), "w") as fh:
+    artifact = "BENCH_subset.json" if subset else "BENCH.json"
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), artifact), "w") as fh:
         fh.write(full + "\n")
 
     print(compact_line(out, timings, errors))

@@ -28,6 +28,21 @@ TABLES: tuple[str, ...] = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Catalog-level schema resolution (guide §6: repeated listing/footer work is
+# driver-side overhead a real catalog amortizes — Hive/Iceberg store the
+# schema in the metastore/manifest; per-query schema inference re-reads the
+# parquet footer as a driver job, ~60-75 ms per load_table call on the bench
+# host, and the heavy builders load 2-4 tables each). Cache the RESOLVED
+# StructType per (absolute path, mtime_ns, size); any rewrite of the fixture
+# invalidates the key. Only metadata is cached — every query still scans and
+# computes from the parquet bytes.
+_SCHEMA_CACHE: dict[tuple[str, int, int], object] = {}
+
+
+def _file_key(path: str) -> tuple[str, int, int]:
+    st = os.stat(path)
+    return (os.path.abspath(path), st.st_mtime_ns, st.st_size)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
@@ -39,17 +54,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # floor-convert to microseconds — exactly what DuckDB's TIMESTAMP
         # (µs) does, so oracle comparisons agree.
         # The conf is consumed when the parquet relation's schema is
-        # resolved (i.e. inside spark.read.parquet), so it is saved and
-        # restored around the read — a later TIMESTAMP(NANOS) read by OTHER
-        # code in the same (possibly externally-owned) session keeps its own
-        # semantics instead of silently coming back as bigint.
+        # resolved, so it is saved and restored around the read — a later
+        # TIMESTAMP(NANOS) read by OTHER code in the same (possibly
+        # externally-owned) session keeps its own semantics instead of
+        # silently coming back as bigint. The conf stays scoped around the
+        # schema-cached read too: the scan consults it when the relation is
+        # constructed, whether the schema is inferred or supplied.
         from pyspark.sql import functions as F
 
         conf_key = "spark.sql.legacy.parquet.nanosAsLong"
         prior = spark.conf.get(conf_key, None)
         spark.conf.set(conf_key, "true")
         try:
-            df = spark.read.parquet(path)
+            key = _file_key(path)
+            cached = _SCHEMA_CACHE.get(key)
+            if cached is not None:
+                df = spark.read.schema(cached).parquet(path)
+            else:
+                df = spark.read.parquet(path)
+                _SCHEMA_CACHE[key] = df.schema
         finally:
             if prior is None:
                 spark.conf.unset(conf_key)
@@ -64,7 +87,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # instant functions (unix_micros, window) apply uniformly
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(path)
+    key = _file_key(path)
+    cached = _SCHEMA_CACHE.get(key)
+    if cached is not None:
+        return spark.read.schema(cached).parquet(path)
+    df = spark.read.parquet(path)
+    _SCHEMA_CACHE[key] = df.schema
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -3,6 +3,19 @@
 Each module is independently importable; the registered queries in
 ``map_reduce_group_spark.plans`` are thin bindings of these operators to
 the fixture tables.
+
+Cache-lifetime contract (ADVICE r9): operators whose plans fan out over an
+expensive head (dedup postings/members, importance feature frames,
+market-basket order sets, the pipeline's exact-dedup survivors, …) persist
+that head with ``MEMORY_AND_DISK`` *inside the returned plan*. The blocks
+materialize on the caller's first action and stay cached until the caller
+releases them — there is no consuming action inside the operator after
+which it could unpersist. Long-lived sessions must therefore call
+``spark.catalog.clearCache()`` (or ``unpersist()`` on the returned frame's
+cached dependencies) between logical jobs, exactly as ``bench.py`` does
+between queries. Plan-internal fanouts that need no caller-visible handle
+use eager ``localCheckpoint`` instead (ContextCleaner-released when the
+plan is garbage-collected — see operators/diagnostics.py).
 """
 
 from map_reduce_group_spark.operators.asof import asof_join

@@ -66,9 +66,10 @@ def _features(df: DataFrame, id_col: str, text_col: str, target: Column,
     (id, is_target, bucket) frame (operators/importance.py:
     hashed_bigram_buckets, same df/target/n_buckets) so a composite caller
     (corpus_filter_agreement) runs the corpus-sized tokenize+hash pass
-    once for both the DSIR and classifier branches; y = 2·is_target − 1 is
-    the same label the inline path computes, so the output is
-    bit-identical either way.
+    once for both the DSIR and classifier branches; is_target is derived
+    null-safely there (NULL target → 0 → y = −1, the oracle's CASE … ELSE
+    semantics), so y = 2·is_target − 1 is identical whether the frame is
+    injected or built inline.
     """
     from map_reduce_group_spark.operators.importance import hashed_bigram_buckets
 

@@ -59,7 +59,11 @@ def hashed_bigram_buckets(
         df.select(
             col(id_col).alias("id"),
             col(text_col).alias("text"),
-            target.cast("int").alias("is_target"),
+            # null-safe label (ADVICE r9): a NULL target must classify as
+            # non-target (0), matching the oracle twins' CASE WHEN … ELSE 0.
+            # A bare cast("int") maps NULL → NULL, which groups separately
+            # downstream and nulls the perceptron's y = 2·is_target − 1.
+            F.when(target, F.lit(1)).otherwise(F.lit(0)).alias("is_target"),
         )
     )
     t = base.select(

@@ -85,8 +85,21 @@ def spread_small_scan(df):
 
     if os.environ.get("SPARK_GRAFT_SPREAD_SCANS", "1") == "0":
         return df
+    # ADVICE r9: a streaming frame has no .rdd — never probe it (the
+    # streaming operators size state via run_to_memory instead).
+    if df.isStreaming:
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # The .rdd probe plans (and, under AQE, materializes upstream shuffle
+    # stages of) the input — intentional where the caller passes a persisted
+    # head (the persist materializes exactly once, here), and a no-op for the
+    # bare projected scans most call sites pass. Guarded so an unprobeable
+    # plan degrades to "don't spread" rather than failing the query.
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n >= target:
         return df
     return df.repartition(target)
 

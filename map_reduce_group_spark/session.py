@@ -23,6 +23,12 @@ def default_parallelism() -> int:
 # query results are deterministic regardless of who built the session.
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
+    # loud-overflow determinism (ADVICE r9): several operators narrow types
+    # on a proven bound (e.g. suffix-array vocabulary ids LONG→INT) with the
+    # justification that an out-of-range cast ERRORS rather than silently
+    # wrapping. That guarantee is ANSI semantics — the Spark 4 default, but
+    # rule 6 says queries must not depend on who built the session, so pin it.
+    "spark.sql.ansi.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -98,10 +98,19 @@ def main() -> None:
         collist = ", ".join([f"{key} + i*{offset} AS {key}"] + cols)
         if os.path.lexists(dst):
             os.remove(dst)
+        # SCALE_FIXTURE_ROW_GROUP: rows per parquet row group. The sf0.1
+        # fixtures are single-row-group files, which a parquet reader cannot
+        # split — every scan runs as ONE task and per-query scaling ratios
+        # flatline at ≈1 (VERDICT r9 scaling block). Writing replicas with
+        # bounded row groups makes scan parallelism REAL on the replica, so
+        # optimization claims for the heavy family are falsifiable again.
+        # 0 (default) keeps DuckDB-sized groups for bit-compatibility with
+        # historical sweep fixtures.
+        rg = int(os.environ.get("SCALE_FIXTURE_ROW_GROUP", "0")) or 1048576
         con.execute(
             f"COPY (SELECT {collist} FROM '{src}' CROSS JOIN "
             f"(SELECT unnest(range({factor})) AS i)) TO '{dst}' "
-            f"(FORMAT PARQUET, ROW_GROUP_SIZE 1048576)"
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE {rg})"
         )
         (n,) = con.execute(f"SELECT count(*) FROM '{dst}'").fetchone()
         print(f"{t}: {n} rows ({factor}x)")
