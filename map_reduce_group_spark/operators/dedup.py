@@ -1103,6 +1103,7 @@ def incremental_minhash_lsh(
     if num_hashes % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
     saved_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     n_batch: int | None = None
     if shuffle_partitions == "auto":
         n_batch = batch.count()
@@ -1112,6 +1113,13 @@ def incremental_minhash_lsh(
         )
     if shuffle_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # with shuffles explicitly sized to increment volume, AQE has
+        # nothing left to decide here — but it still materializes a query
+        # stage (a driver job boundary) per exchange, and an increment's
+        # wall is job-floor-bound (profiled: 26 jobs / ~0.5 s of parallel
+        # compute at sf0.1). Scoped set→act→restore like the partition knob;
+        # results are partitioning-invariant either way.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     sigs = minhash_signatures(batch, id_col, text_col, n, num_hashes, portable=True)
     banded = sigs.select(
         "id",
@@ -1207,11 +1215,25 @@ def incremental_minhash_lsh(
                 else int(shuffle_partitions) * 8192
             )
             decisions = decisions.coalesce(max(1, -(-est_rows // 1_000_000)))
+        dec_schema = decisions.schema
         decisions.write.mode("overwrite").parquet(out_dir)
-        decided = spark.read.parquet(out_dir)
+        # read-back with the schema we just wrote: the decisions frame is
+        # decoupled from the live plan (the contract) without paying a
+        # footer-inference driver job per increment (guide §1/§6 — the
+        # per-job floor dominates micro-batch walls)
+        decided = spark.read.schema(dec_schema).parquet(out_dir)
 
         if has_history:
-            upsert_by_key(banded, table, ["band", "bucket", "id"], "band")
+            # every doc emits every band (the explode is over range(bands)),
+            # so a non-empty batch touches exactly the bands partitions —
+            # pass them instead of paying a distinct-collect job per
+            # increment. Only provable when the batch size is known here.
+            known_parts = (
+                list(range(bands)) if n_batch is not None and n_batch > 0 else None
+            )
+            upsert_by_key(
+                banded, table, ["band", "bucket", "id"], "band", parts=known_parts
+            )
         else:
             # cluster sized to the band count (the table's partition-value
             # count) — one file per band dir, not shuffle.partitions tasks
@@ -1222,6 +1244,7 @@ def incremental_minhash_lsh(
         return decided
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_sp)
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
         banded.unpersist()
 
 

@@ -200,6 +200,7 @@ def upsert_by_key(
     table_path: str,
     key_cols: list[str],
     part_col: str,
+    parts: list | None = None,
 ) -> list:
     """Keyed upsert into a ``part_col``-partitioned parquet table: rows in
     ``updates`` replace same-key rows, new keys append — rewriting only the
@@ -211,9 +212,18 @@ def upsert_by_key(
     away the updated keys, union the updates, dynamic-overwrite. The
     anti-join's build side is the update batch — broadcastable whenever the
     increment is small, which is the whole premise.
+
+    ``parts`` optionally supplies the affected partition values when the
+    caller PROVABLY knows them (e.g. the MinHash band upsert: every doc
+    emits every band, so a non-empty batch touches exactly range(bands)) —
+    skipping the distinct-collect job, which is a measurable share of a
+    micro-batch increment's wall. The default derives them from the batch.
     """
     spark = updates.sparkSession
-    parts = affected_partitions(updates, part_col)
+    if parts is None:
+        parts = affected_partitions(updates, part_col)
+    else:
+        parts = sorted(parts)
     if not parts:
         return parts
     existing = spark.read.parquet(table_path).filter(F.col(part_col).isin(parts))

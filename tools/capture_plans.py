@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
 """Capture .explain("formatted") for named registered queries into
-plans/r09/<name>_<tag>.txt (the optimization round's plan evidence).
+plans/r10/<name>_<tag>.txt (the optimization round's plan evidence).
 
 Usage: python tools/capture_plans.py TAG name [name ...] [--sf DIR] [--out DIR]
 Run from the tree whose plans you want (a worktree at the pre-change commit
@@ -28,7 +28,7 @@ while i < len(_argv):
     else:
         names.append(_argv[i])
         i += 1
-out = out or os.path.join(REPO, "plans", "r09")
+out = out or os.path.join(REPO, "plans", "r10")
 os.makedirs(out, exist_ok=True)
 
 from map_reduce_group_spark.plans import queries

@@ -7,7 +7,7 @@ inside the builder) vs execute wall (the noop write), job/stage counts, task
 time, shuffle read/write bytes, input bytes, and the slowest stages.
 
 Usage: python tools/profile_query.py name [name ...] [--sf DIR] [--explain]
-       --explain additionally writes plans/r09/<name>_<tag>.txt
+       --explain additionally writes plans/r10/<name>_<tag>.txt
        [--tag before|after]  (default: before)
 """
 
@@ -158,8 +158,8 @@ def main() -> None:
         except Exception as exc:
             print(f"  (sql metrics unavailable: {exc})")
         if explain:
-            os.makedirs(os.path.join(REPO, "plans", "r09"), exist_ok=True)
-            out = os.path.join(REPO, "plans", "r09", f"{name}_{tag}.txt")
+            os.makedirs(os.path.join(REPO, "plans", "r10"), exist_ok=True)
+            out = os.path.join(REPO, "plans", "r10", f"{name}_{tag}.txt")
             with open(out, "w") as fh:
                 fh.write(df._jdf.queryExecution().explainString(
                     spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
