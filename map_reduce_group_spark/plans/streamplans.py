@@ -140,7 +140,7 @@ def stream_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped,
         f"q_stream_dedup_{next(_COUNTER)}",
         output_mode="append",
-        state_partitions=8,
+        state_partitions=4,
     )
 
 
@@ -258,7 +258,7 @@ def stream_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         es.purchases_after_clicks(stream, within="1 hour"),
         f"q_stream_attrib_{next(_COUNTER)}",
         output_mode="append",
-        state_partitions=8,
+        state_partitions=4,
     )
 
 
@@ -527,7 +527,7 @@ def stream_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         regs,
         f"q_stream_hll_{next(_COUNTER)}",
         output_mode="complete",
-        state_partitions=4,
+        state_partitions=8,
     )
 
 
@@ -567,7 +567,7 @@ def stream_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells,
         f"q_stream_cms_{next(_COUNTER)}",
         output_mode="complete",
-        state_partitions=4,
+        state_partitions=8,
     )
 
 
@@ -653,7 +653,13 @@ def stream_late_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     # materialize before returning: the next invocation deletes this state
-    # dir (the stream_incremental_minhash lifecycle convention, ADVICE r5)
-    return spark.read.parquet(os.path.join(state, "decisions_*")).localCheckpoint(
-        eager=True
+    # dir (the stream_incremental_minhash lifecycle convention, ADVICE r5).
+    # Project away max_us — it is watermark STATE riding the decisions file
+    # (one batch scan + one write per trigger), not part of the query's
+    # declared output.
+    return (
+        spark.read.schema(es.QUARANTINE_DECISIONS_SCHEMA)
+        .parquet(os.path.join(state, "decisions_*"))
+        .select("batch_id", "event_type", "n_events", "n_late")
+        .localCheckpoint(eager=True)
     )

@@ -252,6 +252,13 @@ def purchases_after_clicks(
     ).select("purchase_id", "user_id", "purchase_ts", "click_id", "click_ts")
 
 
+# quarantine_late state/output layout — supplied on every read-back so a
+# micro-batch never pays a footer-inference job for its own known schema
+QUARANTINE_DECISIONS_SCHEMA = (
+    "batch_id long, event_type string, n_events long, n_late long, max_us long"
+)
+
+
 def quarantine_late(
     batch_df: DataFrame,
     state_dir: str,
@@ -268,17 +275,24 @@ def quarantine_late(
     Watermark for batch k = max event time over batches < k minus
     ``delay_us`` — exactly Spark's global watermark under a one-file
     micro-batch replay. All comparisons in ``unix_micros`` (CLAUDE.md
-    rule 1: never interval-on-cast('long') arithmetic). State is ONE
-    max-timestamp row per batch; decisions are per-(batch, event_type)
-    counts. Both writes are keyed by ``batch_id`` and overwrite, so a
-    redelivered micro-batch (restart after a pre-checkpoint-commit
-    crash) replaces its own output instead of double-counting — the
-    module's foreachBatch idempotence convention. The watermark read
-    filters the state glob to batch suffixes STRICTLY below ``batch_id``:
-    a redelivery of batch k after maxts_k was written but before the
-    checkpoint commit must not see its OWN max (the watermark would
-    become max over batches <= k and the rewritten decisions_k could
-    classify more rows late than the first delivery — ADVICE r7 #2)."""
+    rule 1: never interval-on-cast('long') arithmetic). State is the
+    decisions table itself: per-(batch, event_type) counts PLUS that
+    type's max event time (``max_us``), so the batch is scanned ONCE and
+    one file is written per micro-batch — the r9 profile showed these
+    micro-batch walls are job-floor-bound, and the old layout paid two
+    full batch scans (decisions groupBy + a separate global-max pass)
+    and two state writes per trigger (guide §1.2: remove passes before
+    tuning inside them). The write is keyed by ``batch_id`` and
+    overwrites, so a redelivered micro-batch (restart after a
+    pre-checkpoint-commit crash) replaces its own output instead of
+    double-counting — the module's foreachBatch idempotence convention.
+    The watermark read filters the state glob to batch suffixes STRICTLY
+    below ``batch_id``: a redelivery of batch k after decisions_k was
+    written but before the checkpoint commit must not see its OWN max
+    (the watermark would become max over batches <= k and the rewritten
+    decisions_k could classify more rows late than the first delivery —
+    ADVICE r7 #2). An empty batch writes an empty decisions file, which
+    contributes no max — same watermark as the old NULL max row."""
     import glob as _glob
     import os as _os
 
@@ -287,11 +301,16 @@ def quarantine_late(
     wm_us = None
     prior = [
         p
-        for p in _glob.glob(_os.path.join(state_dir, "maxts_*"))
+        for p in _glob.glob(_os.path.join(state_dir, "decisions_*"))
         if p.rsplit("_", 1)[-1].isdigit() and int(p.rsplit("_", 1)[-1]) < batch_id
     ]
     if prior:
-        row = spark.read.parquet(*prior).agg(F.max("max_us").alias("m")).collect()[0]
+        row = (
+            spark.read.schema(QUARANTINE_DECISIONS_SCHEMA)
+            .parquet(*prior)
+            .agg(F.max("max_us").alias("m"))
+            .collect()[0]
+        )
         if row["m"] is not None:
             wm_us = row["m"] - delay_us
     late = (
@@ -305,18 +324,18 @@ def quarantine_late(
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.when(F.col("late"), 1).otherwise(0)).cast("long").alias("n_late"),
+            F.max(F.unix_micros(F.col("ts"))).alias("max_us"),
         )
         .select(
             F.lit(batch_id).cast("long").alias("batch_id"),
             "event_type",
             "n_events",
             "n_late",
+            "max_us",
         )
+        # decision volume is one row per event type — a single file per
+        # batch, not one per shuffle partition (guide §6 small files)
+        .coalesce(1)
         .write.mode("overwrite")
         .parquet(_os.path.join(state_dir, f"decisions_{batch_id}"))
-    )
-    (
-        b.agg(F.max(F.unix_micros(F.col("ts"))).alias("max_us"))
-        .write.mode("overwrite")
-        .parquet(_os.path.join(state_dir, f"maxts_{batch_id}"))
     )

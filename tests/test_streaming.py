@@ -352,13 +352,14 @@ def test_stream_late_quarantine_reinvocation_and_batch0(spark, sf_dir):
     assert sum(late for _, late in by_batch.values()) > 0
 
 
-def test_quarantine_late_redelivery_ignores_own_maxts(spark, tmp_path):
+def test_quarantine_late_redelivery_ignores_own_max(spark, tmp_path):
     """Crash-replay idempotence for the exact window the batch-keyed
     overwrite targets (ADVICE r7 #2): if batch k crashed AFTER writing
-    maxts_k but BEFORE the checkpoint commit, the redelivered batch k must
-    compute its watermark from batches < k only — seeing its OWN maxts_k
-    would raise the watermark to max over batches <= k and reclassify rows
-    late that the first delivery admitted."""
+    decisions_k (which now carries the max event time as watermark state)
+    but BEFORE the checkpoint commit, the redelivered batch k must compute
+    its watermark from batches < k only — seeing its OWN max would raise
+    the watermark to max over batches <= k and reclassify rows late that
+    the first delivery admitted."""
     import datetime as dt
 
     from map_reduce_group_spark.streaming.events_stream import quarantine_late
@@ -381,16 +382,18 @@ def test_quarantine_late_redelivery_ignores_own_maxts(spark, tmp_path):
     # let the redelivery see maxts_1
     b1 = mk([(2, 2000), (3, 995)])
     quarantine_late(b1, state, 1, delay_us=delay)
+    cols = ["batch_id", "event_type", "n_events", "n_late"]
     first = sorted(
-        map(tuple, spark.read.parquet(f"{state}/decisions_1").collect())
+        map(tuple, spark.read.parquet(f"{state}/decisions_1").select(*cols).collect())
     )
     assert first == [(1, "click", 2, 0)], "first delivery admits the 995s row"
-    # redelivery of batch 1: maxts_1 is on disk (the crash window)
+    # redelivery of batch 1: decisions_1 (with its max) is on disk (the
+    # crash window)
     quarantine_late(b1, state, 1, delay_us=delay)
     replay = sorted(
-        map(tuple, spark.read.parquet(f"{state}/decisions_1").collect())
+        map(tuple, spark.read.parquet(f"{state}/decisions_1").select(*cols).collect())
     )
-    assert replay == first, "redelivery must not see its own maxts"
+    assert replay == first, "redelivery must not see its own max"
 
 
 def test_stream_outer_attribution_null_emission_redelivery(spark, sf_dir, tmp_path):
