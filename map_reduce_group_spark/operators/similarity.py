@@ -560,7 +560,7 @@ def _keyed_cosine_pairs(
     id_t: str,
     threshold: float,
     round_digits: int,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """All within-group pairs with rounded cosine ≥ ``threshold`` over a
     (id, v, ``key_col``) frame — the quadratic term TILED into block pairs
@@ -572,10 +572,29 @@ def _keyed_cosine_pairs(
     once; different blocks → the (min,max) ordered tile once), so the
     output is identical to the single-group form for ANY block count —
     blocks only partition the work. Per-task memory drops from O(group²)
-    to O((group/B)²): a 25k-vector group is a 5 GB matrix in one task but
-    64 tiles of ~80 MB here. Replication cost: each vector joins ≤ B
-    tiles per side.
+    to O((group/B)²). Replication cost: each vector joins ≤ B tiles per
+    side — which is why B must track the data. ``n_blocks=None`` (the
+    default) sizes it from the LARGEST group: B = ceil(max_group/3500),
+    bounding every tile near 3500² sims (~100 MB of float64) while a
+    small-group workload degenerates to B=1 — no replication, one tile
+    per group. The old fixed B=8 paid 8× input replication on small
+    groups AND still overflowed task memory past ~28k-vector groups; a
+    constant block count is wrong in both directions (guide §2.5 — the
+    synthetic-partitioning trap). The keyed frame is persisted in auto
+    mode so the sizing aggregate and the tile pass share one upstream
+    materialization.
     """
+    if n_blocks is None:
+        from pyspark import StorageLevel
+
+        keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+        mx = (
+            keyed.groupBy(key_col)
+            .count()
+            .agg(F.max("count").alias("m"))
+            .collect()[0]["m"]
+        )
+        n_blocks = max(1, -(-int(mx or 1) // 3500))
     B = n_blocks
     blocks = F.array(*[F.lit(j) for j in range(B)])
     v = keyed.withColumn("b", F.pmod(F.xxhash64(col("id")), F.lit(B)).cast("int"))
@@ -949,11 +968,16 @@ def semdedup_prune_cc(
     """
     from map_reduce_group_spark.operators.clusters import connected_components
 
+    from pyspark import StorageLevel
+
     assigned = kmeans_assign_fixedpoint(df, id_col, vec_col, k=k, iters=iters).select(
         "id", "cluster"
     )
     vecs = df.select(col(id_col).alias("id"), col(vec_col).alias("v"))
-    clustered = vecs.join(assigned, "id")
+    # clustered feeds the pair generation AND the final keep/pruned_by join —
+    # unpersisted, the k-means final-assign Arrow pass (and its broadcast
+    # join) re-ran once per consumer (guide §2.4 fanout persist)
+    clustered = vecs.join(assigned, "id").persist(StorageLevel.MEMORY_AND_DISK)
     id_t = _id_type(df, id_col)
 
     pairs = _keyed_cosine_pairs(
