@@ -231,10 +231,21 @@ def connected_components(
     # repartition by src BEFORE the iteration: the per-round join keys on
     # src, and localCheckpoint preserves partitioning — so the EDGE table
     # (the big side at 100 TB) is shuffled exactly once for the whole
-    # algorithm; each round only moves the label table
+    # algorithm; each round only moves the label table.
+    # Symmetrization is a single-pass explode(array(fwd, rev)) — the
+    # two-branch union planned the ENTIRE pair-producing subtree (often a
+    # similarity join) twice, exactly the r6 jaccard_topmatch lesson;
+    # row multiset identical to the union.
     edges = (
-        pairs.select(col(src).alias("src"), col(dst).alias("dst"))
-        .unionByName(pairs.select(col(dst).alias("src"), col(src).alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(col(src).alias("src"), col(dst).alias("dst")),
+                    F.struct(col(dst).alias("src"), col(src).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .distinct()
         .repartition(col("src"))
         .localCheckpoint(eager=True)

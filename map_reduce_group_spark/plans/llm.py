@@ -2545,9 +2545,17 @@ def graph_pagerank_simgraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(
         d, "doc_id", "text", threshold=0.3, max_doc_frac=0.02
     )
+    # single-pass symmetrization (the r6 jaccard_topmatch lesson): the
+    # two-branch union planned the whole similarity-join subtree twice —
+    # profiled at sf0.1 as two identical 21 MB-shuffle-write stages
     edges = pairs.select(
-        col("id_a").alias("src"), col("id_b").alias("dst")
-    ).unionByName(pairs.select(col("id_b").alias("src"), col("id_a").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(col("id_a").alias("src"), col("id_b").alias("dst")),
+                F.struct(col("id_b").alias("src"), col("id_a").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     from map_reduce_group_spark.operators.clusters import pagerank_fixed
 
     return pagerank_fixed(edges, iters=8)
